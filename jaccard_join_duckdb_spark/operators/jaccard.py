@@ -1,0 +1,477 @@
+"""Jaccard set-similarity join — Spark-native implementation.
+
+Re-expresses the reference's prefix-filtered join pipeline
+(``py_duckdb/similarity_join/join/jaccard_join.py``) as a lazy
+DataFrame chain: tokenize → document frequency → position window →
+candidate join (length + prefix + positional filters) → suffix
+verification. The brute-force variant (the correctness oracle) is
+explode → equi-join → groupBy → threshold filter.
+
+Math (SURVEY.md §0): for token sets x, y and threshold t,
+``J(x,y) >= t  <=>  |x∩y| >= (|x|+|y|) * t / (1+t)``.
+
+Parity hazards preserved (SURVEY.md §4.3):
+- Threshold arithmetic keeps the reference's exact expression shape
+  ``((L.len + R.len) * t / (1+t))`` in IEEE double — same operation
+  order as DuckDB's constant-folded plan, so ties break identically
+  (reference deliberately avoids ``ceil``; ``test.ipynb`` cell 23).
+- Self-join pair dedup uses the synthetic key
+  ``l_id = concat(len, '_', id)`` compared lexicographically
+  (``jaccard_join.py:135,155``) — including its string-compare quirk.
+- ``pos`` ranks tokens by ``(df, token)`` ascending per record
+  (``jaccard_join.py:134``); verification counts suffix matches from
+  ``pos >= maxPos`` and adds ``pfxOverlap - 1``
+  (``jaccard_join.py:172-183``).
+- Output is a pair table only — no similarity column
+  (``jaccard_join.py:174-175``). See :mod:`..operators.dedup` for
+  scored variants beyond the reference surface.
+
+Scale design (100 TB target):
+- All stages are shuffles on high-cardinality keys (token, id) —
+  no driver-side materialization of row data; only the inner join's
+  side-selection reads four scalar counts (as the reference does).
+- ``tkdf`` is persisted (MEMORY_AND_DISK) because candidates and
+  verification each scan it twice.
+- Single-side conjuncts of the candidate join (prefix filters) are
+  applied as pre-join filters, shrinking shuffle input; the hot-token
+  skew inherent to token equi-joins is handled by AQE skew-join
+  splitting (enabled in :mod:`..session`).
+- The doc-frequency join (tokens ⋈ df-per-token) is left to AQE to
+  broadcast when small; at 100 TB the df table is itself large and
+  the shuffle join on ``token`` is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from ..tokenizers import Tokenizer
+
+__all__ = [
+    "jaccard_join",
+    "jaccard_join_brute_force",
+    "jaccard_self_join",
+    "jaccard_inner_join",
+    "jaccard_self_join_brute_force",
+    "jaccard_inner_join_brute_force",
+    "tokens_with_doc_freq",
+]
+
+
+# --------------------------------------------------------------------------
+# threshold bounds — exact expression shapes of the reference SQL
+# --------------------------------------------------------------------------
+
+def _overlap_bound(l_len: Column, r_len: Column, t: float) -> Column:
+    """``((L.len + R.len) * t / (1+t))`` — jaccard_join.py:183."""
+    return (l_len + r_len) * F.lit(float(t)) / F.lit(1.0 + t)
+
+
+def _indexing_prefix_cond(length: Column, pos: Column, t: float) -> Column:
+    """``len - pos + 1 >= (len * 2 * t / (1+t))`` — jaccard_join.py:160."""
+    return length - pos + 1 >= length * 2 * F.lit(float(t)) / F.lit(1.0 + t)
+
+
+def _probing_prefix_cond(length: Column, pos: Column, t: float) -> Column:
+    """``len - pos + 1 >= (len * t)`` — jaccard_join.py:161."""
+    return length - pos + 1 >= length * F.lit(float(t))
+
+
+def _positional_cond(
+    l_len: Column, l_pos: Column, r_len: Column, r_pos: Column, t: float
+) -> Column:
+    """``LEAST(L.len-L.pos+1, R.len-R.pos+1) >= (L.len+R.len)*t/(1+t)``
+    — jaccard_join.py:163-164."""
+    return F.least(l_len - l_pos + 1, r_len - r_pos + 1) >= _overlap_bound(
+        l_len, r_len, t
+    )
+
+
+# --------------------------------------------------------------------------
+# shared stages
+# --------------------------------------------------------------------------
+
+def tokens_with_doc_freq(tokens: DataFrame, with_pair_key: bool = False) -> DataFrame:
+    """tokens → ``tkdf(id, len, token, df, pos[, l_id])``.
+
+    Document frequency per token (jaccard_join.py:127-130), position
+    = ``row_number() OVER (PARTITION BY id ORDER BY df, token)``
+    (jaccard_join.py:132-137), and — for the self-join — the pair
+    ordering key ``l_id = concat(len, '_', id)`` (jaccard_join.py:135).
+    """
+    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    out = tokens.join(dfreq, "token").select(
+        "id",
+        "len",
+        "token",
+        F.col("df"),
+        F.row_number().over(w).alias("pos"),
+    )
+    if with_pair_key:
+        out = out.withColumn(
+            "l_id",
+            F.concat(
+                F.col("len").cast("string"),
+                F.lit("_"),
+                F.col("id").cast("string"),
+            ),
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# self join (reference _JaccardSelfJoin, jaccard_join.py:111-232)
+# --------------------------------------------------------------------------
+
+def jaccard_self_join(
+    df: DataFrame,
+    key_attr: str,
+    join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    persist: bool = True,
+) -> DataFrame:
+    """Prefix-filtered Jaccard self-join; returns the pair DataFrame
+    ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``."""
+    t = float(threshold)
+    tokens = tokenizer.tokenize(df, key_attr, join_attr)
+    tkdf = tokens_with_doc_freq(tokens, with_pair_key=True)
+    if persist:
+        tkdf = tkdf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Candidate generation (jaccard_join.py:148-166). Single-side
+    # prefix conditions are applied pre-join: L carries the indexing
+    # prefix, R the probing prefix — identical predicate set to the
+    # reference's fused WHERE, but explicit so the shuffle inputs
+    # shrink before the token equi-join.
+    Lp = tkdf.filter(
+        _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
+    ).alias("L")
+    Rp = tkdf.filter(
+        _probing_prefix_cond(F.col("len"), F.col("pos"), t)
+    ).alias("R")
+    cond = (
+        (F.col("L.token") == F.col("R.token"))
+        & (F.col("L.l_id") < F.col("R.l_id"))  # each unordered pair once
+        & (F.col("L.len") >= F.col("R.len") * F.lit(t))  # length filter
+        & _positional_cond(
+            F.col("L.len"), F.col("L.pos"), F.col("R.len"), F.col("R.pos"), t
+        )
+    )
+    cand = (
+        Lp.join(Rp, cond)
+        .groupBy(
+            F.col("L.id").alias("lid"),
+            F.col("R.id").alias("rid"),
+        )
+        .agg(
+            F.max("L.pos").alias("lmaxpos"),
+            F.max("R.pos").alias("rmaxpos"),
+            F.count(F.lit(1)).alias("pfxoverlap"),
+        )
+    )
+
+    # Verification (jaccard_join.py:169-188): re-join both full token
+    # lists from pos >= maxPos (>=, not >, to catch pairs whose
+    # prefixes match entirely but suffixes share nothing), then
+    # ``count(*) + pfxOverlap - 1 >= bound``.
+    Lv = tkdf.alias("VL")
+    Rv = tkdf.alias("VR")
+    matches = (
+        cand.join(Lv, F.col("lid") == F.col("VL.id"))
+        .join(
+            Rv,
+            (F.col("rid") == F.col("VR.id"))
+            & (F.col("VL.token") == F.col("VR.token"))
+            & (F.col("VL.pos") >= F.col("lmaxpos"))
+            & (F.col("VR.pos") >= F.col("rmaxpos")),
+        )
+        .groupBy(
+            "lid", "rid", F.col("VL.len").alias("llen"),
+            F.col("VR.len").alias("rlen"), "pfxoverlap",
+        )
+        .agg(F.count(F.lit(1)).alias("sfx"))
+        .filter(
+            F.col("sfx") + F.col("pfxoverlap") - 1
+            >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+        )
+        .select(
+            F.col("lid").alias(f"{l_out_prefix}{key_attr}"),
+            F.col("rid").alias(f"{r_out_prefix}{key_attr}"),
+        )
+    )
+    return matches
+
+
+def jaccard_self_join_brute_force(
+    df: DataFrame,
+    key_attr: str,
+    join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+) -> DataFrame:
+    """O(pairs-sharing-a-token) oracle (jaccard_join.py:190-201):
+    tokens ⋈ tokens on token with ``L.id < R.id``, group by pair,
+    ``HAVING count(*) >= (L.len+R.len)*t/(1+t)``."""
+    t = float(threshold)
+    tokens = tokenizer.tokenize(df, key_attr, join_attr)
+    L = tokens.alias("L")
+    R = tokens.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.token") == F.col("R.token"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .groupBy(
+            F.col("L.id").alias("lid"),
+            F.col("L.len").alias("llen"),
+            F.col("R.id").alias("rid"),
+            F.col("R.len").alias("rlen"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(
+            F.col("overlap") >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+        )
+        .select(
+            F.col("lid").alias(f"{l_out_prefix}{key_attr}"),
+            F.col("rid").alias(f"{r_out_prefix}{key_attr}"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# inner (two-table) join (reference _JaccardInnerJoin, jaccard_join.py:235-469)
+# --------------------------------------------------------------------------
+
+def jaccard_inner_join(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    persist: bool = True,
+) -> DataFrame:
+    """Two-table prefix-filtered join with the reference's widow
+    handling and adaptive side selection (jaccard_join.py:265-362).
+
+    Driver-side actions (4 scalar counts) mirror the reference's
+    ``fetchall()[0][0]`` calls: two table counts for the widow
+    placeholder and two widow counts for the (R, S) side swap — the
+    side with more indexing-prefix widows becomes the indexing side R
+    (ties go to (r, l): jaccard_join.py:353, SURVEY.md §4.3.4).
+    """
+    t = float(threshold)
+    l_tokens = tokenizer.tokenize(l_df, l_key_attr, l_join_attr)
+    r_tokens = tokenizer.tokenize(r_df, r_key_attr, r_join_attr)
+    if persist:
+        l_tokens = l_tokens.persist(StorageLevel.MEMORY_AND_DISK)
+        r_tokens = r_tokens.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Widow placeholder: max possible df product + 1 — unambiguous
+    # sentinel that also sorts widows last (jaccard_join.py:266-268).
+    widow_placeholder = l_df.count() * r_df.count() + 1
+
+    # Cross-table document frequency: full outer join of per-side
+    # dfs; df = l_df * r_df, widows get the placeholder
+    # (jaccard_join.py:270-295).
+    l_dfreq = l_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("l_df"))
+    r_dfreq = r_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("r_df"))
+    dfreq = (
+        l_dfreq.join(r_dfreq, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce(
+                F.col("l_df") * F.col("r_df"), F.lit(widow_placeholder)
+            ).alias("df"),
+        )
+    )
+
+    def _tkdf(tokens: DataFrame) -> DataFrame:
+        w = Window.partitionBy("id").orderBy("df", "token")
+        return tokens.join(dfreq, "token").select(
+            "id", "len", "token", "df",
+            F.row_number().over(w).alias("pos"),
+        )
+
+    l_tkdf = _tkdf(l_tokens)
+    r_tkdf = _tkdf(r_tokens)
+    if persist:
+        l_tkdf = l_tkdf.persist(StorageLevel.MEMORY_AND_DISK)
+        r_tkdf = r_tkdf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Indexing prefixes per side + widow counts (jaccard_join.py:324-351).
+    def _indexing_prefix(tkdf: DataFrame) -> DataFrame:
+        return tkdf.filter(
+            _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
+        )
+
+    l_pfx = _indexing_prefix(l_tkdf)
+    r_pfx = _indexing_prefix(r_tkdf)
+    l_widows = l_pfx.filter(F.col("df") == widow_placeholder).count()
+    r_widows = r_pfx.filter(F.col("df") == widow_placeholder).count()
+
+    # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
+    # S = probing side (rebuilt with the longer t prefix).
+    if l_widows > r_widows:
+        R_tkdf, S_tkdf = l_tkdf, r_tkdf
+        R_pfx = l_pfx
+        r_prefix_out = (l_out_prefix, r_out_prefix)
+    else:
+        R_tkdf, S_tkdf = r_tkdf, l_tkdf
+        R_pfx = r_pfx
+        r_prefix_out = (r_out_prefix, l_out_prefix)
+    S_pfx = S_tkdf.filter(_probing_prefix_cond(F.col("len"), F.col("pos"), t))
+
+    # Candidates (jaccard_join.py:364-384): two-sided length filter +
+    # positional filter on the prefix-token equi-join.
+    Rp = R_pfx.alias("R")
+    Sp = S_pfx.alias("S")
+    cond = (
+        (F.col("R.token") == F.col("S.token"))
+        & (F.col("R.len") >= F.col("S.len") * F.lit(t))
+        & (F.col("S.len") >= F.col("R.len") * F.lit(t))
+        & _positional_cond(
+            F.col("R.len"), F.col("R.pos"), F.col("S.len"), F.col("S.pos"), t
+        )
+    )
+    cand = (
+        Rp.join(Sp, cond)
+        .groupBy(F.col("R.id").alias("rid"), F.col("S.id").alias("sid"))
+        .agg(
+            F.max("R.pos").alias("rmaxpos"),
+            F.max("S.pos").alias("smaxpos"),
+            F.count(F.lit(1)).alias("pfxoverlap"),
+        )
+    )
+
+    # Verification (jaccard_join.py:386-405). Output column names
+    # reproduce the reference quirk: R's out_prefix pairs with the
+    # *left* key attr name and S's with the right, regardless of swap.
+    Rv = R_tkdf.alias("VR")
+    Sv = S_tkdf.alias("VS")
+    out_r = f"{r_prefix_out[0]}{l_key_attr}"
+    out_s = f"{r_prefix_out[1]}{r_key_attr}"
+    return (
+        cand.join(Rv, F.col("rid") == F.col("VR.id"))
+        .join(
+            Sv,
+            (F.col("sid") == F.col("VS.id"))
+            & (F.col("VR.token") == F.col("VS.token"))
+            & (F.col("VR.pos") >= F.col("rmaxpos"))
+            & (F.col("VS.pos") >= F.col("smaxpos")),
+        )
+        .groupBy(
+            "rid", "sid", F.col("VR.len").alias("rlen"),
+            F.col("VS.len").alias("slen"), "pfxoverlap",
+        )
+        .agg(F.count(F.lit(1)).alias("sfx"))
+        .filter(
+            F.col("sfx") + F.col("pfxoverlap") - 1
+            >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
+        )
+        .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+    )
+
+
+def jaccard_inner_join_brute_force(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+) -> DataFrame:
+    """Two-table oracle (jaccard_join.py:407-420)."""
+    t = float(threshold)
+    L = tokenizer.tokenize(l_df, l_key_attr, l_join_attr).alias("L")
+    R = tokenizer.tokenize(r_df, r_key_attr, r_join_attr).alias("R")
+    return (
+        L.join(R, F.col("L.token") == F.col("R.token"))
+        .groupBy(
+            F.col("L.id").alias("lid"),
+            F.col("L.len").alias("llen"),
+            F.col("R.id").alias("rid"),
+            F.col("R.len").alias("rlen"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(
+            F.col("overlap") >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+        )
+        .select(
+            F.col("lid").alias(f"{l_out_prefix}{l_key_attr}"),
+            F.col("rid").alias(f"{r_out_prefix}{r_key_attr}"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dispatch (reference jaccard_join / jaccard_join_brute_force,
+# jaccard_join.py:9-60)
+# --------------------------------------------------------------------------
+
+def jaccard_join(
+    l_df: DataFrame,
+    r_df: DataFrame | None,
+    l_key_attr: str,
+    r_key_attr: str | None,
+    l_join_attr: str,
+    r_join_attr: str | None,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+) -> DataFrame:
+    """Self-join when ``r_df`` is None or the same DataFrame object
+    (the reference dispatches on table-name equality)."""
+    if r_df is None or r_df is l_df:
+        return jaccard_self_join(
+            l_df, l_key_attr, l_join_attr, tokenizer, threshold,
+            l_out_prefix, r_out_prefix,
+        )
+    return jaccard_inner_join(
+        l_df, r_df, l_key_attr, r_key_attr or l_key_attr, l_join_attr,
+        r_join_attr or l_join_attr, tokenizer, threshold,
+        l_out_prefix, r_out_prefix,
+    )
+
+
+def jaccard_join_brute_force(
+    l_df: DataFrame,
+    r_df: DataFrame | None,
+    l_key_attr: str,
+    r_key_attr: str | None,
+    l_join_attr: str,
+    r_join_attr: str | None,
+    tokenizer: Tokenizer,
+    threshold: float,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+) -> DataFrame:
+    if r_df is None or r_df is l_df:
+        return jaccard_self_join_brute_force(
+            l_df, l_key_attr, l_join_attr, tokenizer, threshold,
+            l_out_prefix, r_out_prefix,
+        )
+    return jaccard_inner_join_brute_force(
+        l_df, r_df, l_key_attr, r_key_attr or l_key_attr, l_join_attr,
+        r_join_attr or l_join_attr, tokenizer, threshold,
+        l_out_prefix, r_out_prefix,
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design target (AQE on, skew-join
+handling, partition coalescing) while remaining correct on
+``local[*]`` test runs. Shuffle partitioning is configurable via
+``SPARK_GRAFT_SHUFFLE_PARTITIONS`` so the same code runs on a laptop
+and on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Adaptive query execution: runtime join-strategy switching,
+    # skew-join splitting (hot tokens!), partition coalescing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (similarity / multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: pushdown + pruning are on by default; keep
+    # explicit so a misconfigured cluster can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "jaccard-join-duckdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` resolves from the arg, then ``$SPARK_GRAFT_MASTER``,
+    then ``local[$SPARK_GRAFT_CPUS|*]``.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER") or (
+            "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
+        )
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

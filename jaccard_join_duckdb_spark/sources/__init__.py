@@ -1,0 +1,69 @@
+"""Sources: readers and input-shaping helpers.
+
+Mirrors the reference's ingestion surface (SURVEY.md §2.1):
+CSV auto-schema scan (S1, reference ``notebook.ipynb`` cell 9),
+JSON-lines ingest (S2, cell 30/33 — the reference hops through
+pandas; Spark reads JSONL natively), parquet, and the canonical
+``(id, val)`` projection used as join input (P1/P2, cell 9's
+``SELECT id, concat(...) as val``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_csv",
+    "read_jsonl",
+    "read_parquet",
+    "concat_val",
+    "to_join_input",
+    "register_view",
+]
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV with header + type inference — parity with DuckDB's
+    auto-detecting ``FROM 'x.csv'`` scan (S1)."""
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines. The reference routes through ``pd.read_json(...,
+    lines=True)`` + a pandas replacement scan (S2); Spark's native
+    JSONL reader is distributed and schema-inferring."""
+    return spark.read.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def concat_val(*cols: str, sep: str = " ") -> F.Column:
+    """DuckDB-``concat`` parity: NULL inputs contribute an empty
+    string (DuckDB concat skips NULLs; Spark ``F.concat`` would
+    null the whole row — SURVEY.md §2.2 P2 hazard). The reference
+    interleaves literal separators: ``concat(c1, ' ', c2, ...)``,
+    so a NULL column yields doubled separators; we reproduce that.
+    """
+    parts: list[F.Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(sep))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    return F.concat(*parts)
+
+
+def to_join_input(df: DataFrame, key: str, *val_cols: str) -> DataFrame:
+    """Project to the canonical join-input shape ``(id, val)``
+    (FIXTURES.md §6)."""
+    return df.select(F.col(key).alias("id"), concat_val(*val_cols).alias("val"))
+
+
+def register_view(df: DataFrame, name: str) -> DataFrame:
+    """Materializing-sink stand-in (S4/S5): the reference CREATEs a
+    table per stage; in Spark the idiomatic equivalent is a temp view
+    over the lazy plan (+ ``.cache()`` where a stage is re-read)."""
+    df.createOrReplaceTempView(name)
+    return df
