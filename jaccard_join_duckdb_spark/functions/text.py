@@ -1,0 +1,158 @@
+"""Text-analysis functions for large-scale corpus pipelines.
+
+Beyond-reference operators (BASELINE.json north star): token
+counting, quality scoring, language ID, and document fingerprinting
+— all pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage codegen; no UDFs), each designed to be replicated
+verbatim in DuckDB SQL for the correctness oracle.
+
+Determinism contract: every float output is ``round(x, 6)`` on
+double arithmetic with identical expression shape in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ws_token_array",
+    "poly_hash",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# Whitespace char class — same class as WhitespaceTokzr.
+_WS = "[ \t\r\n]"
+# BPE-ish pretokenizer: word pieces or single non-space symbols.
+BPE_REGEX = r"\w+|[^\w\s]"
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Alphabetical language order is the documented tie-break priority.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "los", "y", "es", "en", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+}
+
+
+def ws_token_array(col: Column) -> Column:
+    """Bag of whitespace tokens (lowercased), empty pieces dropped —
+    the Delimiter tokenizer's list stage without dedup."""
+    return F.filter(
+        F.split(F.lower(col), _WS, -1), lambda x: F.trim(x) != F.lit("")
+    )
+
+
+def poly_hash(col: Column, mult: int = 31, mod: int = 2147483647) -> Column:
+    """Deterministic 31-bit polynomial string hash
+    ``acc = (acc*31 + codepoint) % (2^31-1)`` — chosen because the
+    identical fold is expressible in DuckDB via ``list_reduce``
+    (engine-portable, unlike xxhash64/murmur3)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + c) % F.lit(mod),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish symbol count per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(ws_token_array(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), 0)).alias("bpe_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def _class_ratio(t: Column, strip_class: str) -> Column:
+    """Fraction of chars in the class: strip the complement, count
+    what remains — double division, rounded at 6."""
+    in_class = F.length(F.regexp_replace(t, strip_class, ""))
+    return F.round(in_class.cast("double") / F.length(t).cast("double"), 6)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: char/token counts, digit / punct /
+    uppercase / whitespace ratios, mean token length, stopword ratio,
+    and a composite quality score in [0, 1]."""
+    t = F.col(text_col)
+    toks = ws_token_array(t)
+    n_tok = F.size(toks)
+    stop_all = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*stop_all))
+    )
+    stats = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        _class_ratio(t, "[^0-9]").alias("digit_ratio"),
+        _class_ratio(t, r"[^.,;:!?'\"()\[\]{}-]").alias("punct_ratio"),
+        _class_ratio(t, "[^A-Z]").alias("upper_ratio"),
+        F.round(
+            F.length(t).cast("double") / n_tok.cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            stop_hits.cast("double") / n_tok.cast("double"), 6
+        ).alias("stopword_ratio"),
+    )
+    # Composite score: well-formed prose has moderate token length,
+    # few digits, some stopwords. Deterministic double arithmetic.
+    return stats.withColumn(
+        "quality",
+        F.round(
+            (1.0 - F.least(F.lit(1.0), F.col("digit_ratio") * 4))
+            * (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 4))
+            * F.least(F.lit(1.0), F.col("stopword_ratio") * 5 + 0.2),
+            6,
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: stopword hits per language over the
+    token bag; winner = max hits, ties broken by alphabetical
+    language order (de < en < es < fr) via an explicit CASE chain so
+    the SQL oracle reproduces it exactly."""
+    toks = ws_token_array(F.col(text_col))
+    def _hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    hits = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    pred = (
+        F.when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        de.alias("hits_de"),
+        en.alias("hits_en"),
+        es.alias("hits_es"),
+        fr.alias("hits_fr"),
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text — the exact-dedup key that is
+    robust to spacing/case noise."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash + LSH near-dup, SimHash near-dup, and n-gram Jaccard near-dup
+(the reference join re-used as a dedup primitive). All are pure
+DataFrame transforms; hashes are the engine-portable polynomial hash
+(:func:`..functions.text.poly_hash`) so every step can be replicated
+in DuckDB SQL for the correctness oracle.
+
+Scale design:
+- exact dedup: single hash-groupBy (map-side partial agg).
+- minhash: one shuffle to build signatures (groupBy id×band with
+  partial min), one equi-join on (band, signature) — candidates never
+  materialize on the driver; verification is a token equi-join.
+- simhash: fingerprints via bit-vote aggregation; candidate blocking
+  on 8-bit chunks (pigeonhole: hamming <= 3 over 31 bits guarantees a
+  shared chunk), verification via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import poly_hash
+from ..tokenizers import Tokenizer, WhitespaceTokzr
+
+__all__ = [
+    "exact_duplicate_groups",
+    "drop_exact_duplicates",
+    "minhash_params",
+    "minhash_near_duplicates",
+    "simhash_fingerprints",
+    "simhash_near_duplicates",
+    "ngram_jaccard_near_duplicates",
+]
+
+MERSENNE31 = 2147483647
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical texts: ``(text_hash, n_dups,
+    keep_id)`` for groups with >= 2 members. keep_id = min id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (distributed: groupBy
+    + semi-join, no windows over the full corpus needed)."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) triples for h_i(x) = (a*x + b) mod p.
+    Shared by the Spark operator and the SQL oracle generator."""
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for i in range(num_hashes)
+    ]
+
+
+def _token_sets(
+    df: DataFrame, id_col: str, text_col: str, tokenizer: Tokenizer
+) -> DataFrame:
+    """Distinct lowercased (id, token) pairs — clean set semantics
+    for dedup (unlike the reference join's case-quirk, documented)."""
+    return (
+        tokenizer.tokenize(df, id_col, text_col)
+        .select("id", "token")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokenizer: Tokenizer | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    shingle → minhash (num_hashes perms) → band (bands × rows/band)
+    → bucket equi-join → verify exact Jaccard >= threshold.
+    Output: ``(l_id, r_id, jaccard)`` with jaccard rounded to 6.
+    Pairs whose every band signature differs are missed (standard LSH
+    recall tradeoff — tune bands/num_hashes).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer)
+
+    base = toks.select("id", "token", poly_hash(F.col("token")).alias("h"))
+    params = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, a, b in minhash_params(num_hashes, seed)
+        ]
+    )
+    hashes = base.select(
+        "id",
+        F.explode(params).alias("p"),
+        F.col("h"),
+    ).select(
+        "id",
+        F.col("p.i").alias("i"),
+        ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MERSENNE31)).alias("hh"),
+    )
+    sig = hashes.groupBy("id", "i").agg(F.min("hh").alias("minh"))
+    band_sig = (
+        sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                    lambda x: x["minh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    L = band_sig.alias("L")
+    R = band_sig.alias("R")
+    cands = (
+        L.join(
+            R,
+            (F.col("L.band") == F.col("R.band"))
+            & (F.col("L.sig") == F.col("R.sig"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, toks, threshold).select(
+        F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
+    )
+
+
+def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: overlap via token
+    equi-join, sizes via groupBy, ``jac = ov / (l+r-ov)`` (double)."""
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    TL = toks.alias("TL")
+    TR = toks.alias("TR")
+    ov = (
+        cands.join(TL, F.col("lid") == F.col("TL.id"))
+        .join(
+            TR,
+            (F.col("rid") == F.col("TR.id"))
+            & (F.col("TL.token") == F.col("TR.token")),
+        )
+        .groupBy("lid", "rid")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return (
+        ov.join(sizes.withColumnRenamed("id", "lid").withColumnRenamed("sz", "lsz"), "lid")
+        .join(sizes.withColumnRenamed("id", "rid").withColumnRenamed("sz", "rsz"), "rid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ov").cast("double")
+                / (F.col("lsz") + F.col("rsz") - F.col("ov")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 31
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """31-bit SimHash per document: per-bit vote sum over token
+    hashes (+1 if bit set, -1 otherwise), bit = 1 iff vote > 0.
+
+    Bit extraction uses exact integer math ``(h div 2^j) % 2``
+    (portable to DuckDB as ``h // 2^j``) rather than shift operators,
+    which Spark only accepts with literal shift amounts.
+    """
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer)
+    th = toks.select("id", poly_hash(F.col("token")).alias("h"))
+    bits = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    votes = (
+        th.select("id", "h", F.explode(bits).alias("j"))
+        .withColumn("p2", F.pow(F.lit(2.0), F.col("j")).cast("long"))
+        .withColumn("bit", F.expr("(h div p2) % 2"))
+        .groupBy("id", "j", "p2")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.col("p2")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate blocking: split the 31-bit fingerprint into four 8-bit
+    chunks; by pigeonhole any pair within hamming 3 shares at least
+    one identical chunk, so the blocked equi-join loses no pairs for
+    max_hamming <= 3 (larger thresholds trade recall, documented).
+    Output: ``(l_id, r_id, hamming)``.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col, tokenizer)
+    chunks = F.array(*[F.lit(c) for c in range(4)])
+    blocked = (
+        fp.select("id", "simhash", F.explode(chunks).alias("c"))
+        .withColumn("p2", F.pow(F.lit(2.0), F.col("c") * 8).cast("long"))
+        .withColumn("chunk", F.expr("(simhash div p2) % 256"))
+    )
+    L = blocked.alias("L")
+    R = blocked.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.c") == F.col("R.c"))
+            & (F.col("L.chunk") == F.col("R.chunk"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .select(
+            F.col("L.id").alias("l_id"),
+            F.col("R.id").alias("r_id"),
+            F.bit_count(
+                F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (reference join as a dedup primitive)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    q: int = 5,
+) -> DataFrame:
+    """Character-q-gram Jaccard near-dup pairs with the exact score:
+    ``(l_id, r_id, jaccard)``. Uses clean set semantics + exact
+    verification over all token-sharing pairs (brute path) — for the
+    prefix-filtered scale path use :func:`jaccard_self_join` with a
+    QGramsTokzr."""
+    from ..tokenizers import QGramsTokzr
+
+    toks = _token_sets(df, id_col, text_col, QGramsTokzr(q))
+    L = toks.alias("L")
+    R = toks.alias("R")
+    cands = (
+        L.join(
+            R,
+            (F.col("L.token") == F.col("R.token"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, toks, threshold).select(
+        F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
+    )

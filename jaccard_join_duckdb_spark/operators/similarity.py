@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface: brute-force cosine top-k (the exactness
+baseline), threshold near-dup pairs, and a random-hyperplane LSH
+bucketed variant (the scale path — buckets cut the candidate set
+from O(n^2) to the bucket-local pairs).
+
+Determinism: elements are cast to double *before* multiply, the dot
+product folds left-to-right (``F.aggregate``), and scores are
+rounded to 6 — the same expression is reproducible in DuckDB with
+``list_reduce``, so these operators are oracle-checkable despite
+float inputs.
+
+Scale design: queries are broadcast against the corpus (top-k), the
+near-dup pair join is blocked (LSH buckets) rather than a cross
+join; norms are computed once per row, not per pair.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_similarity",
+    "cosine_topk_bruteforce",
+    "cosine_near_duplicates",
+    "hyperplanes",
+    "lsh_bucket_topk",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries`` is broadcast (the small side); the corpus streams.
+    Ranking: rounded cosine desc, then corpus id asc — fully
+    deterministic ordering even under score ties.
+    Output: ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. ``block_expr`` (a column over
+    the input) optionally restricts the join to equal-block pairs —
+    at scale pass an LSH bucket; without it this is the exact
+    all-pairs baseline. Output: ``(l_id, r_id, cosine)``."""
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (block_expr if block_expr is not None else F.lit(0)).alias("blk"),
+    )
+    L = sel.alias("L")
+    R = sel.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.blk") == F.col("R.blk")) & (F.col("L.id") < F.col("R.id")),
+        )
+        .select(
+            F.col("L.id").alias("l_id"),
+            F.col("R.id").alias("r_id"),
+            F.round(
+                cosine_similarity(F.col("L.v"), F.col("R.v")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit Gaussians) for
+    sign-LSH. Shared by the Spark operator and any oracle."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits against each hyperplane, packed as a
+    long. Pure column expression (no UDF)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        s = _dot(vec_col, plane)
+        bucket = bucket + F.when(s > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: join only within matching sign-LSH buckets
+    (2^n_planes buckets). The scale path for ANN — candidates per
+    query shrink by ~2^n_planes; recall depends on bucket count.
+    Output schema matches :func:`cosine_topk_bruteforce`."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("blk"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("blk"),
+    )
+    pairs = c.join(F.broadcast(q), "blk").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_csv",
+    "load_table",
     "read_jsonl",
     "read_parquet",
     "concat_val",
@@ -37,6 +38,23 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the testdata tables (``TESTDATA.md``) from
+    ``{sf_dir}/{name}.parquet``, normalizing physical-type quirks:
+    the ``events`` table stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects — read nanos as long and truncate to
+    microseconds (exactly what DuckDB's TIMESTAMP cast does, so
+    oracle comparisons stay bit-identical)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, with Arrow-batched (``mapInPandas``) decode / feature /
+frame-sample stages.
+
+Beyond-reference surface. Real image/audio/video codecs are NOT in
+this container, so the decode kernels are STUBBED: with
+``fake=True`` they produce deterministic pseudo-decodes derived from
+the payload bytes (so the Spark-side plumbing — schema, batching,
+partitioning — is fully real and testable); with ``fake=False`` they
+raise ``NotImplementedError`` where a codec (PIL/ffmpeg/soundfile)
+would be called.
+
+Scale notes: payloads stay in executors as Arrow batches end-to-end;
+never collect binary columns. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "ASSET_SCHEMA",
+    "make_asset_table",
+    "decode_image_meta",
+    "extract_features",
+    "sample_frames",
+]
+
+# Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+_FEATURE_DIM = 16
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def make_asset_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image") -> DataFrame:
+    """Build a deterministic asset table from any text table (test
+    fixture: payload = utf-8 bytes of the text)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("origin"), F.lit("synthetic"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: dimensions derived from a digest
+    of the payload (stands in for a real codec)."""
+    d = hashlib.md5(payload).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
+
+
+def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode stage → (asset_id, width, height,
+    channels, n_bytes). Replace the ``fake`` kernel with PIL/libvips
+    in a real deployment."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips (not in container)"
+                )
+            dims = [
+                _fake_dims(p) if p is not None else (None, None, None)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction → (asset_id,
+    feature: array<float>[16]). Deterministic fake embedding =
+    md5-digest bytes scaled to [-1, 1)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a vision/audio model"
+                )
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                d = hashlib.md5(p).digest()
+                feats.append([(b - 128) / 128.0 for b in d[:_FEATURE_DIM]])
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "feature": feats})
+
+    return assets.mapInPandas(kernel, _FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Frame-sampling stage for video payloads: emits one row per
+    sampled frame (asset_id, frame_idx, frame payload). The fake
+    kernel slices the payload deterministically."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires ffmpeg")
+            rows = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                n_frames = max(1, len(p) // max(every_n, 1))
+                for i in range(0, n_frames, every_n):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(bytes(p[i : i + every_n]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(kernel, schema)

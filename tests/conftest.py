@@ -37,7 +37,9 @@ def interests(spark):
 
 @pytest.fixture(scope="session")
 def documents(spark):
-    return spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).cache()
+    from jaccard_join_duckdb_spark.sources import load_table
+
+    return load_table(spark, SF_SMALL, "documents").cache()
 
 
 def pairs(df):

@@ -1,0 +1,77 @@
+"""Embedding similarity-search tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaccard_join_duckdb_spark.operators.similarity import (
+    cosine_near_duplicates,
+    cosine_topk_bruteforce,
+    lsh_bucket_topk,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from jaccard_join_duckdb_spark.sources import load_table
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_topk_self_is_rank1_when_included(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(df, df, k=1, include_self=True)
+    for r in out.collect():
+        assert r.neighbor_id == r.query_id and r.cosine == 1.0
+
+
+def test_topk_known_geometry(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 0")
+    out = {r.rank: r for r in cosine_topk_bruteforce(df, q, k=3).collect()}
+    assert out[1].neighbor_id == 1
+    assert out[2].neighbor_id == 2
+    assert out[3].neighbor_id == 3
+    assert abs(out[1].cosine - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_topk_real_embeddings(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    out = cosine_topk_bruteforce(embeddings, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 25
+    # ranks are 1..5 per query, scores non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r.cosine for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_near_duplicates_threshold(embeddings):
+    sub = embeddings.filter(F.col("vec_id") < 100)
+    out = cosine_near_duplicates(sub, threshold=0.9)
+    for r in out.collect():
+        assert r.cosine >= 0.9
+        assert r.l_id < r.r_id
+
+
+def test_lsh_topk_subset_of_brute(embeddings):
+    """LSH top-k scores can't exceed brute-force; rank-1 within the
+    same bucket should usually agree."""
+    q = embeddings.filter(F.col("vec_id") < 3)
+    brute = {(r.query_id, r.rank): r.cosine for r in cosine_topk_bruteforce(embeddings, q, k=3).collect()}
+    approx = {(r.query_id, r.rank): r.cosine for r in lsh_bucket_topk(embeddings, q, k=3, n_planes=2).collect()}
+    for key, sc in approx.items():
+        assert sc <= brute[(key[0], 1)] + 1e-9

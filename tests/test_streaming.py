@@ -1,0 +1,57 @@
+"""Streaming operators: stream result must equal the batch result on
+the same data (AvailableNow drain into a memory sink)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaccard_join_duckdb_spark.streaming import (
+    hourly_event_stats,
+    read_event_stream,
+    run_stream_to_memory,
+    sessionize,
+)
+from tests.conftest import SF_SMALL
+
+EVENTS = os.path.join(SF_SMALL, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from jaccard_join_duckdb_spark.sources import load_table
+    from tests.conftest import SF_SMALL as _d
+    return load_table(spark, _d, "events").cache()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_hourly_stats_batch(events):
+    out = hourly_event_stats(events)
+    assert out.columns == ["window_start", "event_type", "n_events", "sum_value"]
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+
+
+def test_stream_equals_batch(spark, events, tmp_path):
+    # File-source streams need a directory; replay the events table
+    # from a temp parquet dir (2 files -> 2 micro-batches).
+    stream_dir = str(tmp_path / "events_stream")
+    events.repartition(2).write.parquet(stream_dir)
+    batch = hourly_event_stats(events)
+    stream = hourly_event_stats(read_event_stream(spark, stream_dir))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "hourly_mem", output_mode="complete")
+    got = _rows(spark.table("hourly_mem"))
+    want = _rows(batch)
+    assert got == want
+
+
+def test_sessionize_batch(events):
+    out = sessionize(events)
+    assert out.columns == ["session_start", "session_end", "user_id", "n_events"]
+    assert out.count() > 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()

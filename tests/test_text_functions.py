@@ -1,0 +1,77 @@
+"""Text-analysis function tests: determinism + DuckDB parity for the
+expression shapes used by the oracle queries."""
+
+import duckdb
+
+from jaccard_join_duckdb_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    poly_hash,
+    text_stats,
+    token_counts,
+)
+
+ROWS = [
+    (1, "The quick brown fox, it jumps over the lazy dog!"),
+    (2, "el gato y la casa de los árboles"),
+    (3, "12345 67890 (42)"),
+    (4, "la"),
+    (5, "Der Hund und die Katze ist nicht da"),
+]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_poly_hash_matches_duckdb(spark):
+    words = ["table", "scan", "a", "Zebra", "ärbol"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.h for r in df.select("w", poly_hash(df.w).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        want = con.execute(
+            "select list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            " list_transform(generate_series(1, len(?)), i ->"
+            " CAST(ascii(substring(?, i, 1)) AS BIGINT))),"
+            " (a, c) -> (a * 31 + c) % 2147483647)",
+            [w, w],
+        ).fetchone()[0]
+        assert got[w] == want, w
+
+
+def test_token_counts(spark):
+    out = {r.id: r for r in token_counts(_df(spark), "id", "text").collect()}
+    assert out[1].ws_tokens == 10
+    assert out[3].ws_tokens == 3
+    assert out[3].bpe_tokens == 5  # 12345, 67890, (, 42, )
+    assert out[1].n_chars == len(ROWS[0][1])
+
+
+def test_text_stats_ranges(spark):
+    rows = text_stats(_df(spark), "id", "text").collect()
+    for r in rows:
+        for c in ("digit_ratio", "punct_ratio", "upper_ratio", "stopword_ratio"):
+            assert 0.0 <= r[c] <= 1.0, (r.id, c)
+        assert 0.0 <= r.quality <= 1.0
+    by_id = {r.id: r for r in rows}
+    assert by_id[3].digit_ratio > 0.5
+    assert by_id[1].stopword_ratio > 0.2
+
+
+def test_lang_id_predictions(spark):
+    out = {r.id: r.pred_lang for r in lang_id(_df(spark), "id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[5] == "de"
+    # "la" hits both es and fr -> alphabetical tie-break order
+    assert out[4] == "es"
+
+
+def test_doc_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        ["id", "text"],
+    )
+    fps = [r.fingerprint for r in doc_fingerprint(df, "id", "text").collect()]
+    assert len(set(fps)) == 1
