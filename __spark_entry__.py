@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship prefix-filtered Jaccard self-join at
+sf0.001. ``queries()`` — one callable per implemented operator from
+SURVEY.md §2 plus the beyond-reference pipeline operators (dedup /
+ANN / text analysis / streaming-shaped aggregations).
+``oracle_sql()`` — the DuckDB mirror of each query; expression shapes
+match the Spark side exactly (same casts, fold orders, rounding) so
+the driver's row-count + schema + value-hash comparison passes.
 """
 
 from __future__ import annotations
@@ -12,27 +14,446 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from jaccard_join_duckdb_spark import (
+    QGramsTokzr,
+    WhitespaceTokzr,
+    jaccard_inner_join,
+    jaccard_inner_join_brute_force,
+    jaccard_self_join,
+    jaccard_self_join_brute_force,
+)
+from jaccard_join_duckdb_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_counts,
+)
+from jaccard_join_duckdb_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_near_duplicates,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+from jaccard_join_duckdb_spark.operators.evaluate import evaluate
+from jaccard_join_duckdb_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucket_topk,
+)
+from jaccard_join_duckdb_spark.plans import oracle_ext, ref_sql
+from jaccard_join_duckdb_spark.sources import load_table
+from jaccard_join_duckdb_spark.streaming import hourly_event_stats, sessionize
+
+# Shared parameters — referenced by BOTH the Spark callables and the
+# oracle generators so the two sides can never drift.
+T_SELF = 0.8          # whitespace self-join threshold
+T_QGRAM = 0.8         # 3-gram self-join threshold
+T_INNER = 0.8         # two-table join threshold
+T_GT = 0.85           # stricter brute threshold used as evaluate() GT
+T_MINHASH = 0.9
+MAX_HAMMING = 3
+NGRAM_Q = 5
+T_NGRAM = 0.9
+ANN_K = 5
+ANN_QUERY_PRED = "vec_id < 10"
+LSH_PLANES = 4
+EMB_DIM = 64
+
+_WS = WhitespaceTokzr()
+_QG = QGramsTokzr(3)
+
+# Two-table join input: documents split by doc_id parity (disjoint,
+# scale-proportional halves of the same corpus).
+_EVEN = "doc_id % 2 = 0"
+_ODD = "doc_id % 2 = 1"
+_DOCS_EVEN = f"(select * from documents where {_EVEN})"
+_DOCS_ODD = f"(select * from documents where {_ODD})"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# reference-surface queries (SURVEY.md §2.8)
+# --------------------------------------------------------------------------
+
+def q_jaccard_self_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_self_join(
+        _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF
+    )
+
+
+def q_jaccard_self_ws_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_self_join_brute_force(
+        _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF
+    )
+
+
+def q_jaccard_self_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_self_join(
+        _docs(spark, sf_dir), "doc_id", "text", _QG, T_QGRAM
+    )
+
+
+def q_jaccard_inner_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return jaccard_inner_join(
+        docs.filter(_EVEN), docs.filter(_ODD),
+        "doc_id", "doc_id", "text", "text", _WS, T_INNER,
+    )
+
+
+def q_jaccard_inner_ws_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return jaccard_inner_join_brute_force(
+        docs.filter(_EVEN), docs.filter(_ODD),
+        "doc_id", "doc_id", "text", "text", _WS, T_INNER,
+    )
+
+
+def q_evaluate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate() (C5): filtered join at T_SELF scored against the
+    stricter brute-force join at T_GT as ground truth — non-trivial
+    fp so precision/recall are exercised."""
+    docs = _docs(spark, sf_dir)
+    gt = jaccard_self_join_brute_force(docs, "doc_id", "text", _WS, T_GT)
+    sj = jaccard_self_join(docs, "doc_id", "text", _WS, T_SELF)
+    m = evaluate(gt, sj, "l_doc_id", "r_doc_id", "l_doc_id", "r_doc_id")
+    return spark.createDataFrame(
+        [(int(m["tp"]), int(m["fp"]), int(m["fn"]),
+          float(m["pr"]), float(m["rc"]), float(m["fm"]))],
+        "tp long, fp long, fn long, pr double, rc double, fm double",
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup operators
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the leading 30-char snippet (the raw texts are
+    unique by construction; the snippet collides, exercising the
+    group-and-keep-min path with non-empty output)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 30).alias("snippet")
+    )
+    return exact_duplicate_groups(docs, "doc_id", "snippet")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "fingerprint"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text", MAX_HAMMING
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text", T_NGRAM, q=NGRAM_Q
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K,
+        n_planes=LSH_PLANES, dim=EMB_DIM,
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "doc_id", "id"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "doc_id", "id"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "doc_id", "id"
+    )
+
+
+# --------------------------------------------------------------------------
+# events: windowed + session aggregations (streaming-shaped; same
+# transform is stream-applied in jaccard_join_duckdb_spark.streaming)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_event_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# relational analytics over the TPC-H-ish tables (scan / broadcast
+# join / agg / window at the largest-table scale)
+# --------------------------------------------------------------------------
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape). Decimal-exact sums cast to
+    double — partition-order independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_orders_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation (dims broadcast) → per-nation
+    revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (W1 shape) on orders: top-3 by totalprice per
+    customer, deterministic tie-break on orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: prefix-filtered Jaccard self-join over the sf0.001
+    documents table."""
+    return q_jaccard_self_ws(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "jaccard_self_ws": q_jaccard_self_ws,
+        "jaccard_self_ws_brute": q_jaccard_self_ws_brute,
+        "jaccard_self_qgram": q_jaccard_self_qgram,
+        "jaccard_inner_ws": q_jaccard_inner_ws,
+        "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
+        "evaluate_metrics": q_evaluate_metrics,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "dedup_ngram": q_dedup_ngram,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_revenue_by_nation": q_orders_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _evaluate_metrics_sql() -> str:
+    gt = ref_sql.self_brute_sql(
+        "documents", "doc_id", "text", _WS, T_GT, "l_doc_id", "r_doc_id"
+    )
+    sj = ref_sql.self_filtered_sql(
+        "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
+    )
+    return f"""
+with gt_raw as ({gt}), sj_raw as ({sj}),
+gtc as (select least(l_doc_id, r_doc_id) as gtk1,
+               greatest(l_doc_id, r_doc_id) as gtk2 from gt_raw),
+sjc as (select least(l_doc_id, r_doc_id) as sjk1,
+               greatest(l_doc_id, r_doc_id) as sjk2 from sj_raw),
+cm as (select * from gtc full outer join sjc
+       on gtc.gtk1 = sjc.sjk1 and gtc.gtk2 = sjc.sjk2),
+cnt as (select
+  count(*) filter (sjk1 is not null and sjk2 is not null) as tp,
+  count(*) filter (gtk1 is null) as fp,
+  count(*) filter (sjk1 is null) as fn
+  from cm)
+select CAST(tp AS BIGINT) as tp, CAST(fp AS BIGINT) as fp,
+       CAST(fn AS BIGINT) as fn,
+       case when tp > 0 then CAST(tp AS DOUBLE) / (tp + fp)
+            else CAST(0 AS DOUBLE) end as pr,
+       case when tp > 0 then CAST(tp AS DOUBLE) / (tp + fn)
+            else CAST(0 AS DOUBLE) end as rc,
+       case when tp > 0 then
+         2 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+           / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn)))
+            else CAST(0 AS DOUBLE) end as fm
+from cnt
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "jaccard_self_ws": ref_sql.self_filtered_sql(
+            "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
+        ),
+        "jaccard_self_ws_brute": ref_sql.self_brute_sql(
+            "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
+        ),
+        "jaccard_self_qgram": ref_sql.self_filtered_sql(
+            "documents", "doc_id", "text", _QG, T_QGRAM, "l_doc_id", "r_doc_id"
+        ),
+        "jaccard_inner_ws": ref_sql.inner_filtered_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id",
+        ),
+        "jaccard_inner_ws_brute": ref_sql.inner_brute_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id",
+        ),
+        "evaluate_metrics": _evaluate_metrics_sql(),
+        "dedup_exact": (
+            "select md5(substring(text, 1, 30)) as text_hash, "
+            "count(*) as n_dups, min(doc_id) as keep_id "
+            "from documents group by 1 having count(*) >= 2"
+        ),
+        "dedup_fingerprint": (
+            "select doc_id as id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+            "as fingerprint from documents"
+        ),
+        "dedup_minhash": oracle_ext.minhash_neardup_sql(
+            "documents", "doc_id", "text", T_MINHASH
+        ),
+        "dedup_simhash": oracle_ext.simhash_neardup_sql(
+            "documents", "doc_id", "text", MAX_HAMMING
+        ),
+        "simhash_fingerprints": oracle_ext.simhash_fingerprints_sql(
+            "documents", "doc_id", "text"
+        ),
+        "dedup_ngram": oracle_ext.ngram_jaccard_neardup_sql(
+            "documents", "doc_id", "text", T_NGRAM, q=NGRAM_Q
+        ),
+        "ann_cosine_topk": oracle_ext.cosine_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
+        ),
+        "ann_lsh_topk": oracle_ext.lsh_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
+            n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "text_token_counts": oracle_ext.token_counts_sql(
+            "documents", "doc_id", "text"
+        ),
+        "text_stats": oracle_ext.text_stats_sql("documents", "doc_id", "text"),
+        "text_lang_id": oracle_ext.lang_id_sql("documents", "doc_id", "text"),
+        "events_hourly": """
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) as sum_value
+from events group by 1, 2
+""",
+        "events_sessionize": """
+with d as (
+  select user_id, ts,
+         case when ts - lag(ts) over (partition by user_id order by ts)
+                   >= interval 30 minute
+              then 1 else 0 end as brk
+  from events),
+s as (
+  select user_id, ts,
+         sum(brk) over (partition by user_id order by ts
+                        rows unbounded preceding) as sid
+  from d)
+select min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       user_id, count(*) as n_events
+from s group by user_id, sid
+""",
+        "lineitem_pricing": """
+select l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) as sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) as sum_base_price,
+       count(*) as n_rows
+from lineitem group by l_returnflag, l_linestatus
+""",
+        "orders_revenue_by_nation": """
+select n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) as revenue,
+       count(*) as n_orders
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+""",
+        "top_orders_per_customer": """
+select o_custkey, o_orderkey, o_totalprice, rn from (
+  select o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() over (partition by o_custkey
+                                 order by o_totalprice desc, o_orderkey asc)
+              AS INTEGER) as rn
+  from orders) where rn <= 3
+""",
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with ``.count()`` (full plan execution, no
+driver-side row transfer). ``dedup_ngram`` (the deliberately
+brute-force O(pairs) oracle path) is excluded — its filtered
+equivalent ``jaccard_self_qgram`` is the scale path and is included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "jaccard_self_ws",
+    "jaccard_self_ws_brute",
+    "jaccard_self_qgram",
+    "jaccard_inner_ws",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_token_counts",
+    "text_stats",
+    "text_lang_id",
+    "events_hourly",
+    "events_sessionize",
+    "lineitem_pricing",
+    "orders_revenue_by_nation",
+    "top_orders_per_customer",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from jaccard_join_duckdb_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(
+        app_name="jjds-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.session.timeZone": "UTC",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n_rows = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n_rows} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,337 @@
+"""DuckDB oracle SQL for the beyond-reference operators.
+
+Each generator mirrors the corresponding Spark operator expression-
+for-expression (same hash fold, same double casts, same fold order,
+same rounding), so the driver's side-by-side hash comparison passes
+bit-for-bit. Shared constants (minhash params, hyperplanes, stopword
+lists) come from the same Python functions the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import BPE_REGEX, STOPWORDS
+from ..operators.dedup import MERSENNE31, minhash_params
+from ..operators.similarity import hyperplanes
+
+__all__ = [
+    "poly_hash_sql",
+    "ws_tokens_sql",
+    "minhash_neardup_sql",
+    "qgram_tokens_sql",
+    "ngram_jaccard_neardup_sql",
+    "simhash_fingerprints_sql",
+    "simhash_neardup_sql",
+    "cosine_sql",
+    "cosine_topk_sql",
+    "lsh_topk_sql",
+    "text_stats_sql",
+    "lang_id_sql",
+    "token_counts_sql",
+]
+
+_WS_CLASS = "[ \t\r\n]"
+
+
+def ws_tokens_sql(table: str, key: str, val: str) -> str:
+    """Distinct lowercased whitespace token sets (dedup semantics:
+    mirrors dedup._token_sets with WhitespaceTokzr)."""
+    return (
+        f"select distinct {key} as id, lower(tk) as token from ("
+        f"select {key}, unnest(list_filter(str_split_regex({val}, '{_WS_CLASS}'),"
+        f" x -> trim(x) != '')) as tk from {table})"
+    )
+
+
+def poly_hash_sql(col: str) -> str:
+    """31-bit polynomial fold — mirrors functions.text.poly_hash."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, len({col})), i -> "
+        f"CAST(ascii(substring({col}, i, 1)) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 2147483647)"
+    )
+
+
+def minhash_neardup_sql(
+    table: str, key: str, val: str, threshold: float,
+    num_hashes: int = 32, bands: int = 8, seed: int = 42,
+) -> str:
+    rows_per_band = num_hashes // bands
+    params_rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, a, b in minhash_params(num_hashes, seed)
+    )
+    return f"""
+with toks as ({ws_tokens_sql(table, key, val)}),
+th as (select id, token, {poly_hash_sql('token')} as h from toks),
+params(i, a, b) as (values {params_rows}),
+sig as (
+  select id, i, min((a * h + b) % {MERSENNE31}) as minh
+  from th, params group by id, i),
+band_sig as (
+  select id, i // {rows_per_band} as band,
+         string_agg(CAST(minh AS VARCHAR), ',' order by i) as sig
+  from sig group by id, i // {rows_per_band}),
+cands as (
+  select distinct L.id as lid, R.id as rid
+  from band_sig L join band_sig R
+    on L.band = R.band and L.sig = R.sig and L.id < R.id),
+sizes as (select id, count(*) as sz from toks group by id),
+ov as (
+  select c.lid, c.rid, count(*) as ov
+  from cands c
+  join toks tl on tl.id = c.lid
+  join toks tr on tr.id = c.rid and tl.token = tr.token
+  group by c.lid, c.rid)
+select ov.lid as l_id, ov.rid as r_id,
+       round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6) as jaccard
+from ov join sizes sl on sl.id = ov.lid join sizes sr on sr.id = ov.rid
+where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def qgram_tokens_sql(table: str, key: str, val: str, q: int) -> str:
+    """Distinct lowercased padded q-gram sets — mirrors
+    dedup._token_sets with QGramsTokzr(q)."""
+    return (
+        f"select distinct {key} as id, lower(tk) as token from ("
+        f"select {key}, unnest(list_distinct(list_transform("
+        f"generate_series(1, len({val}) + {q} - 1), x -> "
+        f"substring(concat(repeat('#', {q} - 1), lower({val}), "
+        f"repeat('#', {q} - 1)), x, {q})))) as tk from {table})"
+    )
+
+
+def ngram_jaccard_neardup_sql(
+    table: str, key: str, val: str, threshold: float, q: int = 5
+) -> str:
+    """Mirror of dedup.ngram_jaccard_near_duplicates: all token-sharing
+    pairs, exact Jaccard rounded to 6, threshold filter."""
+    return f"""
+with toks as ({qgram_tokens_sql(table, key, val, q)}),
+cands as (
+  select distinct L.id as lid, R.id as rid
+  from toks L join toks R on L.token = R.token and L.id < R.id),
+sizes as (select id, count(*) as sz from toks group by id),
+ov as (
+  select c.lid, c.rid, count(*) as ov
+  from cands c
+  join toks tl on tl.id = c.lid
+  join toks tr on tr.id = c.rid and tl.token = tr.token
+  group by c.lid, c.rid)
+select ov.lid as l_id, ov.rid as r_id,
+       round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6) as jaccard
+from ov join sizes sl on sl.id = ov.lid join sizes sr on sr.id = ov.rid
+where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def _simhash_fp_cte(table: str, key: str, val: str) -> str:
+    """CTE chain ending in ``fp(id, simhash)``."""
+    return f"""
+toks as ({ws_tokens_sql(table, key, val)}),
+th as (select id, {poly_hash_sql('token')} as h from toks),
+votes as (
+  select id, j.j as j, CAST(round(pow(2.0, j.j)) AS BIGINT) as p2,
+         sum(((h // CAST(round(pow(2.0, j.j)) AS BIGINT)) % 2) * 2 - 1) as vote
+  from th, generate_series(0, 30) as j(j)
+  group by id, j.j),
+fp as (
+  select id, sum(case when vote > 0 then p2 else 0 end) as simhash
+  from votes group by id)
+"""
+
+
+def simhash_fingerprints_sql(table: str, key: str, val: str) -> str:
+    return (
+        f"with {_simhash_fp_cte(table, key, val)} "
+        "select id, CAST(simhash AS BIGINT) as simhash from fp"
+    )
+
+
+def simhash_neardup_sql(table: str, key: str, val: str, max_hamming: int = 3) -> str:
+    return f"""
+with {_simhash_fp_cte(table, key, val)},
+blocked as (
+  select id, simhash, c.c as c,
+         (simhash // CAST(round(pow(2.0, c.c * 8)) AS BIGINT)) % 256 as chunk
+  from fp, generate_series(0, 3) as c(c)),
+pairs as (
+  select distinct L.id as l_id, R.id as r_id,
+         CAST(bit_count(xor(CAST(L.simhash AS BIGINT), CAST(R.simhash AS BIGINT)))
+              AS INTEGER) as hamming
+  from blocked L join blocked R
+    on L.c = R.c and L.chunk = R.chunk and L.id < R.id)
+select l_id, r_id, hamming from pairs where hamming <= {int(max_hamming)}
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-to-right double dot product — mirrors similarity._dot."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def cosine_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int
+) -> str:
+    """Brute-force top-k mirror of similarity.cosine_topk_bruteforce:
+    rank over (rounded cosine desc, neighbor id asc)."""
+    return f"""
+with q as (select {id_col} as query_id, {vec_col} as qv from {table} where {query_pred}),
+c as (select {id_col} as neighbor_id, {vec_col} as cv from {table}),
+scored as (
+  select query_id, neighbor_id, round({cosine_sql('qv', 'cv')}, 6) as cosine
+  from c, q where query_id != neighbor_id),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored)
+select query_id, neighbor_id, cosine, CAST(rank AS INTEGER) as rank
+from ranked where rank <= {int(k)}
+"""
+
+
+def _dot_lit_sql(vec: str, values: list[float]) -> str:
+    """Dot product of a vector column against a literal plane —
+    mirrors similarity._dot with the plane as F.lit doubles."""
+    lit = "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in values) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({vec})), i -> "
+        f"CAST({vec}[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
+    )
+
+
+def lsh_bucket_lit_sql(vec: str, planes: list[list[float]]) -> str:
+    """Mirror of similarity.lsh_bucket_expr: sign bit per hyperplane
+    packed into a BIGINT."""
+    terms = " + ".join(
+        f"(case when {_dot_lit_sql(vec, p)} > 0 then CAST({2 ** j} AS BIGINT) "
+        "else CAST(0 AS BIGINT) end)"
+        for j, p in enumerate(planes)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})"
+
+
+def lsh_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int,
+    n_planes: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """Bucketed approximate top-k — mirror of similarity.lsh_bucket_topk
+    (same hyperplanes via the shared generator, same rank ordering)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    blk = lsh_bucket_lit_sql("cv", planes)
+    qblk = lsh_bucket_lit_sql("qv", planes)
+    return f"""
+with q as (select {id_col} as query_id, {vec_col} as qv,
+                  {qblk} as blk
+           from {table} where {query_pred}),
+c as (select {id_col} as neighbor_id, {vec_col} as cv,
+             {blk} as blk
+      from {table}),
+scored as (
+  select query_id, neighbor_id, round({cosine_sql('qv', 'cv')}, 6) as cosine
+  from c join q using (blk) where query_id != neighbor_id),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored)
+select query_id, neighbor_id, cosine, CAST(rank AS INTEGER) as rank
+from ranked where rank <= {int(k)}
+"""
+
+
+def _ws_bag_sql(val: str) -> str:
+    """Lowercased whitespace token bag list (functions.text.ws_token_array)."""
+    return (
+        f"list_filter(str_split_regex(lower({val}), '{_WS_CLASS}'), "
+        "x -> trim(x) != '')"
+    )
+
+
+def token_counts_sql(table: str, key: str, val: str) -> str:
+    return f"""
+select {key} as id,
+       CAST(len({_ws_bag_sql(val)}) AS INTEGER) as ws_tokens,
+       CAST(len(regexp_extract_all({val}, '{BPE_REGEX}')) AS INTEGER) as bpe_tokens,
+       CAST(len({val}) AS INTEGER) as n_chars
+from {table}
+"""
+
+
+def _stop_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _ratio_sql(strip_class: str) -> str:
+    """Mirror of functions.text._class_ratio over column ``t``."""
+    return (
+        f"round(CAST(len(regexp_replace(t, '{strip_class}', '', 'g')) AS DOUBLE)"
+        " / CAST(len(t) AS DOUBLE), 6)"
+    )
+
+
+def text_stats_sql(table: str, key: str, val: str) -> str:
+    stop_all = sorted({w for ws in STOPWORDS.values() for w in ws})
+    punct_class = "[^.,;:!?''\"()\\[\\]{}-]"
+    return f"""
+with base as (
+  select {key} as id, {val} as t, {_ws_bag_sql(val)} as toks from {table}),
+stats as (
+  select id,
+    CAST(len(t) AS INTEGER) as n_chars,
+    CAST(len(toks) AS INTEGER) as n_tokens,
+    {_ratio_sql('[^0-9]')} as digit_ratio,
+    {_ratio_sql(punct_class)} as punct_ratio,
+    {_ratio_sql('[^A-Z]')} as upper_ratio,
+    round(CAST(len(t) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) as chars_per_token,
+    round(CAST(len(list_filter(toks, x -> x in ({_stop_in_list(stop_all)}))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE), 6) as stopword_ratio
+  from base)
+select id, n_chars, n_tokens, digit_ratio, punct_ratio, upper_ratio,
+       chars_per_token, stopword_ratio,
+       round((1.0 - least(CAST(1.0 AS DOUBLE), digit_ratio * 4))
+             * (1.0 - least(CAST(1.0 AS DOUBLE), punct_ratio * 4))
+             * least(CAST(1.0 AS DOUBLE), stopword_ratio * 5 + 0.2), 6) as quality
+from stats
+"""
+
+
+def lang_id_sql(table: str, key: str, val: str) -> str:
+    hits = {
+        lang: f"CAST(len(list_filter(toks, x -> x in ({_stop_in_list(w)}))) AS INTEGER)"
+        for lang, w in STOPWORDS.items()
+    }
+    return f"""
+with base as (select {key} as id, {_ws_bag_sql(val)} as toks from {table}),
+h as (
+  select id, {hits['de']} as hits_de, {hits['en']} as hits_en,
+         {hits['es']} as hits_es, {hits['fr']} as hits_fr
+  from base)
+select id, hits_de, hits_en, hits_es, hits_fr,
+  case when hits_de >= hits_en and hits_de >= hits_es and hits_de >= hits_fr then 'de'
+       when hits_en >= hits_es and hits_en >= hits_fr then 'en'
+       when hits_es >= hits_fr then 'es'
+       else 'fr' end as pred_lang
+from h
+"""

@@ -138,9 +138,11 @@ def inner_filtered_sql(
     widow placeholder and the driver-side (R, S) swap, encoded as a
     guarded UNION ALL: R-side CTEs take ``l`` when
     ``l_widows > r_widows`` else ``r`` (ties to (r, l) —
-    jaccard_join.py:353). Output orientation: first column is the
-    R-side id (the reference's matches() column order), so callers
-    wanting a stable orientation should canonicalize.
+    jaccard_join.py:353). Output columns follow the reference's
+    matches() naming (jaccard_join.py:391): the column named
+    ``{R_out_prefix}{l_key_attr}`` — i.e. with equal key names,
+    ``l_out`` always carries the LEFT-table id regardless of which
+    side was chosen as R; the final projection un-swaps accordingly.
     """
     T = _t(t)
     return f"""
@@ -188,11 +190,18 @@ candset as (
     and Spfx.len >= (Rpfx.len * {T})
     and least((Rpfx.len - Rpfx.pos + 1), (Spfx.len - Spfx.pos + 1)) >=
         ((Rpfx.len + Spfx.len) * {T} / (1 + {T}))
-  group by Rpfx.id, Spfx.id)
-select R.id as {l_out}, S.id as {r_out}
-from idx_tkdf R, prb_tkdf S, candset c
-where c.Rid = R.id and c.Sid = S.id and R.token = S.token
-  and R.pos >= RmaxPos and S.pos >= SmaxPos
-group by R.id, S.id, R.len, S.len, pfxOverlap
-having count(*) + pfxOverlap - 1 >= ((R.len + S.len) * {T} / (1 + {T}))
+  group by Rpfx.id, Spfx.id),
+m as (
+  select R.id as r_side_id, S.id as s_side_id
+  from idx_tkdf R, prb_tkdf S, candset c
+  where c.Rid = R.id and c.Sid = S.id and R.token = S.token
+    and R.pos >= RmaxPos and S.pos >= SmaxPos
+  group by R.id, S.id, R.len, S.len, pfxOverlap
+  having count(*) + pfxOverlap - 1 >= ((R.len + S.len) * {T} / (1 + {T})))
+select
+  case when (select lw from widows) > (select rw from widows)
+       then m.r_side_id else m.s_side_id end as {l_out},
+  case when (select lw from widows) > (select rw from widows)
+       then m.s_side_id else m.r_side_id end as {r_out}
+from m
 """

@@ -47,7 +47,17 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
         )
-    builder = SparkSession.builder.appName(app_name).master(master)
+    # Local mode runs all executor threads inside the driver JVM; the
+    # 1g default heap OOMs on the dense-corpus joins. Only applies
+    # when this call actually launches the JVM (getOrCreate reuses an
+    # existing session unchanged).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
+    )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config(

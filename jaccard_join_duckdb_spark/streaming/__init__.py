@@ -41,7 +41,14 @@ def hourly_event_stats(
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("sum_value"),
+            # Decimal-exact sum (input values carry 2 decimals), cast
+            # back to double: the result is independent of partition /
+            # aggregation order, unlike a raw double sum — required for
+            # bit-exact parity between batch, streaming, and the
+            # DuckDB oracle.
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
