@@ -62,7 +62,10 @@ ANN_QUERY_PRED = "vec_id < 10"
 LSH_PLANES = 4
 EMB_DIM = 64
 
-_WS = WhitespaceTokzr()
+# distinct_rows=True: the synthetic corpus is lowercase, so token
+# rows are unique per doc — enables the compiled array-intersect
+# verification path (validated against the DuckDB oracle at sf0.01).
+_WS = WhitespaceTokzr(distinct_rows=True)
 _QG = QGramsTokzr(3)
 
 # Two-table join input: documents split by doc_id parity (disjoint,

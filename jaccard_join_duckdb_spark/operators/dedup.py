@@ -23,6 +23,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import poly_hash
 from ..tokenizers import Tokenizer, WhitespaceTokzr
@@ -119,7 +120,11 @@ def minhash_near_duplicates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     tokenizer = tokenizer or WhitespaceTokzr()
-    toks = _token_sets(df, id_col, text_col, tokenizer)
+    # Read by signatures AND verification (arrays + sizes) — persist
+    # so the tokenize+distinct chain runs once.
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     base = toks.select("id", "token", poly_hash(F.col("token")).alias("h"))
     params = F.array(
@@ -169,25 +174,37 @@ def minhash_near_duplicates(
 
 
 def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs: overlap via token
-    equi-join, sizes via groupBy, ``jac = ov / (l+r-ov)`` (double)."""
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    TL = toks.alias("TL")
-    TR = toks.alias("TR")
+    """Exact Jaccard over candidate pairs.
+
+    Joins each pair to the two *token arrays* (one row per document)
+    and computes ``ov = size(array_intersect(la, ra))`` — a compiled
+    set intersection, versus exploding pairs × tokens into a
+    pairs·|x| intermediate and re-aggregating (measured ~5× slower at
+    sf0.1 where 8M candidates × ~23 tokens = 190M exploded rows).
+    Exact because ``toks`` rows are distinct per id (set semantics).
+    The ``ov >= 1`` filter keeps the historical contract (a pair with
+    zero overlap is not reported even at threshold 0). At cluster
+    scale the doc-array side is Catalyst-planned (broadcast when
+    small, shuffle join otherwise)."""
+    arrs = toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
     ov = (
-        cands.join(TL, F.col("lid") == F.col("TL.id"))
-        .join(
-            TR,
-            (F.col("rid") == F.col("TR.id"))
-            & (F.col("TL.token") == F.col("TR.token")),
+        cands.join(
+            arrs.select(F.col("id").alias("lid"), F.col("arr").alias("la")), "lid"
         )
-        .groupBy("lid", "rid")
-        .agg(F.count(F.lit(1)).alias("ov"))
+        .join(
+            arrs.select(F.col("id").alias("rid"), F.col("arr").alias("ra")), "rid"
+        )
+        .select(
+            "lid",
+            "rid",
+            F.size(F.array_intersect("la", "ra")).alias("ov"),
+            F.size("la").alias("lsz"),
+            F.size("ra").alias("rsz"),
+        )
+        .filter(F.col("ov") >= 1)
     )
     return (
-        ov.join(sizes.withColumnRenamed("id", "lid").withColumnRenamed("sz", "lsz"), "lid")
-        .join(sizes.withColumnRenamed("id", "rid").withColumnRenamed("sz", "rsz"), "rid")
-        .withColumn(
+        ov.withColumn(
             "jaccard",
             F.round(
                 F.col("ov").cast("double")
@@ -298,7 +315,9 @@ def ngram_jaccard_near_duplicates(
     QGramsTokzr."""
     from ..tokenizers import QGramsTokzr
 
-    toks = _token_sets(df, id_col, text_col, QGramsTokzr(q))
+    toks = _token_sets(df, id_col, text_col, QGramsTokzr(q)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     L = toks.alias("L")
     R = toks.alias("R")
     cands = (

@@ -123,6 +123,35 @@ def tokens_with_doc_freq(tokens: DataFrame, with_pair_key: bool = False) -> Data
     return out
 
 
+def _pos_token_arrays(tkdf: DataFrame) -> DataFrame:
+    """One row per document: ``(id, len, arr)`` with ``arr`` the
+    tokens ordered by ``pos``. Feeds the compiled array-intersect
+    verification (the interpreted ``transform`` runs once per
+    document, not per candidate pair)."""
+    return tkdf.groupBy("id").agg(
+        F.max("len").alias("len"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda x: x["token"],
+        ).alias("arr"),
+    )
+
+
+def _suffix_overlap(
+    l_arr: Column, l_len: Column, l_maxpos: Column,
+    r_arr: Column, r_len: Column, r_maxpos: Column,
+) -> Column:
+    """``|{t : t ∈ x∩y, pos_x(t) >= lmaxpos, pos_y(t) >= rmaxpos}|``
+    via slice + array_intersect — equals the reference's suffix
+    ``count(*)`` when token rows are distinct per document."""
+    return F.size(
+        F.array_intersect(
+            F.slice(l_arr, l_maxpos, l_len - l_maxpos + F.lit(1)),
+            F.slice(r_arr, r_maxpos, r_len - r_maxpos + F.lit(1)),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # self join (reference _JaccardSelfJoin, jaccard_join.py:111-232)
 # --------------------------------------------------------------------------
@@ -177,10 +206,87 @@ def jaccard_self_join(
         )
     )
 
-    # Verification (jaccard_join.py:169-188): re-join both full token
-    # lists from pos >= maxPos (>=, not >, to catch pairs whose
-    # prefixes match entirely but suffixes share nothing), then
-    # ``count(*) + pfxOverlap - 1 >= bound``.
+    out_cols = (
+        f"{l_out_prefix}{key_attr}",
+        f"{r_out_prefix}{key_attr}",
+    )
+
+    # Verification (jaccard_join.py:169-188): count token matches
+    # with pos >= maxPos on BOTH sides (>=, not >, to catch pairs
+    # whose prefixes match entirely but suffixes share nothing), then
+    # accept iff ``sfx + pfxOverlap - 1 >= bound``. A pair with zero
+    # suffix matches is dropped (inner-join semantics) — exactly as
+    # the reference's three-way join behaves.
+    if tokenizer.rows_distinct:
+        # Fast path: compiled slice + array_intersect against
+        # pos-ordered per-doc arrays — no pairs×tokens intermediate.
+        # Exact only when (id, token) rows are unique (the property
+        # gates this). The arithmetic pre-filter skips intersects
+        # that cannot reach the bound (sound: sfx <= min of the
+        # remaining-token counts).
+        arrs = _pos_token_arrays(tkdf)
+        return (
+            cand.join(
+                arrs.select(
+                    F.col("id").alias("lid"),
+                    F.col("len").alias("llen"),
+                    F.col("arr").alias("la"),
+                ),
+                "lid",
+            )
+            .join(
+                arrs.select(
+                    F.col("id").alias("rid"),
+                    F.col("len").alias("rlen"),
+                    F.col("arr").alias("ra"),
+                ),
+                "rid",
+            )
+            .filter(
+                F.col("pfxoverlap") - 1
+                + F.least(
+                    F.col("llen") - F.col("lmaxpos") + 1,
+                    F.col("rlen") - F.col("rmaxpos") + 1,
+                )
+                >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+            )
+            .withColumn(
+                "sfx",
+                _suffix_overlap(
+                    F.col("la"), F.col("llen"), F.col("lmaxpos"),
+                    F.col("ra"), F.col("rlen"), F.col("rmaxpos"),
+                ),
+            )
+            .filter(
+                (F.col("sfx") >= 1)
+                & (
+                    F.col("sfx") + F.col("pfxoverlap") - 1
+                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                )
+            )
+            .select(
+                F.col("lid").alias(out_cols[0]),
+                F.col("rid").alias(out_cols[1]),
+            )
+        )
+
+    # Generic path (token rows may carry duplicates — bag mode or the
+    # Delimiter case-dedup quirk): the reference's pairs×tokens
+    # three-way join, preceded by the same sound candidate pre-filter.
+    lens = tkdf.select("id", "len").distinct()
+    cand = (
+        cand.join(lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")), "lid")
+        .join(lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
+        .filter(
+            F.col("pfxoverlap") - 1
+            + F.least(
+                F.col("_ll") - F.col("lmaxpos") + 1,
+                F.col("_rl") - F.col("rmaxpos") + 1,
+            )
+            >= _overlap_bound(F.col("_ll"), F.col("_rl"), t)
+        )
+        .drop("_ll", "_rl")
+    )
     Lv = tkdf.alias("VL")
     Rv = tkdf.alias("VR")
     matches = (
@@ -202,8 +308,8 @@ def jaccard_self_join(
             >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
         )
         .select(
-            F.col("lid").alias(f"{l_out_prefix}{key_attr}"),
-            F.col("rid").alias(f"{r_out_prefix}{key_attr}"),
+            F.col("lid").alias(out_cols[0]),
+            F.col("rid").alias(out_cols[1]),
         )
     )
     return matches
@@ -361,10 +467,73 @@ def jaccard_inner_join(
     # Verification (jaccard_join.py:386-405). Output column names
     # reproduce the reference quirk: R's out_prefix pairs with the
     # *left* key attr name and S's with the right, regardless of swap.
-    Rv = R_tkdf.alias("VR")
-    Sv = S_tkdf.alias("VS")
     out_r = f"{r_prefix_out[0]}{l_key_attr}"
     out_s = f"{r_prefix_out[1]}{r_key_attr}"
+
+    if tokenizer.rows_distinct:
+        # Compiled slice+array_intersect verification (see self join).
+        r_arrs = _pos_token_arrays(R_tkdf)
+        s_arrs = _pos_token_arrays(S_tkdf)
+        return (
+            cand.join(
+                r_arrs.select(
+                    F.col("id").alias("rid"),
+                    F.col("len").alias("rlen"),
+                    F.col("arr").alias("rarr"),
+                ),
+                "rid",
+            )
+            .join(
+                s_arrs.select(
+                    F.col("id").alias("sid"),
+                    F.col("len").alias("slen"),
+                    F.col("arr").alias("sarr"),
+                ),
+                "sid",
+            )
+            .filter(
+                F.col("pfxoverlap") - 1
+                + F.least(
+                    F.col("rlen") - F.col("rmaxpos") + 1,
+                    F.col("slen") - F.col("smaxpos") + 1,
+                )
+                >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
+            )
+            .withColumn(
+                "sfx",
+                _suffix_overlap(
+                    F.col("rarr"), F.col("rlen"), F.col("rmaxpos"),
+                    F.col("sarr"), F.col("slen"), F.col("smaxpos"),
+                ),
+            )
+            .filter(
+                (F.col("sfx") >= 1)
+                & (
+                    F.col("sfx") + F.col("pfxoverlap") - 1
+                    >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
+                )
+            )
+            .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+        )
+
+    # Generic path with the sound candidate pre-filter.
+    r_lens = R_tkdf.select("id", "len").distinct()
+    s_lens = S_tkdf.select("id", "len").distinct()
+    cand = (
+        cand.join(r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
+        .join(s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")), "sid")
+        .filter(
+            F.col("pfxoverlap") - 1
+            + F.least(
+                F.col("_rl") - F.col("rmaxpos") + 1,
+                F.col("_sl") - F.col("smaxpos") + 1,
+            )
+            >= _overlap_bound(F.col("_rl"), F.col("_sl"), t)
+        )
+        .drop("_rl", "_sl")
+    )
+    Rv = R_tkdf.alias("VR")
+    Sv = S_tkdf.alias("VS")
     return (
         cand.join(Rv, F.col("rid") == F.col("VR.id"))
         .join(

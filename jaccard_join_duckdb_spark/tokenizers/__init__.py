@@ -28,16 +28,53 @@ from typing import Iterable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["Tokenizer", "QGramsTokzr", "DelimiterTokzr", "WhitespaceTokzr"]
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Tokenization is compute-heavy per input row; a small parquet
+    table arrives as 1-2 scan partitions (one row group), serializing
+    the whole pipeline on one core. Round-robin repartition to the
+    cluster's parallelism when the scan is narrower than that — a
+    no-op (and skipped) at real scale where scans already carry
+    thousands of partitions."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class Tokenizer(ABC):
     """Base: configurable set/bag semantics (reference
-    ``tokenizers/__init__.py:1-8``)."""
+    ``tokenizers/__init__.py:1-8``).
 
-    def __init__(self, return_set: bool = True):
+    ``distinct_rows`` (optional assertion): declare that tokenize()
+    output rows ``(id, token)`` are unique per record. Joins use a
+    compiled array-intersect verification when this holds — exact and
+    much faster than the generic row-join. QGramsTokzr in set mode
+    guarantees it structurally (grams are lowercased *before* dedup);
+    DelimiterTokzr cannot (the reference dedups case-sensitively and
+    lowercases after — "John john" yields two identical lowercase
+    rows), so it defaults to the generic path unless the caller
+    asserts their data is case-duplicate-free.
+    """
+
+    def __init__(self, return_set: bool = True, distinct_rows: bool | None = None):
         self.return_set = return_set
+        self.distinct_rows = distinct_rows
+
+    @property
+    def rows_distinct(self) -> bool:
+        """True iff (id, token) output rows are guaranteed unique."""
+        if self.distinct_rows is not None:
+            return bool(self.distinct_rows)
+        return self._rows_distinct_default()
+
+    def _rows_distinct_default(self) -> bool:
+        return False
 
     @abstractmethod
     def _token_list(self, val: Column) -> Column:
@@ -49,6 +86,7 @@ class Tokenizer(ABC):
         Lowercasing at explode mirrors the reference's
         ``lower(unnest(tks))`` (``tokenizers/__init__.py:15``).
         """
+        df = _ensure_parallelism(df)
         tks = self._token_list(F.col(val).cast("string"))
         if self.return_set:
             tks = F.array_distinct(tks)
@@ -69,11 +107,16 @@ class QGramsTokzr(Tokenizer):
     ``'#' * (q-1)``, emit all q-length substrings at positions
     ``1 .. len(val)+q-1``."""
 
-    def __init__(self, q: int, return_set: bool = True):
-        super().__init__(return_set)
+    def __init__(self, q: int, return_set: bool = True, distinct_rows: bool | None = None):
+        super().__init__(return_set, distinct_rows)
         if q < 1:
             raise ValueError("q must be >= 1")
         self.q = q
+
+    def _rows_distinct_default(self) -> bool:
+        # Grams are lowercased before dedup, so set-mode rows are
+        # structurally unique per record.
+        return self.return_set
 
     def _token_list(self, val: Column) -> Column:
         q = self.q
@@ -85,6 +128,50 @@ class QGramsTokzr(Tokenizer):
             lambda x: padded.substr(x, F.lit(q)),
         )
 
+    def tokenize(self, df: DataFrame, key: str, val: str) -> DataFrame:
+        """Codegen-friendly q-gram pipeline, row-identical to the base
+        implementation (same padded string, positions, dedup, and
+        pre-explode ``len``).
+
+        The base path builds the gram *array* with
+        ``transform(sequence(...))`` — higher-order functions are
+        interpreted (no whole-stage codegen) and the array expression
+        is re-evaluated by Catalyst's pushed-down null/size filters,
+        measured ~50× slower than this shape. Here positions are
+        exploded first and each gram is one compiled ``substr``; set
+        semantics come from a distributed ``distinct`` and ``len``
+        (the distinct-gram count, reference ``tokenizers:15``) from a
+        count window over the same hash partitioning, so no extra
+        shuffle versus the downstream ``pos`` window.
+        """
+        df = _ensure_parallelism(df)
+        q = self.q
+        v = F.col(val).cast("string")
+        pad = F.lit("#" * (q - 1))
+        padded = F.concat(pad, F.lower(v), pad)
+        n = F.length(v) + (q - 1)
+        bag = (
+            df.select(F.col(key).alias("id"), padded.alias("_p"), n.alias("_n"))
+            .select(
+                "id", "_p", "_n",
+                F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_x"),
+            )
+            .select(
+                "id",
+                F.col("_n").alias("len"),
+                F.col("_p").substr(F.col("_x"), F.lit(q)).alias("token"),
+            )
+        )
+        if not self.return_set:
+            return bag
+        dist = bag.select("id", "token").distinct()
+        w = Window.partitionBy("id")
+        return dist.select(
+            "id",
+            F.count(F.lit(1)).over(w).cast("int").alias("len"),
+            "token",
+        )
+
 
 class DelimiterTokzr(Tokenizer):
     """Regex-class split on a separator set, dropping blank /
@@ -94,8 +181,13 @@ class DelimiterTokzr(Tokenizer):
     character class, exactly as the reference does (no escaping).
     """
 
-    def __init__(self, separators: Iterable[str], return_set: bool = True):
-        super().__init__(return_set)
+    def __init__(
+        self,
+        separators: Iterable[str],
+        return_set: bool = True,
+        distinct_rows: bool | None = None,
+    ):
+        super().__init__(return_set, distinct_rows)
         self.pattern = "[%s]" % "".join(sorted(set(separators)))
 
     def _token_list(self, val: Column) -> Column:
@@ -108,5 +200,5 @@ class DelimiterTokzr(Tokenizer):
 class WhitespaceTokzr(DelimiterTokzr):
     """Whitespace separators (reference ``tokenizers/__init__.py:46-49``)."""
 
-    def __init__(self, return_set: bool = True):
-        super().__init__({" ", "\t", "\r", "\n"}, return_set)
+    def __init__(self, return_set: bool = True, distinct_rows: bool | None = None):
+        super().__init__({" ", "\t", "\r", "\n"}, return_set, distinct_rows)

@@ -129,3 +129,30 @@ def test_inner_column_name_quirk(purchases, interests):
         purchases, interests, "id", "id", "purchases", "interests", ws, 0.9
     )
     assert set(out.columns) == {"l_id", "r_id"}
+
+
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_fast_verification_path_equals_generic(documents, t):
+    """distinct_rows=True switches self/inner verification to the
+    compiled slice+array_intersect path; on duplicate-free data it
+    must be row-identical to the generic pairs×tokens join."""
+    ws_generic = WhitespaceTokzr()
+    ws_fast = WhitespaceTokzr(distinct_rows=True)
+    assert not ws_generic.rows_distinct and ws_fast.rows_distinct
+    g = jaccard_self_join(documents, "doc_id", "text", ws_generic, t)
+    f = jaccard_self_join(documents, "doc_id", "text", ws_fast, t)
+    assert pairs(g) == pairs(f)
+    l = documents.filter(F.col("doc_id") % 2 == 0)
+    r = documents.filter(F.col("doc_id") % 2 == 1)
+    gi = jaccard_inner_join(l, r, "doc_id", "doc_id", "text", "text", ws_generic, t)
+    fi = jaccard_inner_join(l, r, "doc_id", "doc_id", "text", "text", ws_fast, t)
+    assert pairs(gi) == pairs(fi)
+
+
+def test_fast_path_gating_on_case_duplicates(spark):
+    """The Delimiter case-dedup quirk ("John john" → two identical
+    lowercase rows) must keep the generic path by default; QGrams set
+    mode guarantees distinct rows structurally."""
+    assert not WhitespaceTokzr().rows_distinct
+    assert QGramsTokzr(3).rows_distinct
+    assert not QGramsTokzr(3, return_set=False).rows_distinct
