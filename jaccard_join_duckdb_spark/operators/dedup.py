@@ -126,7 +126,13 @@ def minhash_near_duplicates(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    base = toks.select("id", "token", poly_hash(F.col("token")).alias("h"))
+    # poly_hash folds per character in interpreted mode (higher-order
+    # fn) — hash each DISTINCT token once and join back instead of
+    # hashing every (id, token) row.
+    tok_h = toks.select("token").distinct().select(
+        "token", poly_hash(F.col("token")).alias("h")
+    )
+    base = toks.join(tok_h, "token").select("id", "token", "h")
     params = F.array(
         *[
             F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -155,6 +161,9 @@ def minhash_near_duplicates(
                 ",",
             ).alias("sig")
         )
+        # Both sides of the bucket self-join read this — without the
+        # persist the whole tokenize→hash→sign chain runs twice.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     L = band_sig.alias("L")
     R = band_sig.alias("R")
@@ -238,7 +247,10 @@ def simhash_fingerprints(
     """
     tokenizer = tokenizer or WhitespaceTokzr()
     toks = _token_sets(df, id_col, text_col, tokenizer)
-    th = toks.select("id", poly_hash(F.col("token")).alias("h"))
+    tok_h = toks.select("token").distinct().select(
+        "token", poly_hash(F.col("token")).alias("h")
+    )
+    th = toks.join(tok_h, "token").select("id", "h")
     bits = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
     votes = (
         th.select("id", "h", F.explode(bits).alias("j"))
@@ -275,6 +287,9 @@ def simhash_near_duplicates(
         fp.select("id", "simhash", F.explode(chunks).alias("c"))
         .withColumn("p2", F.pow(F.lit(2.0), F.col("c") * 8).cast("long"))
         .withColumn("chunk", F.expr("(simhash div p2) % 256"))
+        # Both sides of the chunk self-join read this — persist or the
+        # fingerprint chain runs twice.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     L = blocked.alias("L")
     R = blocked.alias("R")
