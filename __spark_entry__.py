@@ -271,6 +271,72 @@ def q_orders_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_self_ws_bag_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics brute join (SURVEY §4.3.5: duplicate tokens kept;
+    overlap counts duplicate cross-matches — reproduced, not fixed)."""
+    return jaccard_self_join_brute_force(
+        _docs(spark, sf_dir), "doc_id", "text",
+        WhitespaceTokzr(return_set=False), T_SELF,
+    )
+
+
+# SQL-surface demonstration (S5 + J7): identical ANSI text runs on the
+# Spark SQL surface (over a temp view) and on DuckDB — two correlated
+# scalar subqueries with decimal-exact arithmetic.
+_CORR_SQL = """
+select c_nationkey, count(*) as n_above
+from {customer} c
+where CAST(c_acctbal AS DECIMAL(18,2))
+      * (select count(*) from {customer} c2
+         where c2.c_nationkey = c.c_nationkey)
+    > (select sum(CAST(c_acctbal AS DECIMAL(18,2))) from {customer} c2
+       where c2.c_nationkey = c.c_nationkey)
+group by c_nationkey
+"""
+
+
+def q_sql_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(_CORR_SQL.format(customer="customer_v"))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date band filters, top-10 by
+    decimal-exact revenue (deterministic tie-break on orderkey)."""
+    cutoff = "1998-01-01"
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup (hypertable-style time bucketing)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (W1 shape) on orders: top-3 by totalprice per
     customer, deterministic tie-break on orderkey."""
@@ -321,6 +387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "orders_revenue_by_nation": q_orders_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
+        "sql_corr_subquery": q_sql_corr_subquery,
+        "shipping_priority": q_shipping_priority,
+        "orders_monthly": q_orders_monthly,
     }
 
 
@@ -458,5 +528,30 @@ select o_custkey, o_orderkey, o_totalprice, rn from (
                                  order by o_totalprice desc, o_orderkey asc)
               AS INTEGER) as rn
   from orders) where rn <= 3
+""",
+        "jaccard_self_ws_bag_brute": ref_sql.self_brute_sql(
+            "documents", "doc_id", "text",
+            WhitespaceTokzr(return_set=False), T_SELF,
+            "l_doc_id", "r_doc_id",
+        ),
+        "sql_corr_subquery": _CORR_SQL.format(customer="customer"),
+        "shipping_priority": """
+select l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < TIMESTAMP '1998-01-01'
+  and l_shipdate > TIMESTAMP '1998-01-01'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey asc
+limit 10
+""",
+        "orders_monthly": """
+select CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) as month,
+       count(*) as n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) as revenue
+from orders group by 1
 """,
     }

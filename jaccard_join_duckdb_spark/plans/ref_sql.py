@@ -37,38 +37,71 @@ def _t(t: float) -> str:
     return f"CAST({float(t)!r} AS DOUBLE)"
 
 
-def tokens_sql(from_table: str, key: str, val: str, tokenizer: Tokenizer) -> str:
+def tokens_sql(
+    from_table: str, key: str, val: str, tokenizer: Tokenizer,
+    dialect: str = "duckdb",
+) -> str:
     """The reference tokenizer SQL template instantiated
-    (``tokenizers/__init__.py:7-8``), emitting ``(id, len, token)``."""
-    if isinstance(tokenizer, QGramsTokzr):
-        q = tokenizer.q
-        inner = (
-            f"list_transform(generate_series(1, len({val}) + {q} - 1), x -> "
-            f"substring(concat(repeat('#', {q} - 1), lower({val}), "
-            f"repeat('#', {q} - 1)), x, {q}))"
+    (``tokenizers/__init__.py:7-8``), emitting ``(id, len, token)``.
+
+    ``dialect='spark'`` emits the same semantics in Spark SQL syntax
+    (``split``/``filter``/``transform`` + LATERAL VIEW explode) — the
+    pipeline bodies downstream are engine-neutral ANSI, so the full
+    generators run unchanged on either engine.
+    """
+    if dialect == "duckdb":
+        if isinstance(tokenizer, QGramsTokzr):
+            q = tokenizer.q
+            inner = (
+                f"list_transform(generate_series(1, len({val}) + {q} - 1), x -> "
+                f"substring(concat(repeat('#', {q} - 1), lower({val}), "
+                f"repeat('#', {q} - 1)), x, {q}))"
+            )
+        elif isinstance(tokenizer, DelimiterTokzr):
+            inner = (
+                f"list_filter(str_split_regex({val}, '{tokenizer.pattern}'), "
+                "x -> trim(x) != '')"
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"no SQL template for {type(tokenizer).__name__}")
+        if tokenizer.return_set:
+            inner = f"list_distinct({inner})"
+        return (
+            f"select {key} as id, len(tks) as len, lower(unnest(tks)) as token "
+            f"from (select {key}, {inner} as tks from {from_table})"
         )
-    elif isinstance(tokenizer, DelimiterTokzr):
-        inner = (
-            f"list_filter(str_split_regex({val}, '{tokenizer.pattern}'), "
-            "x -> trim(x) != '')"
+    if dialect == "spark":
+        if isinstance(tokenizer, QGramsTokzr):
+            q = tokenizer.q
+            inner = (
+                f"transform(sequence(1, length({val}) + {q} - 1), x -> "
+                f"substr(concat(repeat('#', {q} - 1), lower({val}), "
+                f"repeat('#', {q} - 1)), x, {q}))"
+            )
+        elif isinstance(tokenizer, DelimiterTokzr):
+            inner = (
+                f"filter(split({val}, '{tokenizer.pattern}', -1), "
+                "x -> trim(x) != '')"
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"no SQL template for {type(tokenizer).__name__}")
+        if tokenizer.return_set:
+            inner = f"array_distinct({inner})"
+        return (
+            f"select id, size(tks) as len, lower(tk) as token "
+            f"from (select {key} as id, {inner} as tks from {from_table}) "
+            f"lateral view explode(tks) _t as tk"
         )
-    else:  # pragma: no cover
-        raise TypeError(f"no SQL template for {type(tokenizer).__name__}")
-    if tokenizer.return_set:
-        inner = f"list_distinct({inner})"
-    return (
-        f"select {key} as id, len(tks) as len, lower(unnest(tks)) as token "
-        f"from (select {key}, {inner} as tks from {from_table})"
-    )
+    raise ValueError(f"unknown dialect {dialect!r}")  # pragma: no cover
 
 
 def self_brute_sql(
     from_table: str, key: str, val: str, tokenizer: Tokenizer, t: float,
-    l_out: str = "l_id", r_out: str = "r_id",
+    l_out: str = "l_id", r_out: str = "r_id", dialect: str = "duckdb",
 ) -> str:
     """jaccard_join.py:190-201."""
     return f"""
-with tokens as ({tokens_sql(from_table, key, val, tokenizer)})
+with tokens as ({tokens_sql(from_table, key, val, tokenizer, dialect)})
 select L.id as {l_out}, R.id as {r_out}
 from tokens L, tokens R
 where L.token = R.token and L.id < R.id
@@ -79,13 +112,13 @@ having count(*) >= ((L.len + R.len) * {_t(t)} / (1 + {_t(t)}))
 
 def self_filtered_sql(
     from_table: str, key: str, val: str, tokenizer: Tokenizer, t: float,
-    l_out: str = "l_id", r_out: str = "r_id",
+    l_out: str = "l_id", r_out: str = "r_id", dialect: str = "duckdb",
 ) -> str:
     """The full filtered self-join pipeline (jaccard_join.py:111-188)
     as one CTE chain."""
     T = _t(t)
     return f"""
-with tokens as ({tokens_sql(from_table, key, val, tokenizer)}),
+with tokens as ({tokens_sql(from_table, key, val, tokenizer, dialect)}),
 dfq as (select token, count(*) as df from tokens group by token),
 tkdf as (
   select id, len, tokens.token,
@@ -116,12 +149,13 @@ having count(*) + pfxOverlap - 1 >= ((L.len + R.len) * {T} / (1 + {T}))
 def inner_brute_sql(
     l_table: str, r_table: str, l_key: str, r_key: str, l_val: str, r_val: str,
     tokenizer: Tokenizer, t: float, l_out: str = "l_id", r_out: str = "r_id",
+    dialect: str = "duckdb",
 ) -> str:
     """jaccard_join.py:407-420."""
     T = _t(t)
     return f"""
-with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer)}),
-r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer)})
+with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer, dialect)}),
+r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer, dialect)})
 select L.id as {l_out}, R.id as {r_out}
 from l_tokens L, r_tokens R
 where L.token = R.token
@@ -133,6 +167,7 @@ having count(*) >= ((L.len + R.len) * {T} / (1 + {T}))
 def inner_filtered_sql(
     l_table: str, r_table: str, l_key: str, r_key: str, l_val: str, r_val: str,
     tokenizer: Tokenizer, t: float, l_out: str = "l_id", r_out: str = "r_id",
+    dialect: str = "duckdb",
 ) -> str:
     """The two-table pipeline (jaccard_join.py:235-405) including the
     widow placeholder and the driver-side (R, S) swap, encoded as a
@@ -146,8 +181,8 @@ def inner_filtered_sql(
     """
     T = _t(t)
     return f"""
-with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer)}),
-r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer)}),
+with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer, dialect)}),
+r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer, dialect)}),
 ph as (select (select count(*) from {l_table}) * (select count(*) from {r_table}) + 1 as widow_ph),
 dfq as (
   select coalesce(l_tks.token, r_tks.token) as token,

@@ -19,6 +19,7 @@ __all__ = [
     "hourly_event_stats",
     "read_event_stream",
     "run_stream_to_memory",
+    "running_user_totals",
     "sessionize",
 ]
 
@@ -81,6 +82,62 @@ def sessionize(
             F.col(user_col),
             "n_events",
         )
+    )
+
+
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    sum. On a stream this uses ``applyInPandasWithState`` (Arrow
+    batches, explicit per-key state, processing-time timeout NoTimeout
+    — state lives for the life of the query); on a batch input it is
+    the equivalent one-shot aggregation, which doubles as the
+    correctness oracle for the stateful path.
+
+    Exactness: values carry 2 decimals, so state accumulates integer
+    cents (per-element round) — the emitted double equals the batch
+    decimal-sum regardless of trigger slicing.
+    Output: ``(user_id, n_events, sum_value)`` (update mode on
+    streams: one row per key per trigger with the running totals).
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy(F.col(user_col).alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+
+    def fn(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                pdf[value_col].mul(100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

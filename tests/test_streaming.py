@@ -55,3 +55,27 @@ def test_sessionize_batch(events):
     assert out.count() > 0
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == events.count()
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, events, tmp_path):
+    """applyInPandasWithState: after draining all triggers, the last
+    emitted running total per user equals the batch aggregation —
+    state must survive across micro-batches (3 files -> 3 triggers)."""
+    from jaccard_join_duckdb_spark.streaming import running_user_totals
+
+    stream_dir = str(tmp_path / "events_state")
+    events.repartition(3).write.parquet(stream_dir)
+    stream = running_user_totals(read_event_stream(spark, stream_dir))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "totals_mem", output_mode="update")
+    # update mode emits one row per key per trigger; keep the last.
+    from pyspark.sql.window import Window
+    mem = spark.table("totals_mem").withColumn("_i", F.monotonically_increasing_id())
+    w = Window.partitionBy("user_id").orderBy(F.col("_i").desc())
+    got = _rows(
+        mem.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    want = _rows(running_user_totals(events))
+    assert got == want
