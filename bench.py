@@ -59,11 +59,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n_rows = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n_rows = None, None
+        for _ in range(iters):
+            # Each query call persists its own intermediates; clear so
+            # a repeat run (or a later query with an identical
+            # canonicalized subplan) cannot serve from cache.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_rows = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n_rows} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
