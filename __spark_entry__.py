@@ -41,6 +41,8 @@ from jaccard_join_duckdb_spark.operators.dedup import (
 from jaccard_join_duckdb_spark.operators.evaluate import evaluate
 from jaccard_join_duckdb_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_pandas,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from jaccard_join_duckdb_spark.plans import oracle_ext, ref_sql
@@ -191,6 +193,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K,
         n_planes=LSH_PLANES, dim=EMB_DIM,
+    )
+
+
+def q_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy-matmul Pandas-UDF top-k (no SQL oracle: float64 matmul
+    summation order is not reproducible in SQL — rows-only check;
+    rank agreement with the expression path is tested in
+    tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(
+        emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (no SQL oracle: centroid sample
+    uses Spark's partition-seeded rand — rows-only check; recall vs
+    brute force is tested in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K,
+        n_lists=16, n_probe=4,
     )
 
 
@@ -379,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pandas_topk": q_ann_pandas_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,

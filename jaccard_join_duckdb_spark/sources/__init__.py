@@ -21,6 +21,8 @@ __all__ = [
     "concat_val",
     "to_join_input",
     "register_view",
+    "union_distinct",
+    "sample_fixed",
 ]
 
 
@@ -77,6 +79,27 @@ def to_join_input(df: DataFrame, key: str, *val_cols: str) -> DataFrame:
     """Project to the canonical join-input shape ``(id, val)``
     (FIXTURES.md §6)."""
     return df.select(F.col(key).alias("id"), concat_val(*val_cols).alias("val"))
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """SQL ``UNION`` (distinct) across inputs — the reference builds
+    ``srcall`` as ``src1 UNION src2 UNION src3`` (notebook.ipynb cell
+    12). Spark's ``union`` is UNION ALL, so the ``distinct`` is
+    mandatory for parity (SURVEY.md §4.3.3)."""
+    if not dfs:
+        raise ValueError("union_distinct needs at least one DataFrame")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.union(df)
+    return out.distinct()
+
+
+def sample_fixed(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Fixed-size sample — the reference uses DuckDB's reservoir
+    ``USING SAMPLE 5000`` (notebook.ipynb cell 37), which is
+    non-deterministic; this is the reproducible Spark equivalent
+    (seeded random order, then limit)."""
+    return df.orderBy(F.rand(seed)).limit(int(n))
 
 
 def register_view(df: DataFrame, name: str) -> DataFrame:

@@ -75,3 +75,52 @@ def test_lsh_topk_subset_of_brute(embeddings):
     approx = {(r.query_id, r.rank): r.cosine for r in lsh_bucket_topk(embeddings, q, k=3, n_planes=2).collect()}
     for key, sc in approx.items():
         assert sc <= brute[(key[0], 1)] + 1e-9
+
+
+def test_pandas_topk_matches_expression_topk(spark, embeddings):
+    """The numpy-matmul path must produce the same neighbor ranking as
+    the expression-based brute force (scores equal to ~1e-9; the 6-dp
+    rounding may differ only on exact ties)."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pandas,
+    )
+
+    q = embeddings.filter("vec_id < 5")
+    want = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in cosine_topk_pandas(embeddings, q, k=5).collect()
+    }
+    assert set(got) == set(want)
+    for key, score in got.items():
+        assert abs(score - want[key]) <= 1e-5
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF probes a subset of lists — recall against brute force must
+    stay high on this corpus and the output schema must match."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    q = embeddings.filter("vec_id < 10")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    }
+    ivf = ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=4)
+    assert ivf.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # determinism: same seed, same result
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    assert got == again
