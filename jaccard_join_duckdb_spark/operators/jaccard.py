@@ -170,6 +170,10 @@ def jaccard_self_join(
     ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``."""
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
+    if persist:
+        # tokens feed both the doc-frequency aggregation and the tkdf
+        # join — uncached, the tokenize chain executes twice.
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     tkdf = tokens_with_doc_freq(tokens, with_pair_key=True)
     if persist:
         tkdf = tkdf.persist(StorageLevel.MEMORY_AND_DISK)
@@ -323,12 +327,16 @@ def jaccard_self_join_brute_force(
     threshold: float,
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
+    persist: bool = True,
 ) -> DataFrame:
     """O(pairs-sharing-a-token) oracle (jaccard_join.py:190-201):
     tokens ⋈ tokens on token with ``L.id < R.id``, group by pair,
     ``HAVING count(*) >= (L.len+R.len)*t/(1+t)``."""
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
+    if persist:
+        # Both sides of the self-join read tokens.
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     L = tokens.alias("L")
     R = tokens.alias("R")
     return (
