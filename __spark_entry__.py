@@ -40,6 +40,7 @@ from jaccard_join_duckdb_spark.operators.dedup import (
 )
 from jaccard_join_duckdb_spark.operators.evaluate import evaluate
 from jaccard_join_duckdb_spark.operators.similarity import (
+    cosine_near_duplicates,
     cosine_topk_bruteforce,
     cosine_topk_pandas,
     ivf_topk,
@@ -61,6 +62,10 @@ NGRAM_Q = 5
 T_NGRAM = 0.9
 ANN_K = 5
 ANN_QUERY_PRED = "vec_id < 10"
+# The synthetic embeddings are near-orthogonal (max pairwise cosine
+# ~0.51 at sf0.01), so a realistic 0.95 near-dup threshold returns the
+# empty set; 0.4 keeps the operator's output non-trivial for the gate.
+T_EMB_COS = 0.4
 LSH_PLANES = 4
 EMB_DIM = 64
 
@@ -180,6 +185,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact all-pairs baseline (at scale
+    pass ``block_expr`` = LSH bucket; see operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(emb, "vec_id", "embedding", T_EMB_COS)
+
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -401,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
@@ -495,6 +508,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram": oracle_ext.ngram_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_NGRAM, q=NGRAM_Q
+        ),
+        "dedup_embed_cosine": oracle_ext.cosine_neardup_sql(
+            "embeddings", "vec_id", "embedding", T_EMB_COS
         ),
         "ann_cosine_topk": oracle_ext.cosine_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..tokenizers import _ensure_parallelism
+
 __all__ = [
     "cosine_similarity",
     "cosine_topk_bruteforce",
@@ -254,23 +256,40 @@ def cosine_near_duplicates(
     the input) optionally restricts the join to equal-block pairs —
     at scale pass an LSH bucket; without it this is the exact
     all-pairs baseline. Output: ``(l_id, r_id, cosine)``."""
+    # Norm is per-row: compute it once before the pair join instead of
+    # twice per pair. dot/(l_nrm*r_nrm) is the same float expression as
+    # cosine_similarity, so oracle parity is unaffected.
     sel = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        (block_expr if block_expr is not None else F.lit(0)).alias("blk"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     L = sel.alias("L")
     R = sel.alias("R")
-    return (
-        L.join(
+    if block_expr is not None:
+        sel_b = sel.withColumn("blk", block_expr)
+        L = sel_b.alias("L")
+        R = sel_b.alias("R")
+        pairs = L.join(
             R,
             (F.col("L.blk") == F.col("R.blk")) & (F.col("L.id") < F.col("R.id")),
         )
+    else:
+        # A constant join key would hash every row to ONE shuffle
+        # partition; a cross join keeps parallelism = |L parts|·|R parts|
+        # (left side repartitioned — small parquet scans arrive as a
+        # single partition).
+        L = _ensure_parallelism(sel).alias("L")
+        pairs = L.crossJoin(R).filter(F.col("L.id") < F.col("R.id"))
+    return (
+        pairs
         .select(
             F.col("L.id").alias("l_id"),
             F.col("R.id").alias("r_id"),
             F.round(
-                cosine_similarity(F.col("L.v"), F.col("R.v")), 6
+                _dot(F.col("L.v"), F.col("R.v"))
+                / (F.col("L.nrm") * F.col("R.nrm")),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))

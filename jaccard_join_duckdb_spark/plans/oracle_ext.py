@@ -22,6 +22,7 @@ __all__ = [
     "simhash_fingerprints_sql",
     "simhash_neardup_sql",
     "cosine_sql",
+    "cosine_neardup_sql",
     "cosine_topk_sql",
     "lsh_topk_sql",
     "text_stats_sql",
@@ -207,6 +208,21 @@ ranked as (
   from scored)
 select query_id, neighbor_id, cosine, CAST(rank AS INTEGER) as rank
 from ranked where rank <= {int(k)}
+"""
+
+
+def cosine_neardup_sql(
+    table: str, id_col: str, vec_col: str, threshold: float
+) -> str:
+    """All-pairs embedding near-dup mirror of
+    similarity.cosine_near_duplicates (no blocking): ``L.id < R.id``
+    pairs with round(cosine, 6) >= threshold."""
+    return f"""
+select L.{id_col} as l_id, R.{id_col} as r_id,
+       round({cosine_sql(f'L.{vec_col}', f'R.{vec_col}')}, 6) as cosine
+from {table} L join {table} R on L.{id_col} < R.{id_col}
+where round({cosine_sql(f'L.{vec_col}', f'R.{vec_col}')}, 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
 """
 
 
