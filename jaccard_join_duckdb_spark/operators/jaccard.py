@@ -123,6 +123,87 @@ def tokens_with_doc_freq(tokens: DataFrame, with_pair_key: bool = False) -> Data
     return out
 
 
+# Bitset verification is used when the token vocabulary fits in this
+# many distinct tokens (32 longs per document). Q-gram and small-alphabet
+# corpora qualify; unbounded word vocabularies fall back to the
+# array-intersect path.
+_MAX_BITSET_VOCAB = 2048
+
+
+def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
+    """tokens → ``(id, len, token, df, tid, pos, l_id)`` where ``tid``
+    is the token's 1-based rank in the global ``(df, token)`` order —
+    the SAME total order the ``pos`` window uses, so within a document
+    ``pos`` is increasing in ``tid`` and the suffix condition
+    ``pos >= maxPos`` is equivalent to ``tid >= tid_at_maxPos``.
+
+    The rank window runs unpartitioned over the aggregated token dim —
+    sound only because callers gate on ``vocab <= _MAX_BITSET_VOCAB``.
+    """
+    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tdim = dfreq.withColumn(
+        "tid", F.row_number().over(Window.orderBy("df", "token"))
+    )
+    w = Window.partitionBy("id").orderBy("df", "token")
+    return tokens.join(F.broadcast(tdim), "token").select(
+        "id",
+        "len",
+        "token",
+        "df",
+        "tid",
+        F.row_number().over(w).alias("pos"),
+        F.concat(
+            F.col("len").cast("string"),
+            F.lit("_"),
+            F.col("id").cast("string"),
+        ).alias("l_id"),
+    )
+
+
+def _doc_bitsets(tk: DataFrame, n_words: int) -> DataFrame:
+    """One row per document: ``(id, len, b0..b{n_words-1})`` — the
+    document's token set as a bitset over ``tid`` (bit ``tid-1``,
+    LSB-first within each 64-bit word). All-compiled bit_or aggregate."""
+    bit_cols = [
+        F.bit_or(
+            F.when(
+                (F.col("tid") > 64 * i) & (F.col("tid") <= 64 * (i + 1)),
+                F.expr(f"shiftleft(cast(1 as bigint), tid - 1 - {64 * i})"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"b{i}")
+        for i in range(n_words)
+    ]
+    return tk.groupBy("id").agg(F.max("len").alias("len"), *bit_cols)
+
+
+def _bitset_suffix_overlap(n_words: int) -> Column:
+    """``|{t shared : tid_t >= tidstart}|`` over bitset columns
+    ``lb_i``/``rb_i`` and the per-pair column ``tidstart`` — popcount
+    of the masked intersection, plain codegen-able long arithmetic."""
+    def mask(i: int) -> Column:
+        return (
+            F.when(F.col("tidstart") <= F.lit(64 * i + 1), F.lit(-1).cast("long"))
+            .when(F.col("tidstart") > F.lit(64 * (i + 1)), F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"shiftleft(cast(-1 as bigint),"
+                    f" cast(tidstart - 1 - {64 * i} as int))"
+                )
+            )
+        )
+
+    parts = [
+        F.bit_count(
+            F.col(f"lb{i}").bitwiseAND(F.col(f"rb{i}")).bitwiseAND(mask(i))
+        )
+        for i in range(n_words)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
 def _pos_token_arrays(tkdf: DataFrame) -> DataFrame:
     """One row per document: ``(id, len, arr)`` with ``arr`` the
     tokens ordered by ``pos``. Feeds the compiled array-intersect
@@ -174,7 +255,23 @@ def jaccard_self_join(
         # tokens feed both the doc-frequency aggregation and the tkdf
         # join — uncached, the tokenize chain executes twice.
         tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
-    tkdf = tokens_with_doc_freq(tokens, with_pair_key=True)
+
+    # Verification strategy: when the vocabulary is small enough that a
+    # document's token set fits in a few 64-bit words, suffix overlap
+    # is a masked AND + popcount (pure codegen) — measured ~8x faster
+    # than per-pair array_intersect on the dense q-gram corpus. The
+    # vocab count is one cheap driver-side scalar (the reference itself
+    # reads scalar counts for its side-swap decision).
+    n_words = 0
+    if tokenizer.rows_distinct:
+        vocab_n = tokens.select("token").distinct().count()
+        if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+            n_words = (vocab_n + 63) // 64
+
+    if n_words:
+        tkdf = _tokens_with_tid(tokens)
+    else:
+        tkdf = tokens_with_doc_freq(tokens, with_pair_key=True)
     if persist:
         tkdf = tkdf.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -197,6 +294,60 @@ def jaccard_self_join(
             F.col("L.len"), F.col("L.pos"), F.col("R.len"), F.col("R.pos"), t
         )
     )
+    out_cols = (
+        f"{l_out_prefix}{key_attr}",
+        f"{r_out_prefix}{key_attr}",
+    )
+
+    if n_words:
+        # Bitset verification: within a doc pos is increasing in tid,
+        # so max(pos of matched prefix tokens) corresponds to max(tid)
+        # and ``pos >= maxPos (both sides)`` == ``tid >= max(ltid, rtid)``.
+        cand = (
+            Lp.join(Rp, cond)
+            .groupBy(
+                F.col("L.id").alias("lid"),
+                F.col("R.id").alias("rid"),
+            )
+            .agg(
+                F.max("L.tid").alias("ltid"),
+                F.max("R.tid").alias("rtid"),
+                F.count(F.lit(1)).alias("pfxoverlap"),
+            )
+        )
+        docbits = _doc_bitsets(tkdf, n_words)
+        return (
+            cand.join(
+                docbits.select(
+                    F.col("id").alias("lid"),
+                    F.col("len").alias("llen"),
+                    *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
+                ),
+                "lid",
+            )
+            .join(
+                docbits.select(
+                    F.col("id").alias("rid"),
+                    F.col("len").alias("rlen"),
+                    *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
+                ),
+                "rid",
+            )
+            .withColumn("tidstart", F.greatest("ltid", "rtid"))
+            .withColumn("sfx", _bitset_suffix_overlap(n_words))
+            .filter(
+                (F.col("sfx") >= 1)
+                & (
+                    F.col("sfx") + F.col("pfxoverlap") - 1
+                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                )
+            )
+            .select(
+                F.col("lid").alias(out_cols[0]),
+                F.col("rid").alias(out_cols[1]),
+            )
+        )
+
     cand = (
         Lp.join(Rp, cond)
         .groupBy(
@@ -208,11 +359,6 @@ def jaccard_self_join(
             F.max("R.pos").alias("rmaxpos"),
             F.count(F.lit(1)).alias("pfxoverlap"),
         )
-    )
-
-    out_cols = (
-        f"{l_out_prefix}{key_attr}",
-        f"{r_out_prefix}{key_attr}",
     )
 
     # Verification (jaccard_join.py:169-188): count token matches

@@ -149,6 +149,20 @@ def test_fast_verification_path_equals_generic(documents, t):
     assert pairs(gi) == pairs(fi)
 
 
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_bitset_verification_equals_array_path(documents, monkeypatch, t):
+    """Small vocabularies verify via masked-AND+popcount bitsets; with
+    the gate forced off the array-intersect fallback must produce the
+    identical pair set."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    qg = QGramsTokzr(3)
+    bit = pairs(jaccard_self_join(documents, "doc_id", "text", qg, t))
+    monkeypatch.setattr(J, "_MAX_BITSET_VOCAB", 0)
+    arr = pairs(jaccard_self_join(documents, "doc_id", "text", qg, t))
+    assert bit == arr
+
+
 def test_fast_path_gating_on_case_duplicates(spark):
     """The Delimiter case-dedup quirk ("John john" → two identical
     lowercase rows) must keep the generic path by default; QGrams set
