@@ -23,10 +23,12 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import poly_hash
 from ..tokenizers import Tokenizer, WhitespaceTokzr
+from .jaccard import _MAX_BITSET_VOCAB
 
 __all__ = [
     "exact_duplicate_groups",
@@ -185,16 +187,66 @@ def minhash_near_duplicates(
 def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs.
 
-    Joins each pair to the two *token arrays* (one row per document)
-    and computes ``ov = size(array_intersect(la, ra))`` — a compiled
-    set intersection, versus exploding pairs × tokens into a
-    pairs·|x| intermediate and re-aggregating (measured ~5× slower at
-    sf0.1 where 8M candidates × ~23 tokens = 190M exploded rows).
-    Exact because ``toks`` rows are distinct per id (set semantics).
-    The ``ov >= 1`` filter keeps the historical contract (a pair with
-    zero overlap is not reported even at threshold 0). At cluster
-    scale the doc-array side is Catalyst-planned (broadcast when
-    small, shuffle join otherwise)."""
+    Small vocabularies (<= _MAX_BITSET_VOCAB distinct tokens): each
+    document's token set is packed into a few 64-bit words and
+    ``ov = Σ popcount(lb_i & rb_i)`` — pure codegen-able long
+    arithmetic. Large vocabularies: per-document token arrays and a
+    compiled ``size(array_intersect(la, ra))``. Both beat exploding
+    pairs × tokens into a pairs·|x| intermediate and re-aggregating
+    (measured ~5× slower at sf0.1 where 8M candidates × ~23 tokens =
+    190M exploded rows). Exact because ``toks`` rows are distinct per
+    id (set semantics). The ``ov >= 1`` filter keeps the historical
+    contract (a pair with zero overlap is not reported even at
+    threshold 0). At cluster scale the doc side is Catalyst-planned
+    (broadcast when small, shuffle join otherwise)."""
+    vocab = toks.select("token").distinct()
+    vocab_n = vocab.count()  # cheap driver-side scalar, gates the plan
+    if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+        n_words = (vocab_n + 63) // 64
+        tdim = vocab.withColumn(
+            "tid", F.row_number().over(Window.orderBy("token"))
+        )
+        bit_cols = [
+            F.bit_or(
+                F.when(
+                    (F.col("tid") > 64 * i) & (F.col("tid") <= 64 * (i + 1)),
+                    F.expr(f"shiftleft(cast(1 as bigint), tid - 1 - {64 * i})"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"b{i}")
+            for i in range(n_words)
+        ]
+        docbits = (
+            toks.join(F.broadcast(tdim), "token")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("sz"), *bit_cols)
+        )
+        ov_expr = F.bit_count(F.col("lb0").bitwiseAND(F.col("rb0")))
+        for i in range(1, n_words):
+            ov_expr = ov_expr + F.bit_count(
+                F.col(f"lb{i}").bitwiseAND(F.col(f"rb{i}"))
+            )
+        ov = (
+            cands.join(
+                docbits.select(
+                    F.col("id").alias("lid"),
+                    F.col("sz").alias("lsz"),
+                    *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
+                ),
+                "lid",
+            )
+            .join(
+                docbits.select(
+                    F.col("id").alias("rid"),
+                    F.col("sz").alias("rsz"),
+                    *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
+                ),
+                "rid",
+            )
+            .select("lid", "rid", ov_expr.alias("ov"), "lsz", "rsz")
+            .filter(F.col("ov") >= 1)
+        )
+        return _jaccard_threshold_filter(ov, threshold)
+
     arrs = toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
     ov = (
         cands.join(
@@ -212,6 +264,10 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
         )
         .filter(F.col("ov") >= 1)
     )
+    return _jaccard_threshold_filter(ov, threshold)
+
+
+def _jaccard_threshold_filter(ov: DataFrame, threshold: float) -> DataFrame:
     return (
         ov.withColumn(
             "jaccard",

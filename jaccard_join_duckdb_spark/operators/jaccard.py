@@ -560,10 +560,24 @@ def jaccard_inner_join(
         )
     )
 
+    # Bitset verification gate (see self join): both sides rank tokens
+    # by the SAME combined (df, token) order, so one tid ranking over
+    # the shared dfreq preserves pos<->tid monotonicity on each side.
+    n_words = 0
+    if tokenizer.rows_distinct:
+        vocab_n = dfreq.count()
+        if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+            n_words = (vocab_n + 63) // 64
+            dfreq = dfreq.withColumn(
+                "tid", F.row_number().over(Window.orderBy("df", "token"))
+            )
+            dfreq = F.broadcast(dfreq)
+
     def _tkdf(tokens: DataFrame) -> DataFrame:
         w = Window.partitionBy("id").orderBy("df", "token")
+        cols = ["id", "len", "token", "df"] + (["tid"] if n_words else [])
         return tokens.join(dfreq, "token").select(
-            "id", "len", "token", "df",
+            *cols,
             F.row_number().over(w).alias("pos"),
         )
 
@@ -608,6 +622,53 @@ def jaccard_inner_join(
             F.col("R.len"), F.col("R.pos"), F.col("S.len"), F.col("S.pos"), t
         )
     )
+    # Verification (jaccard_join.py:386-405). Output column names
+    # reproduce the reference quirk: R's out_prefix pairs with the
+    # *left* key attr name and S's with the right, regardless of swap.
+    out_r = f"{r_prefix_out[0]}{l_key_attr}"
+    out_s = f"{r_prefix_out[1]}{r_key_attr}"
+
+    if n_words:
+        cand = (
+            Rp.join(Sp, cond)
+            .groupBy(F.col("R.id").alias("rid"), F.col("S.id").alias("sid"))
+            .agg(
+                F.max("R.tid").alias("ltid"),
+                F.max("S.tid").alias("rtid"),
+                F.count(F.lit(1)).alias("pfxoverlap"),
+            )
+        )
+        r_bits = _doc_bitsets(R_tkdf, n_words)
+        s_bits = _doc_bitsets(S_tkdf, n_words)
+        return (
+            cand.join(
+                r_bits.select(
+                    F.col("id").alias("rid"),
+                    F.col("len").alias("llen"),
+                    *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
+                ),
+                "rid",
+            )
+            .join(
+                s_bits.select(
+                    F.col("id").alias("sid"),
+                    F.col("len").alias("rlen"),
+                    *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
+                ),
+                "sid",
+            )
+            .withColumn("tidstart", F.greatest("ltid", "rtid"))
+            .withColumn("sfx", _bitset_suffix_overlap(n_words))
+            .filter(
+                (F.col("sfx") >= 1)
+                & (
+                    F.col("sfx") + F.col("pfxoverlap") - 1
+                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                )
+            )
+            .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+        )
+
     cand = (
         Rp.join(Sp, cond)
         .groupBy(F.col("R.id").alias("rid"), F.col("S.id").alias("sid"))
@@ -617,12 +678,6 @@ def jaccard_inner_join(
             F.count(F.lit(1)).alias("pfxoverlap"),
         )
     )
-
-    # Verification (jaccard_join.py:386-405). Output column names
-    # reproduce the reference quirk: R's out_prefix pairs with the
-    # *left* key attr name and S's with the right, regardless of swap.
-    out_r = f"{r_prefix_out[0]}{l_key_attr}"
-    out_s = f"{r_prefix_out[1]}{r_key_attr}"
 
     if tokenizer.rows_distinct:
         # Compiled slice+array_intersect verification (see self join).

@@ -157,10 +157,19 @@ def test_bitset_verification_equals_array_path(documents, monkeypatch, t):
     import jaccard_join_duckdb_spark.operators.jaccard as J
 
     qg = QGramsTokzr(3)
+    l = documents.filter(F.col("doc_id") % 2 == 0)
+    r = documents.filter(F.col("doc_id") % 2 == 1)
     bit = pairs(jaccard_self_join(documents, "doc_id", "text", qg, t))
+    bit_i = pairs(
+        jaccard_inner_join(l, r, "doc_id", "doc_id", "text", "text", qg, t)
+    )
     monkeypatch.setattr(J, "_MAX_BITSET_VOCAB", 0)
     arr = pairs(jaccard_self_join(documents, "doc_id", "text", qg, t))
+    arr_i = pairs(
+        jaccard_inner_join(l, r, "doc_id", "doc_id", "text", "text", qg, t)
+    )
     assert bit == arr
+    assert bit_i == arr_i
 
 
 def test_fast_path_gating_on_case_duplicates(spark):
