@@ -186,6 +186,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
 
+def q_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.dedup_stream (keep-min-id per
+    fingerprint) over the colliding 30-char snippets; the streaming
+    path itself is covered by tests/test_streaming.py."""
+    from jaccard_join_duckdb_spark.streaming import dedup_stream
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 30).alias("text")
+    )
+    return dedup_stream(docs, "doc_id", "text")
+
+
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact all-pairs baseline (at scale
     pass ``block_expr`` = LSH bucket; see operators/similarity.py)."""
@@ -414,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embed_cosine": q_dedup_embed_cosine,
+        "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
@@ -508,6 +521,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram": oracle_ext.ngram_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_NGRAM, q=NGRAM_Q
+        ),
+        "dedup_stream_batch": (
+            "select min(doc_id) as id, "
+            "md5(trim(regexp_replace(lower(substring(text, 1, 30)), "
+            "'\\s+', ' ', 'g'))) as fingerprint "
+            "from documents group by 2"
         ),
         "dedup_embed_cosine": oracle_ext.cosine_neardup_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "dedup_stream",
     "hourly_event_stats",
     "read_event_stream",
     "run_stream_to_memory",
@@ -139,6 +140,44 @@ def running_user_totals(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication for a document ingest pipeline:
+    fingerprint (md5 of whitespace-normalized lowercase text, same
+    normalization as :func:`..functions.text.doc_fingerprint`) then
+    keep the first arrival per fingerprint.
+
+    Streams: ``dropDuplicates`` keyed on the fingerprint; when
+    ``ts_col`` is given, ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state to the watermark horizon — the right call for an
+    unbounded 100 TB ingest where exact-forever state cannot fit.
+    Batch: deterministic keep-min-id per fingerprint (the arrival
+    order a batch "stream" has no notion of), which doubles as the
+    oracle for the streaming path up to which duplicate survives.
+    Output: ``(id, fingerprint[, ts])``.
+    """
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    ).alias("fingerprint")
+    base_cols = [F.col(id_col).alias("id"), fp]
+    if ts_col:
+        base_cols.append(F.col(ts_col).alias(ts_col))
+    sel = docs.select(*base_cols)
+    if not docs.isStreaming:
+        keep = sel.groupBy("fingerprint").agg(F.min("id").alias("id"))
+        return keep.select("id", "fingerprint")
+    if ts_col:
+        return sel.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return sel.dropDuplicates(["fingerprint"])
 
 
 def read_event_stream(

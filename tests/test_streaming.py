@@ -79,3 +79,57 @@ def test_stateful_running_totals_stream_equals_batch(spark, events, tmp_path):
     )
     want = _rows(running_user_totals(events))
     assert got == want
+
+
+def test_dedup_stream_equals_batch_fingerprints(spark, tmp_path):
+    """Streaming dedup keeps exactly one survivor per fingerprint;
+    the surviving fingerprint set equals the batch oracle's (which
+    duplicate survives is arrival- vs min-id-dependent)."""
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import dedup_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    # Snippet-duplicate corpus: truncate text so collisions exist.
+    docs = docs.select("doc_id", F.substring("text", 1, 30).alias("text"))
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.repartition(2).write.parquet(stream_dir)
+
+    batch = dedup_stream(docs, "doc_id", "text")
+    assert batch.count() < docs.count()  # collisions present
+
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = dedup_stream(sdf, "doc_id", "text")
+    assert out.isStreaming
+    run_stream_to_memory(out, "dedup_mem", output_mode="append")
+    got = spark.table("dedup_mem")
+    want_fps = sorted(r[0] for r in batch.select("fingerprint").collect())
+    got_fps = sorted(r[0] for r in got.select("fingerprint").collect())
+    assert got_fps == want_fps  # one survivor per fingerprint, none lost
+
+
+def test_dedup_stream_with_watermark_column(spark, tmp_path):
+    """ts-keyed variant: dropDuplicatesWithinWatermark bounds state;
+    on a single drain of in-order data it still keeps one per key."""
+    from jaccard_join_duckdb_spark.streaming import dedup_stream
+
+    rows = [(1, "a b c", "2024-01-01 00:00:00"),
+            (2, "a  b   c", "2024-01-01 00:10:00"),
+            (3, "zzz", "2024-01-01 00:20:00")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    stream_dir = str(tmp_path / "docs_wm")
+    df.coalesce(1).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    out = dedup_stream(sdf, "doc_id", "text", ts_col="ts")
+    run_stream_to_memory(out, "dedup_wm_mem", output_mode="append")
+    got = spark.table("dedup_wm_mem")
+    # "a b c" and "a  b   c" normalize identically -> 2 survivors.
+    assert got.count() == 2
+    assert got.select("fingerprint").distinct().count() == 2
