@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embed_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_token_counts",
