@@ -5,9 +5,7 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with ``.count()`` (full plan execution, no
-driver-side row transfer). ``dedup_ngram`` (the deliberately
-brute-force O(pairs) oracle path) is excluded — its filtered
-equivalent ``jaccard_self_qgram`` is the scale path and is included.
+driver-side row transfer).
 """
 
 from __future__ import annotations
@@ -28,6 +26,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram",
     "dedup_embed_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",

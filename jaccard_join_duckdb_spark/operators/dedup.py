@@ -372,6 +372,62 @@ def simhash_near_duplicates(
 # n-gram Jaccard near-dup (reference join as a dedup primitive)
 # --------------------------------------------------------------------------
 
+def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin-style candidate pairs ``(lid, rid)`` with
+    ``lid < rid`` from distinct ``(id, len, token)`` rows (``len`` =
+    set cardinality |x|) — a guaranteed superset of every pair with
+    Jaccard >= threshold, in clean numeric ordering (none of the
+    reference join's pair-key quirks; exactness comes from the
+    verification step that follows).
+
+    Soundness: with all token sets ordered by the same global
+    ``(df, token)`` order, any pair with J >= t shares a token within
+    each side's first ``|x| - ceil(t|x|) + 1`` tokens (Xiao et al.,
+    PPJoin); the un-ceiled ``len - pos + 1 >= len*t`` bound keeps a
+    prefix at least that long, and the length / positional filters
+    below are necessary conditions of ``O >= (|x|+|y|)t/(1+t)``, so
+    every qualifying pair survives. At threshold 0 the prefix bound
+    keeps every token and this degrades to the all-sharing-pairs
+    join. Rare-token-first ordering makes prefixes collide as little
+    as possible, which is what bounds the join fan-out on dense
+    vocabularies (the shuffle is on prefix tokens only, ~(1-t) of
+    the corpus instead of all of it).
+    """
+    t = float(threshold)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tk = toks.join(dfreq, "token").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "token")
+        ),
+    )
+    pfx = tk.filter(
+        F.col("len") - F.col("pos") + 1 >= F.col("len") * t
+    ).select("id", "len", "token", "pos")
+    L = pfx.alias("L")
+    R = pfx.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.token") == F.col("R.token"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .filter(
+            (F.col("L.len") >= F.col("R.len") * t)
+            & (F.col("R.len") >= F.col("L.len") * t)
+            & (
+                F.least(
+                    F.col("L.len") - F.col("L.pos") + 1,
+                    F.col("R.len") - F.col("R.pos") + 1,
+                )
+                >= (F.col("L.len") + F.col("R.len")) * (t / (1 + t))
+            )
+        )
+        .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -380,26 +436,27 @@ def ngram_jaccard_near_duplicates(
     q: int = 5,
 ) -> DataFrame:
     """Character-q-gram Jaccard near-dup pairs with the exact score:
-    ``(l_id, r_id, jaccard)``. Uses clean set semantics + exact
-    verification over all token-sharing pairs (brute path) — for the
-    prefix-filtered scale path use :func:`jaccard_self_join` with a
-    QGramsTokzr."""
+    ``(l_id, r_id, jaccard)``. Clean set semantics; prefix-filtered
+    candidate generation (:func:`_prefix_candidates`) + exact
+    verification, so results equal the brute all-sharing-pairs path
+    while shuffling only prefix tokens."""
     from ..tokenizers import QGramsTokzr
 
-    toks = _token_sets(df, id_col, text_col, QGramsTokzr(q)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    L = toks.alias("L")
-    R = toks.alias("R")
-    cands = (
-        L.join(
-            R,
-            (F.col("L.token") == F.col("R.token"))
-            & (F.col("L.id") < F.col("R.id")),
+    tok = QGramsTokzr(q)
+    raw = tok.tokenize(df, id_col, text_col)
+    if tok.rows_distinct:
+        # (id, len, token) rows are already distinct post-lowercase
+        # and len is the set cardinality — no dedup shuffle needed.
+        toks3 = raw
+    else:
+        sets = raw.select("id", "token").distinct()
+        toks3 = sets.withColumn(
+            "len", F.count(F.lit(1)).over(Window.partitionBy("id"))
         )
-        .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
-        .distinct()
-    )
-    return _verify_jaccard(cands, toks, threshold).select(
+    toks3 = toks3.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _prefix_candidates(toks3, threshold)
+    return _verify_jaccard(
+        cands, toks3.select("id", "token"), threshold
+    ).select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
     )
