@@ -23,6 +23,8 @@ __all__ = [
     "register_view",
     "union_distinct",
     "sample_fixed",
+    "write_bucketed",
+    "read_table",
 ]
 
 
@@ -100,6 +102,51 @@ def sample_fixed(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     non-deterministic; this is the reproducible Spark equivalent
     (seeded random order, then limit)."""
     return df.orderBy(F.rand(seed)).limit(int(n))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
+) -> str:
+    """Persist as a hash-bucketed (and bucket-sorted) managed table.
+
+    The 100 TB co-location primitive: two tables bucketed the same
+    way on their join/aggregation key are joined and grouped with
+    **no Exchange** — each task reads matching buckets from both
+    sides directly (and with ``sort=True`` the sort-merge join's Sort
+    disappears too). For repeatedly-joined corpora (documents ⋈
+    token stats, embeddings ⋈ cluster assignments) this converts the
+    per-query shuffle of the big table into a one-time write cost.
+    Bucket count should be sized so one bucket of the largest table
+    fits an executor's memory comfortably (e.g. ~128-512 MB each).
+
+    Spark bucketing is hash(bucket_cols) % num_buckets at write time
+    (Hive-compatible layout via ``saveAsTable``); plain
+    ``.write.parquet(path)`` cannot express it, which is why this
+    goes through the session catalog.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.format(file_format)
+        .mode(mode)
+        .bucketBy(int(num_buckets), *cols)
+    )
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
+    return table
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog-table scan — bucketed tables keep their bucket spec
+    (check ``.explain``: `SelectedBucketsCount` and no Exchange on
+    bucket-key joins)."""
+    return spark.table(name)
 
 
 def register_view(df: DataFrame, name: str) -> DataFrame:

@@ -7,10 +7,12 @@ from pyspark.sql import functions as F
 from jaccard_join_duckdb_spark.sources import (
     concat_val,
     read_csv,
+    read_table,
     register_view,
     sample_fixed,
     to_join_input,
     union_distinct,
+    write_bucketed,
 )
 from tests.conftest import TESTS_DIR
 
@@ -67,3 +69,37 @@ def test_any_value_per_group(spark, purchases):
         .collect()
     )
     assert out[0].some_id in {r.id for r in purchases.collect()}
+
+
+def test_bucketed_tables_join_without_exchange(spark, documents):
+    """Co-location contract: two tables bucketed+sorted on the join
+    key join with zero Exchange (and zero Sort) in the physical plan
+    — the scan itself provides the partitioning, which is the whole
+    point of pre-bucketing a 100 TB corpus."""
+    left = documents.select("doc_id", "text")
+    right = documents.select("doc_id", F.length("text").alias("n"))
+    try:
+        write_bucketed(left, "bck_l", "doc_id", num_buckets=8)
+        write_bucketed(right, "bck_r", "doc_id", num_buckets=8)
+        # hint("merge"): at test scale the planner would broadcast the
+        # tiny side (also shuffle-free, but then the bucketed scan is
+        # bypassed); force sort-merge so bucket co-location is what's
+        # actually exercised, as it would be at 100 TB where neither
+        # side broadcasts.
+        j = read_table(spark, "bck_l").hint("merge").join(
+            read_table(spark, "bck_r"), "doc_id"
+        )
+        assert j.count() == documents.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # Control: the same sort-merge join on the raw (non-bucketed)
+        # frames shuffles both sides — proves the assertion above is
+        # meaningful.
+        raw = left.hint("merge").join(right, "doc_id")
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.sql("drop table if exists bck_l")
+        spark.sql("drop table if exists bck_r")
