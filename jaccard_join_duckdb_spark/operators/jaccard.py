@@ -11,10 +11,12 @@ Math (SURVEY.md §0): for token sets x, y and threshold t,
 ``J(x,y) >= t  <=>  |x∩y| >= (|x|+|y|) * t / (1+t)``.
 
 Parity hazards preserved (SURVEY.md §4.3):
-- Threshold arithmetic keeps the reference's exact expression shape
-  ``((L.len + R.len) * t / (1+t))`` in IEEE double — same operation
-  order as DuckDB's constant-folded plan, so ties break identically
-  (reference deliberately avoids ``ceil``; ``test.ipynb`` cell 23).
+- Threshold comparisons reproduce the reference's DuckDB-DECIMAL tie
+  behavior exactly via integer cross-multiplication (see the
+  "threshold bounds" section below) — the reference deliberately
+  avoids ``ceil`` (``test.ipynb`` cell 23) and its un-ceiled bounds
+  evaluate exactly because DuckDB parses the interpolated threshold
+  literal as DECIMAL, not double.
 - Self-join pair dedup uses the synthetic key
   ``l_id = concat(len, '_', id)`` compared lexicographically
   (``jaccard_join.py:135,155``) — including its string-compare quirk.
@@ -43,6 +45,8 @@ Scale design (100 TB target):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -62,31 +66,98 @@ __all__ = [
 
 
 # --------------------------------------------------------------------------
-# threshold bounds — exact expression shapes of the reference SQL
+# threshold bounds — tie-exact reproductions of the reference SQL
 # --------------------------------------------------------------------------
+#
+# The reference interpolates the Python threshold into SQL text
+# (f"{self._t}", jaccard_join.py:160 etc.), where DuckDB parses the
+# bare literal as DECIMAL — so "0.2" means exactly 2/10, every
+# multiplication/addition of it is exact, and the single division by
+# (1+t) is one correctly-rounded double op on exact operands. A naive
+# Spark double chain diverges on ties: len=3, t=0.2 gives
+# 3*2*0.2/1.2 = 1.0000000000000002 in chained doubles but exactly
+# 1.0 in DuckDB — dropping a boundary prefix token and losing a true
+# pair (found by property fuzzing; corpus pinned in
+# tests/test_property_fuzz.py::test_decimal_tie_parity_inner).
+#
+# We therefore evaluate each comparison in exact integer arithmetic
+# by cross-multiplying with the threshold's decimal denominator
+# (t = num/den via Fraction(repr(t))): ``X >= len*t`` becomes
+# ``X*den >= len*num``, ``X >= s*t/(1+t)`` becomes
+# ``X*(den+num) >= s*num``. For division-bearing bounds this equals
+# DuckDB's rounded double division whenever the bound's rational
+# denominator (den+num <= ~2e6) times the compared magnitude stays
+# below 2^52 — far beyond any real token-set size. Thresholds whose
+# repr is not a short decimal fall back to the double chain (and the
+# oracle SQL emits CAST AS DOUBLE for them — plans/ref_sql.py keeps
+# its gate in lockstep). The 1e5 cap also keeps the Spark-SQL surface
+# aligned: Spark DECIMAL division rounds at scale 6, and with
+# denominator <= 1e5 the bound's rational granularity (>= 5e-6) stays
+# above that rounding, so all three evaluation styles agree on ties.
 
-def _overlap_bound(l_len: Column, r_len: Column, t: float) -> Column:
-    """``((L.len + R.len) * t / (1+t))`` — jaccard_join.py:183."""
-    return (l_len + r_len) * F.lit(float(t)) / F.lit(1.0 + t)
+_MAX_EXACT_DEN = 100_000
+
+
+def _t_fraction(t: float) -> Fraction | None:
+    """The threshold as the exact rational DuckDB sees, or None when
+    its decimal expansion is too wide for 64-bit cross-multiplied
+    comparisons."""
+    try:
+        fr = Fraction(repr(float(t)))
+    except (ValueError, OverflowError):
+        return None
+    return fr if 0 < fr.denominator <= _MAX_EXACT_DEN else None
+
+
+def _overlap_cond(lhs: Column, l_len: Column, r_len: Column, t: float) -> Column:
+    """``lhs >= ((L.len + R.len) * t / (1+t))`` — jaccard_join.py:183,
+    tie-exact."""
+    fr = _t_fraction(t)
+    if fr is None:
+        return lhs >= (l_len + r_len) * F.lit(float(t)) / F.lit(1.0 + t)
+    return lhs * F.lit(fr.denominator + fr.numerator) >= (
+        l_len + r_len
+    ) * F.lit(fr.numerator)
+
+
+def _length_cond(big_len: Column, small_len: Column, t: float) -> Column:
+    """``big.len >= (small.len * t)`` — jaccard_join.py:158, tie-exact."""
+    fr = _t_fraction(t)
+    if fr is None:
+        return big_len >= small_len * F.lit(float(t))
+    return big_len * F.lit(fr.denominator) >= small_len * F.lit(fr.numerator)
 
 
 def _indexing_prefix_cond(length: Column, pos: Column, t: float) -> Column:
-    """``len - pos + 1 >= (len * 2 * t / (1+t))`` — jaccard_join.py:160."""
-    return length - pos + 1 >= length * 2 * F.lit(float(t)) / F.lit(1.0 + t)
+    """``len - pos + 1 >= (len * 2 * t / (1+t))`` — jaccard_join.py:160,
+    tie-exact."""
+    fr = _t_fraction(t)
+    if fr is None:
+        return (
+            length - pos + 1 >= length * 2 * F.lit(float(t)) / F.lit(1.0 + t)
+        )
+    return (length - pos + 1) * F.lit(fr.denominator + fr.numerator) >= (
+        length * 2
+    ) * F.lit(fr.numerator)
 
 
 def _probing_prefix_cond(length: Column, pos: Column, t: float) -> Column:
-    """``len - pos + 1 >= (len * t)`` — jaccard_join.py:161."""
-    return length - pos + 1 >= length * F.lit(float(t))
+    """``len - pos + 1 >= (len * t)`` — jaccard_join.py:161, tie-exact."""
+    fr = _t_fraction(t)
+    if fr is None:
+        return length - pos + 1 >= length * F.lit(float(t))
+    return (length - pos + 1) * F.lit(fr.denominator) >= length * F.lit(
+        fr.numerator
+    )
 
 
 def _positional_cond(
     l_len: Column, l_pos: Column, r_len: Column, r_pos: Column, t: float
 ) -> Column:
     """``LEAST(L.len-L.pos+1, R.len-R.pos+1) >= (L.len+R.len)*t/(1+t)``
-    — jaccard_join.py:163-164."""
-    return F.least(l_len - l_pos + 1, r_len - r_pos + 1) >= _overlap_bound(
-        l_len, r_len, t
+    — jaccard_join.py:163-164, tie-exact."""
+    return _overlap_cond(
+        F.least(l_len - l_pos + 1, r_len - r_pos + 1), l_len, r_len, t
     )
 
 
@@ -289,7 +360,7 @@ def jaccard_self_join(
     cond = (
         (F.col("L.token") == F.col("R.token"))
         & (F.col("L.l_id") < F.col("R.l_id"))  # each unordered pair once
-        & (F.col("L.len") >= F.col("R.len") * F.lit(t))  # length filter
+        & _length_cond(F.col("L.len"), F.col("R.len"), t)  # length filter
         & _positional_cond(
             F.col("L.len"), F.col("L.pos"), F.col("R.len"), F.col("R.pos"), t
         )
@@ -337,9 +408,9 @@ def jaccard_self_join(
             .withColumn("sfx", _bitset_suffix_overlap(n_words))
             .filter(
                 (F.col("sfx") >= 1)
-                & (
-                    F.col("sfx") + F.col("pfxoverlap") - 1
-                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                & _overlap_cond(
+                    F.col("sfx") + F.col("pfxoverlap") - 1,
+                    F.col("llen"), F.col("rlen"), t,
                 )
             )
             .select(
@@ -393,12 +464,14 @@ def jaccard_self_join(
                 "rid",
             )
             .filter(
-                F.col("pfxoverlap") - 1
-                + F.least(
-                    F.col("llen") - F.col("lmaxpos") + 1,
-                    F.col("rlen") - F.col("rmaxpos") + 1,
+                _overlap_cond(
+                    F.col("pfxoverlap") - 1
+                    + F.least(
+                        F.col("llen") - F.col("lmaxpos") + 1,
+                        F.col("rlen") - F.col("rmaxpos") + 1,
+                    ),
+                    F.col("llen"), F.col("rlen"), t,
                 )
-                >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
             )
             .withColumn(
                 "sfx",
@@ -409,9 +482,9 @@ def jaccard_self_join(
             )
             .filter(
                 (F.col("sfx") >= 1)
-                & (
-                    F.col("sfx") + F.col("pfxoverlap") - 1
-                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                & _overlap_cond(
+                    F.col("sfx") + F.col("pfxoverlap") - 1,
+                    F.col("llen"), F.col("rlen"), t,
                 )
             )
             .select(
@@ -428,12 +501,14 @@ def jaccard_self_join(
         cand.join(lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")), "lid")
         .join(lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
         .filter(
-            F.col("pfxoverlap") - 1
-            + F.least(
-                F.col("_ll") - F.col("lmaxpos") + 1,
-                F.col("_rl") - F.col("rmaxpos") + 1,
+            _overlap_cond(
+                F.col("pfxoverlap") - 1
+                + F.least(
+                    F.col("_ll") - F.col("lmaxpos") + 1,
+                    F.col("_rl") - F.col("rmaxpos") + 1,
+                ),
+                F.col("_ll"), F.col("_rl"), t,
             )
-            >= _overlap_bound(F.col("_ll"), F.col("_rl"), t)
         )
         .drop("_ll", "_rl")
     )
@@ -454,8 +529,10 @@ def jaccard_self_join(
         )
         .agg(F.count(F.lit(1)).alias("sfx"))
         .filter(
-            F.col("sfx") + F.col("pfxoverlap") - 1
-            >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+            _overlap_cond(
+                F.col("sfx") + F.col("pfxoverlap") - 1,
+                F.col("llen"), F.col("rlen"), t,
+            )
         )
         .select(
             F.col("lid").alias(out_cols[0]),
@@ -499,7 +576,9 @@ def jaccard_self_join_brute_force(
         )
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(
-            F.col("overlap") >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+            _overlap_cond(
+                F.col("overlap"), F.col("llen"), F.col("rlen"), t
+            )
         )
         .select(
             F.col("lid").alias(f"{l_out_prefix}{key_attr}"),
@@ -616,8 +695,8 @@ def jaccard_inner_join(
     Sp = S_pfx.alias("S")
     cond = (
         (F.col("R.token") == F.col("S.token"))
-        & (F.col("R.len") >= F.col("S.len") * F.lit(t))
-        & (F.col("S.len") >= F.col("R.len") * F.lit(t))
+        & _length_cond(F.col("R.len"), F.col("S.len"), t)
+        & _length_cond(F.col("S.len"), F.col("R.len"), t)
         & _positional_cond(
             F.col("R.len"), F.col("R.pos"), F.col("S.len"), F.col("S.pos"), t
         )
@@ -661,9 +740,9 @@ def jaccard_inner_join(
             .withColumn("sfx", _bitset_suffix_overlap(n_words))
             .filter(
                 (F.col("sfx") >= 1)
-                & (
-                    F.col("sfx") + F.col("pfxoverlap") - 1
-                    >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+                & _overlap_cond(
+                    F.col("sfx") + F.col("pfxoverlap") - 1,
+                    F.col("llen"), F.col("rlen"), t,
                 )
             )
             .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
@@ -701,12 +780,14 @@ def jaccard_inner_join(
                 "sid",
             )
             .filter(
-                F.col("pfxoverlap") - 1
-                + F.least(
-                    F.col("rlen") - F.col("rmaxpos") + 1,
-                    F.col("slen") - F.col("smaxpos") + 1,
+                _overlap_cond(
+                    F.col("pfxoverlap") - 1
+                    + F.least(
+                        F.col("rlen") - F.col("rmaxpos") + 1,
+                        F.col("slen") - F.col("smaxpos") + 1,
+                    ),
+                    F.col("rlen"), F.col("slen"), t,
                 )
-                >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
             )
             .withColumn(
                 "sfx",
@@ -717,9 +798,9 @@ def jaccard_inner_join(
             )
             .filter(
                 (F.col("sfx") >= 1)
-                & (
-                    F.col("sfx") + F.col("pfxoverlap") - 1
-                    >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
+                & _overlap_cond(
+                    F.col("sfx") + F.col("pfxoverlap") - 1,
+                    F.col("rlen"), F.col("slen"), t,
                 )
             )
             .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
@@ -732,12 +813,14 @@ def jaccard_inner_join(
         cand.join(r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
         .join(s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")), "sid")
         .filter(
-            F.col("pfxoverlap") - 1
-            + F.least(
-                F.col("_rl") - F.col("rmaxpos") + 1,
-                F.col("_sl") - F.col("smaxpos") + 1,
+            _overlap_cond(
+                F.col("pfxoverlap") - 1
+                + F.least(
+                    F.col("_rl") - F.col("rmaxpos") + 1,
+                    F.col("_sl") - F.col("smaxpos") + 1,
+                ),
+                F.col("_rl"), F.col("_sl"), t,
             )
-            >= _overlap_bound(F.col("_rl"), F.col("_sl"), t)
         )
         .drop("_rl", "_sl")
     )
@@ -758,8 +841,10 @@ def jaccard_inner_join(
         )
         .agg(F.count(F.lit(1)).alias("sfx"))
         .filter(
-            F.col("sfx") + F.col("pfxoverlap") - 1
-            >= _overlap_bound(F.col("rlen"), F.col("slen"), t)
+            _overlap_cond(
+                F.col("sfx") + F.col("pfxoverlap") - 1,
+                F.col("rlen"), F.col("slen"), t,
+            )
         )
         .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
     )
@@ -791,7 +876,9 @@ def jaccard_inner_join_brute_force(
         )
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(
-            F.col("overlap") >= _overlap_bound(F.col("llen"), F.col("rlen"), t)
+            _overlap_cond(
+                F.col("overlap"), F.col("llen"), F.col("rlen"), t
+            )
         )
         .select(
             F.col("lid").alias(f"{l_out_prefix}{l_key_attr}"),

@@ -15,12 +15,19 @@ They serve two purposes:
    counts differ in digit count; SURVEY.md §4.3.2), which is why the
    filtered oracle is the reference pipeline and not brute force.
 
-Thresholds are emitted as ``CAST(<repr> AS DOUBLE)`` so DuckDB does
-the same IEEE double arithmetic as Spark (a bare ``0.5`` literal
-would parse as DECIMAL in DuckDB and break tie parity).
+Thresholds are emitted as bare decimal literals — exactly what the
+reference's f-string interpolation produces (jaccard_join.py:160) —
+which DuckDB and Spark SQL both parse as DECIMAL, giving exact
+threshold arithmetic on ties. The Spark DataFrame operators reproduce
+the same tie behavior with integer cross-multiplied comparisons
+(operators/jaccard.py "threshold bounds"); thresholds whose repr is
+not a short decimal fall back to ``CAST(<repr> AS DOUBLE)`` on both
+sides, keeping the engines aligned in either regime.
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from ..tokenizers import DelimiterTokzr, QGramsTokzr, Tokenizer
 
@@ -32,9 +39,19 @@ __all__ = [
     "inner_brute_sql",
 ]
 
+# Keep in lockstep with operators.jaccard._MAX_EXACT_DEN.
+_MAX_EXACT_DEN = 100_000
+
 
 def _t(t: float) -> str:
-    return f"CAST({float(t)!r} AS DOUBLE)"
+    r = repr(float(t))
+    try:
+        fr = Fraction(r)
+    except (ValueError, OverflowError):
+        fr = None
+    if fr is not None and 0 < fr.denominator <= _MAX_EXACT_DEN:
+        return r
+    return f"CAST({r} AS DOUBLE)"
 
 
 def tokens_sql(

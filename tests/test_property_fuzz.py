@@ -151,6 +151,39 @@ def test_inner_filtered_equals_brute_on_random_corpora(
         assert filt == brute
 
 
+def test_decimal_tie_parity_inner(_spark):
+    """Golden regression for DECIMAL-vs-double threshold ties, found
+    by fuzzing and verified against /root/reference: l_0 = 'b Ba A'
+    (len 3) has its rarest-last token 'a' at pos 3; the indexing
+    prefix bound is len·2t/(1+t) = 3·0.4/1.2 — exactly 1.0 in
+    DuckDB's DECIMAL arithmetic (the reference interpolates t as a
+    bare literal), but 1.0000000000000002 as a chained Spark double,
+    which would drop the pos-3 token and lose the true pair (0, 2)
+    (J = 1/3 >= 0.2). The reference finds all four pairs; so must we
+    (via the integer cross-multiplied bounds in operators/jaccard.py).
+    """
+    l_texts = ["b Ba A", "", "", "a ccc"]
+    r_texts = ["", "b", "a a", "", "", "", "", "", "", "", "", "Ba"]
+    l = _spark.createDataFrame(
+        [(i, s) for i, s in enumerate(l_texts)], "id long, val string"
+    )
+    r = _spark.createDataFrame(
+        [(i, s) for i, s in enumerate(r_texts)], "id long, val string"
+    )
+    tok = WhitespaceTokzr()
+    expected = {(0, 1), (0, 2), (0, 11), (3, 2)}
+    filt = _named_pairs(
+        jaccard_inner_join(l, r, "id", "id", "val", "val", tok, 0.2)
+    )
+    brute = _named_pairs(
+        jaccard_inner_join_brute_force(
+            l, r, "id", "id", "val", "val", tok, 0.2
+        )
+    )
+    assert filt == expected
+    assert brute == expected
+
+
 def test_case_collapse_quirk_parity_inner(_spark):
     """Golden regression for the dedup-before-lowercase tokenizer
     quirk on the inner path, verified against /root/reference
