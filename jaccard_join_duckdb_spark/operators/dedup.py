@@ -28,7 +28,12 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import poly_hash
 from ..tokenizers import Tokenizer, WhitespaceTokzr
-from .jaccard import _MAX_BITSET_VOCAB
+from .jaccard import (
+    _MAX_BITSET_VOCAB,
+    _length_cond,
+    _positional_cond,
+    _probing_prefix_cond,
+)
 
 __all__ = [
     "exact_duplicate_groups",
@@ -393,6 +398,11 @@ def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     vocabularies (the shuffle is on prefix tokens only, ~(1-t) of
     the corpus instead of all of it).
     """
+    # Tie-exact bounds (operators/jaccard.py "threshold bounds"):
+    # a float bound can exceed the exact rational bound by an ulp,
+    # shortening a prefix by one token exactly on the boundary and
+    # silently losing a qualifying candidate the verification step
+    # never sees.
     t = float(threshold)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tk = toks.join(dfreq, "token").withColumn(
@@ -402,7 +412,7 @@ def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         ),
     )
     pfx = tk.filter(
-        F.col("len") - F.col("pos") + 1 >= F.col("len") * t
+        _probing_prefix_cond(F.col("len"), F.col("pos"), t)
     ).select("id", "len", "token", "pos")
     L = pfx.alias("L")
     R = pfx.alias("R")
@@ -413,14 +423,11 @@ def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
             & (F.col("L.id") < F.col("R.id")),
         )
         .filter(
-            (F.col("L.len") >= F.col("R.len") * t)
-            & (F.col("R.len") >= F.col("L.len") * t)
-            & (
-                F.least(
-                    F.col("L.len") - F.col("L.pos") + 1,
-                    F.col("R.len") - F.col("R.pos") + 1,
-                )
-                >= (F.col("L.len") + F.col("R.len")) * (t / (1 + t))
+            _length_cond(F.col("L.len"), F.col("R.len"), t)
+            & _length_cond(F.col("R.len"), F.col("L.len"), t)
+            & _positional_cond(
+                F.col("L.len"), F.col("L.pos"),
+                F.col("R.len"), F.col("R.pos"), t,
             )
         )
         .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
