@@ -33,6 +33,8 @@ from jaccard_join_duckdb_spark.functions.text import (
 )
 from jaccard_join_duckdb_spark.operators.dedup import (
     exact_duplicate_groups,
+    minhash_index,
+    minhash_match,
     minhash_near_duplicates,
     ngram_jaccard_near_duplicates,
     simhash_fingerprints,
@@ -163,6 +165,21 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
         _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
+    )
+
+
+def q_dedup_minhash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-vs-corpus near-dup (the streaming-ingest batch twin):
+    docs with doc_id % 10 == 0 are the incoming "batch", the rest the
+    indexed corpus (operators/dedup.py minhash_index/minhash_match;
+    streaming wrapper: streaming.near_dedup_stream)."""
+    docs = _docs(spark, sf_dir)
+    idx = minhash_index(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text"
+    )
+    return minhash_match(
+        docs.filter(F.col("doc_id") % 10 == 0), idx, "doc_id", "text",
+        T_MINHASH,
     )
 
 
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
@@ -512,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": oracle_ext.minhash_neardup_sql(
             "documents", "doc_id", "text", T_MINHASH
+        ),
+        "dedup_minhash_match": oracle_ext.minhash_match_sql(
+            "(select * from documents where doc_id % 10 = 0)",
+            "(select * from documents where doc_id % 10 != 0)",
+            "doc_id", "text", T_MINHASH,
         ),
         "dedup_simhash": oracle_ext.simhash_neardup_sql(
             "documents", "doc_id", "text", MAX_HAMMING

@@ -20,6 +20,7 @@ Scale design:
 from __future__ import annotations
 
 import random
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +41,9 @@ __all__ = [
     "drop_exact_duplicates",
     "minhash_params",
     "minhash_near_duplicates",
+    "MinHashIndex",
+    "minhash_index",
+    "minhash_match",
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_near_duplicates",
@@ -105,34 +109,15 @@ def _token_sets(
     )
 
 
-def minhash_near_duplicates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float,
-    tokenizer: Tokenizer | None = None,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
+def _minhash_band_sigs(
+    toks: DataFrame, num_hashes: int, bands: int, seed: int
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification.
-
-    shingle → minhash (num_hashes perms) → band (bands × rows/band)
-    → bucket equi-join → verify exact Jaccard >= threshold.
-    Output: ``(l_id, r_id, jaccard)`` with jaccard rounded to 6.
-    Pairs whose every band signature differs are missed (standard LSH
-    recall tradeoff — tune bands/num_hashes).
-    """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
+    """Distinct ``(id, token)`` rows → LSH band signatures
+    ``(id, band, sig)``; sig is the comma-joined minhash row of the
+    band. Deterministic in (num_hashes, bands, seed) so signatures
+    computed at different times — static corpus index vs streaming
+    micro-batch — bucket-join correctly."""
     rows_per_band = num_hashes // bands
-    tokenizer = tokenizer or WhitespaceTokzr()
-    # Read by signatures AND verification (arrays + sizes) — persist
-    # so the tokenize+distinct chain runs once.
-    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
     # poly_hash folds per character in interpreted mode (higher-order
     # fn) — hash each DISTINCT token once and join back instead of
     # hashing every (id, token) row.
@@ -156,7 +141,7 @@ def minhash_near_duplicates(
         ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MERSENNE31)).alias("hh"),
     )
     sig = hashes.groupBy("id", "i").agg(F.min("hh").alias("minh"))
-    band_sig = (
+    return (
         sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
         .groupBy("id", "band")
         .agg(
@@ -168,9 +153,39 @@ def minhash_near_duplicates(
                 ",",
             ).alias("sig")
         )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokenizer: Tokenizer | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    shingle → minhash (num_hashes perms) → band (bands × rows/band)
+    → bucket equi-join → verify exact Jaccard >= threshold.
+    Output: ``(l_id, r_id, jaccard)`` with jaccard rounded to 6.
+    Pairs whose every band signature differs are missed (standard LSH
+    recall tradeoff — tune bands/num_hashes).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    tokenizer = tokenizer or WhitespaceTokzr()
+    # Read by signatures AND verification (arrays + sizes) — persist
+    # so the tokenize+distinct chain runs once.
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_sig = _minhash_band_sigs(toks, num_hashes, bands, seed).persist(
         # Both sides of the bucket self-join read this — without the
         # persist the whole tokenize→hash→sign chain runs twice.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        StorageLevel.MEMORY_AND_DISK
     )
     L = band_sig.alias("L")
     R = band_sig.alias("R")
@@ -189,8 +204,105 @@ def minhash_near_duplicates(
     )
 
 
-def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs.
+@dataclass
+class MinHashIndex:
+    """Precomputed LSH index over a static corpus: band signatures
+    for bucketing plus the distinct token sets for exact
+    verification, both persisted. Build once with
+    :func:`minhash_index`, then match any number of query batches
+    (e.g. streaming micro-batches) with :func:`minhash_match` —
+    the corpus is never re-tokenized or re-hashed."""
+
+    band_sigs: DataFrame
+    toks: DataFrame
+    tokenizer: Tokenizer
+    num_hashes: int
+    bands: int
+    seed: int
+
+    def unpersist(self) -> None:
+        self.band_sigs.unpersist()
+        self.toks.unpersist()
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> MinHashIndex:
+    """Build the static-corpus side of query-vs-corpus near-dup
+    matching. At scale, persist is the minimum; for a long-lived
+    ingest pipeline write ``band_sigs``/``toks`` as tables bucketed
+    by (band, sig) / token (:func:`..sources.write_bucketed`) so
+    every micro-batch joins shuffle-free."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_sigs = _minhash_band_sigs(toks, num_hashes, bands, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return MinHashIndex(
+        band_sigs=band_sigs,
+        toks=toks,
+        tokenizer=tokenizer,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    )
+
+
+def minhash_match(
+    query_df: DataFrame,
+    index: MinHashIndex,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Near-duplicates of ``query_df`` documents against the indexed
+    corpus: ``(q_id, c_id, jaccard)``. LSH-bucket candidates (query
+    signatures ⋈ index signatures on (band, sig)) then exact Jaccard
+    between the query's token sets and the corpus's. Same recall
+    contract as :func:`minhash_near_duplicates`: a pair whose every
+    band differs is missed. Self-matches (same id on both sides when
+    the query overlaps the corpus) are not filtered — callers that
+    re-check an already-indexed document should drop
+    ``q_id == c_id``."""
+    q_toks = _token_sets(query_df, id_col, text_col, index.tokenizer)
+    q_sigs = _minhash_band_sigs(
+        q_toks, index.num_hashes, index.bands, index.seed
+    )
+    Q = q_sigs.alias("Q")
+    C = index.band_sigs.alias("C")
+    cands = (
+        Q.join(
+            C,
+            (F.col("Q.band") == F.col("C.band"))
+            & (F.col("Q.sig") == F.col("C.sig")),
+        )
+        .select(F.col("Q.id").alias("lid"), F.col("C.id").alias("rid"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, q_toks, threshold, r_toks=index.toks).select(
+        F.col("lid").alias("q_id"), F.col("rid").alias("c_id"), "jaccard"
+    )
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    toks: DataFrame,
+    threshold: float,
+    r_toks: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs. ``lid`` draws from
+    ``toks``; ``rid`` from ``r_toks`` when given (query-vs-corpus
+    matching), else from ``toks`` (self dedup).
 
     Small vocabularies (<= _MAX_BITSET_VOCAB distinct tokens): each
     document's token set is packed into a few 64-bit words and
@@ -204,7 +316,12 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
     contract (a pair with zero overlap is not reported even at
     threshold 0). At cluster scale the doc side is Catalyst-planned
     (broadcast when small, shuffle join otherwise)."""
-    vocab = toks.select("token").distinct()
+    two_sided = r_toks is not None
+    r_toks = toks if r_toks is None else r_toks
+    vocab = toks.select("token")
+    if two_sided:
+        vocab = vocab.union(r_toks.select("token"))
+    vocab = vocab.distinct()
     vocab_n = vocab.count()  # cheap driver-side scalar, gates the plan
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
         n_words = (vocab_n + 63) // 64
@@ -220,11 +337,16 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
             ).alias(f"b{i}")
             for i in range(n_words)
         ]
-        docbits = (
-            toks.join(F.broadcast(tdim), "token")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("sz"), *bit_cols)
-        )
+
+        def docbits(side_toks: DataFrame) -> DataFrame:
+            return (
+                side_toks.join(F.broadcast(tdim), "token")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("sz"), *bit_cols)
+            )
+
+        l_bits = docbits(toks)
+        r_bits = l_bits if not two_sided else docbits(r_toks)
         ov_expr = F.bit_count(F.col("lb0").bitwiseAND(F.col("rb0")))
         for i in range(1, n_words):
             ov_expr = ov_expr + F.bit_count(
@@ -232,7 +354,7 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
             )
         ov = (
             cands.join(
-                docbits.select(
+                l_bits.select(
                     F.col("id").alias("lid"),
                     F.col("sz").alias("lsz"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
@@ -240,7 +362,7 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
                 "lid",
             )
             .join(
-                docbits.select(
+                r_bits.select(
                     F.col("id").alias("rid"),
                     F.col("sz").alias("rsz"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
@@ -252,13 +374,21 @@ def _verify_jaccard(cands: DataFrame, toks: DataFrame, threshold: float) -> Data
         )
         return _jaccard_threshold_filter(ov, threshold)
 
-    arrs = toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
+    def tok_arrays(side_toks: DataFrame) -> DataFrame:
+        return side_toks.groupBy("id").agg(
+            F.collect_list("token").alias("arr")
+        )
+
+    l_arrs = tok_arrays(toks)
+    r_arrs = l_arrs if not two_sided else tok_arrays(r_toks)
     ov = (
         cands.join(
-            arrs.select(F.col("id").alias("lid"), F.col("arr").alias("la")), "lid"
+            l_arrs.select(F.col("id").alias("lid"), F.col("arr").alias("la")),
+            "lid",
         )
         .join(
-            arrs.select(F.col("id").alias("rid"), F.col("arr").alias("ra")), "rid"
+            r_arrs.select(F.col("id").alias("rid"), F.col("arr").alias("ra")),
+            "rid",
         )
         .select(
             "lid",

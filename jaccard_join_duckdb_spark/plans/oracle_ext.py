@@ -17,6 +17,7 @@ __all__ = [
     "poly_hash_sql",
     "ws_tokens_sql",
     "minhash_neardup_sql",
+    "minhash_match_sql",
     "qgram_tokens_sql",
     "ngram_jaccard_neardup_sql",
     "simhash_fingerprints_sql",
@@ -88,6 +89,55 @@ select ov.lid as l_id, ov.rid as r_id,
        round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6) as jaccard
 from ov join sizes sl on sl.id = ov.lid join sizes sr on sr.id = ov.rid
 where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def minhash_match_sql(
+    q_table: str, c_table: str, key: str, val: str, threshold: float,
+    num_hashes: int = 32, bands: int = 8, seed: int = 42,
+) -> str:
+    """Mirror of dedup.minhash_match: LSH-bucket candidates between a
+    query set and a corpus (both may be subquery expressions), exact
+    Jaccard verification. Output (q_id, c_id, jaccard)."""
+    rows_per_band = num_hashes // bands
+    params_rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, a, b in minhash_params(num_hashes, seed)
+    )
+    return f"""
+with q_toks as ({ws_tokens_sql(q_table, key, val)}),
+c_toks as ({ws_tokens_sql(c_table, key, val)}),
+params(i, a, b) as (values {params_rows}),
+q_th as (select id, {poly_hash_sql('token')} as h from q_toks),
+c_th as (select id, {poly_hash_sql('token')} as h from c_toks),
+q_band as (
+  select id, i // {rows_per_band} as band,
+         string_agg(CAST(minh AS VARCHAR), ',' order by i) as sig
+  from (select id, i, min((a * h + b) % {MERSENNE31}) as minh
+        from q_th, params group by id, i)
+  group by id, i // {rows_per_band}),
+c_band as (
+  select id, i // {rows_per_band} as band,
+         string_agg(CAST(minh AS VARCHAR), ',' order by i) as sig
+  from (select id, i, min((a * h + b) % {MERSENNE31}) as minh
+        from c_th, params group by id, i)
+  group by id, i // {rows_per_band}),
+cands as (
+  select distinct Q.id as qid, C.id as cid
+  from q_band Q join c_band C on Q.band = C.band and Q.sig = C.sig),
+q_sizes as (select id, count(*) as sz from q_toks group by id),
+c_sizes as (select id, count(*) as sz from c_toks group by id),
+ov as (
+  select c.qid, c.cid, count(*) as ov
+  from cands c
+  join q_toks tq on tq.id = c.qid
+  join c_toks tc on tc.id = c.cid and tq.token = tc.token
+  group by c.qid, c.cid)
+select ov.qid as q_id, ov.cid as c_id,
+       round(CAST(ov AS DOUBLE) / CAST(sq.sz + sc.sz - ov AS DOUBLE), 6) as jaccard
+from ov join q_sizes sq on sq.id = ov.qid join c_sizes sc on sc.id = ov.cid
+where round(CAST(ov AS DOUBLE) / CAST(sq.sz + sc.sz - ov AS DOUBLE), 6)
       >= CAST({float(threshold)!r} AS DOUBLE)
 """
 

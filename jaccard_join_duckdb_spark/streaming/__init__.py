@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dedup_stream",
     "hourly_event_stats",
+    "near_dedup_stream",
     "read_event_stream",
     "run_stream_to_memory",
     "running_user_totals",
@@ -178,6 +179,49 @@ def dedup_stream(
             ["fingerprint"]
         )
     return sel.dropDuplicates(["fingerprint"])
+
+
+def near_dedup_stream(
+    stream_docs: DataFrame,
+    index,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    trigger_available_now: bool = True,
+):
+    """Streaming near-duplicate detection of an unbounded document
+    ingest against a static corpus: each micro-batch is MinHash-LSH
+    matched against a prebuilt :class:`..operators.dedup.MinHashIndex`
+    (the crawl-dedup shape of a training-data pipeline — new documents
+    stream in, the reference corpus is fixed).
+
+    Uses ``foreachBatch``: the minhash signature pipeline needs two
+    chained aggregations (min per (id, perm), collect per band),
+    which Structured Streaming's stateful engine cannot express in
+    one query — per-micro-batch batch semantics is the idiomatic
+    escape hatch, and reuses
+    :func:`..operators.dedup.minhash_match` verbatim, so the batch
+    twin IS the per-batch computation (exactly-equal oracle, no
+    approximation across the batch/stream boundary; matches are
+    per-document so micro-batch boundaries cannot change results).
+
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(q_id, c_id, jaccard)``. Returns the started StreamingQuery
+    (caller awaits/stops).
+    """
+    from ..operators.dedup import minhash_match
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            minhash_match(batch_df, index, id_col, text_col, threshold),
+            epoch_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_event_stream(

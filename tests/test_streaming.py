@@ -133,3 +133,45 @@ def test_dedup_stream_with_watermark_column(spark, tmp_path):
     # "a b c" and "a  b   c" normalize identically -> 2 survivors.
     assert got.count() == 2
     assert got.select("fingerprint").distinct().count() == 2
+
+
+def test_near_dedup_stream_equals_batch_match(spark, tmp_path):
+    """Streaming minhash near-dup against a static corpus index: the
+    union of per-micro-batch matches must equal the one-shot batch
+    minhash_match on the same query set (matches are per-document, so
+    micro-batch boundaries cannot change results)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_index,
+        minhash_match,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import near_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    queries = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = minhash_index(corpus, "doc_id", "text")
+    try:
+        want = _rows(minhash_match(queries, idx, "doc_id", "text", 0.9))
+        assert len(want) > 0
+
+        stream_dir = str(tmp_path / "docs_stream")
+        queries.repartition(3).write.parquet(stream_dir)
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        got = []
+        q = near_dedup_stream(
+            stream,
+            idx,
+            sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+            threshold=0.9,
+        )
+        q.awaitTermination()
+        assert sorted(got) == want
+    finally:
+        idx.unpersist()
