@@ -32,6 +32,7 @@ from jaccard_join_duckdb_spark.functions.text import (
     token_counts,
 )
 from jaccard_join_duckdb_spark.operators.dedup import (
+    connected_components,
     exact_duplicate_groups,
     minhash_index,
     minhash_match,
@@ -127,6 +128,24 @@ def q_jaccard_inner_ws_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_self_ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered self-join emitting the exact similarity (extension —
+    SURVEY.md §7 M7; the reference's output is pairs only, §4.3.7)."""
+    return jaccard_self_join(
+        _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF,
+        with_score=True,
+    )
+
+
+def q_jaccard_inner_ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return jaccard_inner_join(
+        docs.filter(_EVEN), docs.filter(_ODD),
+        "doc_id", "doc_id", "text", "text", _WS, T_INNER,
+        with_score=True,
+    )
+
+
 def q_evaluate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluate() (C5): filtered join at T_SELF scored against the
     stricter brute-force join at T_GT as ground truth — non-trivial
@@ -165,6 +184,19 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
         _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components over the
+    MinHash near-dup edge set (survivor = min doc_id per cluster) —
+    the step that turns pairwise matches into a keep/drop decision in
+    a training-data pipeline."""
+    pairs = minhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
+    )
+    return connected_components(pairs, "l_id", "r_id").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 
 
@@ -435,11 +467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_self_qgram": q_jaccard_self_qgram,
         "jaccard_inner_ws": q_jaccard_inner_ws,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
+        "jaccard_self_ws_scored": q_jaccard_self_ws_scored,
+        "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "evaluate_metrics": q_evaluate_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_match": q_dedup_minhash_match,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
@@ -517,6 +552,14 @@ def oracle_sql() -> dict[str, str]:
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id",
         ),
+        "jaccard_self_ws_scored": ref_sql.self_filtered_sql(
+            "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id",
+            "r_doc_id", score=True,
+        ),
+        "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
+        ),
         "evaluate_metrics": _evaluate_metrics_sql(),
         "dedup_exact": (
             "select md5(substring(text, 1, 30)) as text_hash, "
@@ -530,6 +573,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": oracle_ext.minhash_neardup_sql(
             "documents", "doc_id", "text", T_MINHASH
+        ),
+        "dedup_clusters": oracle_ext.connected_components_sql(
+            oracle_ext.minhash_neardup_sql(
+                "documents", "doc_id", "text", T_MINHASH
+            ),
+            "l_id", "r_id", "doc_id", "cluster_id",
         ),
         "dedup_minhash_match": oracle_ext.minhash_match_sql(
             "(select * from documents where doc_id % 10 = 0)",

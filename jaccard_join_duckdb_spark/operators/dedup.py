@@ -47,6 +47,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_near_duplicates",
+    "connected_components",
 ]
 
 MERSENNE31 = 2147483647
@@ -597,3 +598,68 @@ def ngram_jaccard_near_duplicates(
     ).select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
     )
+
+
+# --------------------------------------------------------------------------
+# cluster assignment (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "l_id",
+    dst: str = "r_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """``(id, comp)`` for every node appearing in ``edges``, where
+    ``comp`` is the smallest node id in the node's connected component
+    — the survivor-selection step after near-dup pair generation (keep
+    ``id == comp``, drop the rest), turning pairwise matches into
+    dedup clusters.
+
+    Hash-min label propagation: every round each node adopts the
+    minimum label among itself and its neighbors; fixpoint after
+    graph-diameter rounds. Near-dup clusters are low-diameter
+    (cliques/stars around a template document), so 2-4 rounds is
+    typical; ``max_iterations`` bounds adversarial path graphs.
+
+    Scale design: each round is one shuffle (labels ⋈ edges on node) +
+    a min-combine groupBy with map-side partial aggregation — the
+    standard hash-min CC used by large dedup pipelines. Labels are
+    ``localCheckpoint()``-ed every round so the plan depth stays O(1)
+    instead of O(rounds), and convergence is a driver-side scalar
+    count per round (the reference's own discipline of scalar-count
+    actions, SURVEY.md §2.5 A4). For graphs with whale components at
+    cluster scale, swap in two-phase large-star/small-star; for dedup
+    edge sets the diameter argument makes hash-min the cheaper plan.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        e.select("u").distinct().select("u", F.col("u").alias("comp"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        offered = e.join(labels, "u").select(
+            F.col("v").alias("u"), "comp"
+        )
+        new_labels = (
+            offered.union(labels)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "u")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("u").alias("id"), "comp")

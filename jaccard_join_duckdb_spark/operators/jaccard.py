@@ -275,6 +275,41 @@ def _bitset_suffix_overlap(n_words: int) -> Column:
     return out
 
 
+def _jaccard_score(
+    overlap: Column, l_len: Column, r_len: Column
+) -> Column:
+    """Exact similarity from overlap and set sizes:
+    ``J = |x∩y| / (|x|+|y|-|x∩y|)``, one correctly-rounded double
+    division on integer operands — bit-identical across engines (the
+    oracle SQL casts the same operands, plans/ref_sql.py).
+
+    Beyond-reference extension (SURVEY.md §7 M7): the reference's
+    output is pairs only (§4.3.7); ``with_score=True`` variants append
+    this column. In the filtered paths the verification identity
+    ``overlap = sfx + pfxOverlap - 1`` is EXACT, not just a bound:
+    tokens rank in one global (df, token) order, so every common token
+    before the last prefix match lies in both prefixes (counted by
+    pfxOverlap) and every one after it in both suffixes (counted by
+    sfx), with the last prefix match itself counted by both.
+    """
+    return (overlap.cast("double") / (l_len + r_len - overlap)).alias(
+        "jaccard"
+    )
+
+
+def _score_cols(with_score: bool, ll: str = "llen", rl: str = "rlen"):
+    """Optional ``jaccard`` output column for the filtered-join final
+    selects, which all expose ``sfx``/``pfxoverlap`` plus the two len
+    columns (named per path)."""
+    if not with_score:
+        return []
+    return [
+        _jaccard_score(
+            F.col("sfx") + F.col("pfxoverlap") - 1, F.col(ll), F.col(rl)
+        )
+    ]
+
+
 def _pos_token_arrays(tkdf: DataFrame) -> DataFrame:
     """One row per document: ``(id, len, arr)`` with ``arr`` the
     tokens ordered by ``pos``. Feeds the compiled array-intersect
@@ -317,9 +352,12 @@ def jaccard_self_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     persist: bool = True,
+    with_score: bool = False,
 ) -> DataFrame:
     """Prefix-filtered Jaccard self-join; returns the pair DataFrame
-    ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``."""
+    ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``, plus an
+    exact ``jaccard`` double column when ``with_score`` (extension —
+    see _jaccard_score)."""
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
     if persist:
@@ -416,6 +454,7 @@ def jaccard_self_join(
             .select(
                 F.col("lid").alias(out_cols[0]),
                 F.col("rid").alias(out_cols[1]),
+                *_score_cols(with_score),
             )
         )
 
@@ -490,6 +529,7 @@ def jaccard_self_join(
             .select(
                 F.col("lid").alias(out_cols[0]),
                 F.col("rid").alias(out_cols[1]),
+                *_score_cols(with_score),
             )
         )
 
@@ -537,6 +577,7 @@ def jaccard_self_join(
         .select(
             F.col("lid").alias(out_cols[0]),
             F.col("rid").alias(out_cols[1]),
+            *_score_cols(with_score),
         )
     )
     return matches
@@ -551,6 +592,7 @@ def jaccard_self_join_brute_force(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     persist: bool = True,
+    with_score: bool = False,
 ) -> DataFrame:
     """O(pairs-sharing-a-token) oracle (jaccard_join.py:190-201):
     tokens ⋈ tokens on token with ``L.id < R.id``, group by pair,
@@ -583,6 +625,12 @@ def jaccard_self_join_brute_force(
         .select(
             F.col("lid").alias(f"{l_out_prefix}{key_attr}"),
             F.col("rid").alias(f"{r_out_prefix}{key_attr}"),
+            *(
+                [_jaccard_score(
+                    F.col("overlap"), F.col("llen"), F.col("rlen")
+                )]
+                if with_score else []
+            ),
         )
     )
 
@@ -603,6 +651,7 @@ def jaccard_inner_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     persist: bool = True,
+    with_score: bool = False,
 ) -> DataFrame:
     """Two-table prefix-filtered join with the reference's widow
     handling and adaptive side selection (jaccard_join.py:265-362).
@@ -745,7 +794,11 @@ def jaccard_inner_join(
                     F.col("llen"), F.col("rlen"), t,
                 )
             )
-            .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+            .select(
+                F.col("rid").alias(out_r),
+                F.col("sid").alias(out_s),
+                *_score_cols(with_score),
+            )
         )
 
     cand = (
@@ -803,7 +856,11 @@ def jaccard_inner_join(
                     F.col("rlen"), F.col("slen"), t,
                 )
             )
-            .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+            .select(
+                F.col("rid").alias(out_r),
+                F.col("sid").alias(out_s),
+                *_score_cols(with_score, "rlen", "slen"),
+            )
         )
 
     # Generic path with the sound candidate pre-filter.
@@ -846,7 +903,11 @@ def jaccard_inner_join(
                 F.col("rlen"), F.col("slen"), t,
             )
         )
-        .select(F.col("rid").alias(out_r), F.col("sid").alias(out_s))
+        .select(
+            F.col("rid").alias(out_r),
+            F.col("sid").alias(out_s),
+            *_score_cols(with_score, "rlen", "slen"),
+        )
     )
 
 
@@ -861,6 +922,7 @@ def jaccard_inner_join_brute_force(
     threshold: float,
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
+    with_score: bool = False,
 ) -> DataFrame:
     """Two-table oracle (jaccard_join.py:407-420)."""
     t = float(threshold)
@@ -883,6 +945,12 @@ def jaccard_inner_join_brute_force(
         .select(
             F.col("lid").alias(f"{l_out_prefix}{l_key_attr}"),
             F.col("rid").alias(f"{r_out_prefix}{r_key_attr}"),
+            *(
+                [_jaccard_score(
+                    F.col("overlap"), F.col("llen"), F.col("rlen")
+                )]
+                if with_score else []
+            ),
         )
     )
 
@@ -903,18 +971,19 @@ def jaccard_join(
     threshold: float,
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
+    with_score: bool = False,
 ) -> DataFrame:
     """Self-join when ``r_df`` is None or the same DataFrame object
     (the reference dispatches on table-name equality)."""
     if r_df is None or r_df is l_df:
         return jaccard_self_join(
             l_df, l_key_attr, l_join_attr, tokenizer, threshold,
-            l_out_prefix, r_out_prefix,
+            l_out_prefix, r_out_prefix, with_score=with_score,
         )
     return jaccard_inner_join(
         l_df, r_df, l_key_attr, r_key_attr or l_key_attr, l_join_attr,
         r_join_attr or l_join_attr, tokenizer, threshold,
-        l_out_prefix, r_out_prefix,
+        l_out_prefix, r_out_prefix, with_score=with_score,
     )
 
 
@@ -929,14 +998,15 @@ def jaccard_join_brute_force(
     threshold: float,
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
+    with_score: bool = False,
 ) -> DataFrame:
     if r_df is None or r_df is l_df:
         return jaccard_self_join_brute_force(
             l_df, l_key_attr, l_join_attr, tokenizer, threshold,
-            l_out_prefix, r_out_prefix,
+            l_out_prefix, r_out_prefix, with_score=with_score,
         )
     return jaccard_inner_join_brute_force(
         l_df, r_df, l_key_attr, r_key_attr or l_key_attr, l_join_attr,
         r_join_attr or l_join_attr, tokenizer, threshold,
-        l_out_prefix, r_out_prefix,
+        l_out_prefix, r_out_prefix, with_score=with_score,
     )

@@ -20,6 +20,7 @@ __all__ = [
     "minhash_match_sql",
     "qgram_tokens_sql",
     "ngram_jaccard_neardup_sql",
+    "connected_components_sql",
     "simhash_fingerprints_sql",
     "simhash_neardup_sql",
     "cosine_sql",
@@ -400,4 +401,28 @@ select id, hits_de, hits_en, hits_es, hits_fr,
        when hits_es >= hits_fr then 'es'
        else 'fr' end as pred_lang
 from h
+"""
+
+
+def connected_components_sql(
+    edges_sql: str, l_col: str = "l_id", r_col: str = "r_id",
+    out_id: str = "id", out_comp: str = "comp",
+) -> str:
+    """Mirror of dedup.connected_components: min-reachable-node label
+    per node of the (symmetrized) edge set. The recursive walk floods
+    every node's label along edges to fixpoint (UNION is distinct, so
+    the iteration terminates at the finite (node, label) state space);
+    min() over received labels is then the component minimum —
+    identical to the fixpoint hash-min propagation computes."""
+    return f"""
+with recursive edges0 as ({edges_sql}),
+edges as (
+  select {l_col} as u, {r_col} as v from edges0
+  union
+  select {r_col} as u, {l_col} as v from edges0),
+walk(u, comp) as (
+  select u, u from edges
+  union
+  select e.v, w.comp from walk w join edges e on e.u = w.u)
+select u as {out_id}, min(comp) as {out_comp} from walk group by u
 """

@@ -112,14 +112,27 @@ def tokens_sql(
     raise ValueError(f"unknown dialect {dialect!r}")  # pragma: no cover
 
 
+def _score_sql(overlap: str, l_len: str, r_len: str) -> str:
+    """``, <expr> as jaccard`` — exact similarity from overlap and set
+    sizes, one correctly-rounded double division on integer operands
+    (bit-identical to operators.jaccard._jaccard_score). Extension
+    column; the reference emits pairs only (SURVEY.md §4.3.7)."""
+    return (
+        f", cast({overlap} as double) / ({l_len} + {r_len} - ({overlap}))"
+        " as jaccard"
+    )
+
+
 def self_brute_sql(
     from_table: str, key: str, val: str, tokenizer: Tokenizer, t: float,
     l_out: str = "l_id", r_out: str = "r_id", dialect: str = "duckdb",
+    score: bool = False,
 ) -> str:
     """jaccard_join.py:190-201."""
+    sc = _score_sql("count(*)", "L.len", "R.len") if score else ""
     return f"""
 with tokens as ({tokens_sql(from_table, key, val, tokenizer, dialect)})
-select L.id as {l_out}, R.id as {r_out}
+select L.id as {l_out}, R.id as {r_out}{sc}
 from tokens L, tokens R
 where L.token = R.token and L.id < R.id
 group by L.id, L.len, R.id, R.len
@@ -130,10 +143,15 @@ having count(*) >= ((L.len + R.len) * {_t(t)} / (1 + {_t(t)}))
 def self_filtered_sql(
     from_table: str, key: str, val: str, tokenizer: Tokenizer, t: float,
     l_out: str = "l_id", r_out: str = "r_id", dialect: str = "duckdb",
+    score: bool = False,
 ) -> str:
     """The full filtered self-join pipeline (jaccard_join.py:111-188)
     as one CTE chain."""
     T = _t(t)
+    sc = (
+        _score_sql("count(*) + pfxOverlap - 1", "L.len", "R.len")
+        if score else ""
+    )
     return f"""
 with tokens as ({tokens_sql(from_table, key, val, tokenizer, dialect)}),
 dfq as (select token, count(*) as df from tokens group by token),
@@ -154,7 +172,7 @@ candset as (
     and least((L.len - L.pos + 1), (R.len - R.pos + 1)) >=
         ((L.len + R.len) * {T} / (1 + {T}))
   group by L.id, R.id)
-select L.id as {l_out}, R.id as {r_out}
+select L.id as {l_out}, R.id as {r_out}{sc}
 from tkdf L, tkdf R, candset c
 where c.Lid = L.id and c.Rid = R.id and L.token = R.token
   and L.pos >= LmaxPos and R.pos >= RmaxPos
@@ -166,14 +184,15 @@ having count(*) + pfxOverlap - 1 >= ((L.len + R.len) * {T} / (1 + {T}))
 def inner_brute_sql(
     l_table: str, r_table: str, l_key: str, r_key: str, l_val: str, r_val: str,
     tokenizer: Tokenizer, t: float, l_out: str = "l_id", r_out: str = "r_id",
-    dialect: str = "duckdb",
+    dialect: str = "duckdb", score: bool = False,
 ) -> str:
     """jaccard_join.py:407-420."""
     T = _t(t)
+    sc = _score_sql("count(*)", "L.len", "R.len") if score else ""
     return f"""
 with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer, dialect)}),
 r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer, dialect)})
-select L.id as {l_out}, R.id as {r_out}
+select L.id as {l_out}, R.id as {r_out}{sc}
 from l_tokens L, r_tokens R
 where L.token = R.token
 group by L.id, L.len, R.id, R.len
@@ -184,7 +203,7 @@ having count(*) >= ((L.len + R.len) * {T} / (1 + {T}))
 def inner_filtered_sql(
     l_table: str, r_table: str, l_key: str, r_key: str, l_val: str, r_val: str,
     tokenizer: Tokenizer, t: float, l_out: str = "l_id", r_out: str = "r_id",
-    dialect: str = "duckdb",
+    dialect: str = "duckdb", score: bool = False,
 ) -> str:
     """The two-table pipeline (jaccard_join.py:235-405) including the
     widow placeholder and the driver-side (R, S) swap, encoded as a
@@ -197,6 +216,11 @@ def inner_filtered_sql(
     side was chosen as R; the final projection un-swaps accordingly.
     """
     T = _t(t)
+    sc = (
+        _score_sql("count(*) + pfxOverlap - 1", "R.len", "S.len")
+        if score else ""
+    )
+    sc_out = ", m.jaccard" if score else ""
     return f"""
 with l_tokens as ({tokens_sql(l_table, l_key, l_val, tokenizer, dialect)}),
 r_tokens as ({tokens_sql(r_table, r_key, r_val, tokenizer, dialect)}),
@@ -244,7 +268,7 @@ candset as (
         ((Rpfx.len + Spfx.len) * {T} / (1 + {T}))
   group by Rpfx.id, Spfx.id),
 m as (
-  select R.id as r_side_id, S.id as s_side_id
+  select R.id as r_side_id, S.id as s_side_id{sc}
   from idx_tkdf R, prb_tkdf S, candset c
   where c.Rid = R.id and c.Sid = S.id and R.token = S.token
     and R.pos >= RmaxPos and S.pos >= SmaxPos
@@ -254,6 +278,6 @@ select
   case when (select lw from widows) > (select rw from widows)
        then m.r_side_id else m.s_side_id end as {l_out},
   case when (select lw from widows) > (select rw from widows)
-       then m.s_side_id else m.r_side_id end as {r_out}
+       then m.s_side_id else m.r_side_id end as {r_out}{sc_out}
 from m
 """

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from jaccard_join_duckdb_spark.operators.dedup import (
+    connected_components,
     drop_exact_duplicates,
     exact_duplicate_groups,
     minhash_near_duplicates,
@@ -87,3 +88,43 @@ def test_ngram_jaccard_scores(dup_df):
     assert out[(1, 2)] == 1.0
     assert all(j >= 0.5 for j in out.values())
     assert (1, 3) in out  # one-word edit at q=3 stays well above 0.5
+
+
+def test_connected_components(spark):
+    """Multi-round convergence: the 1-2-3-4-7 path graph needs several
+    hash-min rounds (labels flow one hop per round); 5-6 and the
+    self-loop 9 stay separate clusters."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (7, 4), (5, 6), (9, 9)],
+        "l_id long, r_id long",
+    )
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "l_id", "r_id").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 1),
+        (5, 5), (6, 5),
+        (9, 9),
+    }
+
+
+def test_connected_components_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        connected_components_sql,
+    )
+
+    rows = [(i, (i * 7) % 20) for i in range(20)] + [(3, 18), (0, 19)]
+    edges = spark.createDataFrame(rows, "l_id long, r_id long")
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "l_id", "r_id").collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = connected_components_sql(
+        f"select * from (values {vals}) t(l_id, r_id)"
+    )
+    want = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want

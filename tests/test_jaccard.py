@@ -33,6 +33,51 @@ def test_output_column_names(purchases):
     assert out.columns == ["a_id", "b_id"]
 
 
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8])
+def test_scored_self_join(purchases, t):
+    """with_score extension: the filtered path's ``sfx+pfxOverlap-1``
+    overlap is EXACT (see operators.jaccard._jaccard_score), so the
+    score must bit-equal brute force's ``count(*)``-derived one on
+    every common pair, and every score must sit in [t, 1]."""
+    ws = WhitespaceTokzr()
+    filt = jaccard_self_join(
+        purchases, "id", "purchases", ws, t, with_score=True
+    )
+    assert filt.columns == ["l_id", "r_id", "jaccard"]
+    fs = {
+        tuple(sorted((r.l_id, r.r_id), key=str)): r.jaccard
+        for r in filt.collect()
+    }
+    brute = jaccard_self_join_brute_force(
+        purchases, "id", "purchases", ws, t, with_score=True
+    )
+    bs = {
+        tuple(sorted((r.l_id, r.r_id), key=str)): r.jaccard
+        for r in brute.collect()
+    }
+    assert fs == bs
+    assert all(t <= v <= 1.0 for v in fs.values())
+
+
+def test_scored_inner_join(purchases, interests):
+    ws = WhitespaceTokzr()
+    filt = jaccard_inner_join(
+        purchases, interests, "id", "id", "purchases", "interests",
+        ws, 0.2, with_score=True,
+    )
+    assert set(filt.columns) == {"l_id", "r_id", "jaccard"}
+    brute = jaccard_inner_join_brute_force(
+        purchases, interests, "id", "id", "purchases", "interests",
+        ws, 0.2, with_score=True,
+    )
+    key = lambda r: (r.l_id, r.r_id)
+    fs = {key(r): r.jaccard for r in filt.collect()}
+    bs = {key(r): r.jaccard for r in brute.collect()}
+    # filtered ⊆ brute with identical scores on the intersection
+    assert set(fs) <= set(bs)
+    assert all(bs[k] == v for k, v in fs.items())
+
+
 @pytest.mark.parametrize("t", [0.2, 0.3, 0.5, 0.7, 0.8])
 @pytest.mark.parametrize("mk_tok", [
     lambda: WhitespaceTokzr(),
