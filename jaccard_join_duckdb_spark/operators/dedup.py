@@ -31,7 +31,10 @@ from ..functions.text import poly_hash
 from ..tokenizers import Tokenizer, WhitespaceTokzr
 from .jaccard import (
     _MAX_BITSET_VOCAB,
+    _bitset_suffix_overlap,
+    _doc_bitsets,
     _length_cond,
+    _overlap_cond,
     _positional_cond,
     _probing_prefix_cond,
 )
@@ -508,6 +511,122 @@ def simhash_near_duplicates(
 # n-gram Jaccard near-dup (reference join as a dedup primitive)
 # --------------------------------------------------------------------------
 
+def _round_up_slack(t: float) -> float:
+    """Candidate-bound threshold covering round-to-6 boundary pairs.
+
+    The dedup output contract keeps a pair when ``round(J, 6) >= t``
+    (mirroring the oracle SQL), so a pair with true ``J`` as low as
+    ``t - 5e-7`` must still reach verification. Prefix/length/
+    positional candidate bounds are sound for ``J >= t`` only — run
+    them at ``t - 1e-6`` instead. The relaxed literal has denominator
+    1e6 (> _MAX_EXACT_DEN), so the bound conditions evaluate on the
+    double path; its 1e-6 slack dwarfs double roundoff, keeping the
+    superset guarantee."""
+    return round(float(t) - 1e-6, 6) if t > 1e-6 else 0.0
+
+
+def _ngram_bitset_pipeline(
+    toks: DataFrame, dfreq: DataFrame, vocab_n: int, threshold: float
+) -> DataFrame:
+    """Small-vocab fast path for :func:`ngram_jaccard_near_duplicates`:
+    one persisted id-partitioned token table feeds both candidate
+    generation and bitset verification, and the exact overlap is
+    recovered as ``sfx + pfxOverlap - 1`` (see jaccard._jaccard_score:
+    under a shared global token order every common token before the
+    last prefix match is inside both prefixes, every one after it
+    inside both suffixes) instead of re-intersecting full token sets.
+
+    Plan shape (vs the generic path): the tiny (≤4096-row) doc-freq
+    dim broadcasts a dense rank ``tid``; the per-doc ``pos`` window
+    shuffles the token table by id ONCE, and ``_doc_bitsets``'s
+    groupBy(id) reuses that partitioning with no further Exchange. The
+    PPJoin positional pre-filter then prunes candidate pairs before
+    the (wide) bitset join rows are built."""
+    t = float(threshold)
+    tc = _round_up_slack(t)
+    n_words = (vocab_n + 63) // 64
+    tdim = dfreq.withColumn(
+        "tid", F.row_number().over(Window.orderBy("df", "token"))
+    )
+    tk = (
+        toks.join(F.broadcast(tdim.select("token", "tid")), "token")
+        .select(
+            "id",
+            "len",
+            "tid",
+            F.row_number()
+            .over(Window.partitionBy("id").orderBy("tid"))
+            .alias("pos"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pfx = tk.filter(_probing_prefix_cond(F.col("len"), F.col("pos"), tc))
+    L, R = pfx.alias("L"), pfx.alias("R")
+    cand = (
+        L.join(
+            R,
+            (F.col("L.tid") == F.col("R.tid"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .filter(
+            _length_cond(F.col("L.len"), F.col("R.len"), tc)
+            & _length_cond(F.col("R.len"), F.col("L.len"), tc)
+            & _positional_cond(
+                F.col("L.len"), F.col("L.pos"),
+                F.col("R.len"), F.col("R.pos"), tc,
+            )
+        )
+        .groupBy(
+            F.col("L.id").alias("lid"),
+            F.col("R.id").alias("rid"),
+            F.col("L.len").alias("llen"),
+            F.col("R.len").alias("rlen"),
+        )
+        .agg(
+            F.max("L.tid").alias("tidstart"),
+            F.max("L.pos").alias("lmaxpos"),
+            F.max("R.pos").alias("rmaxpos"),
+            F.count(F.lit(1)).alias("pfxoverlap"),
+        )
+        .filter(
+            _overlap_cond(
+                F.col("pfxoverlap") - 1
+                + F.least(
+                    F.col("llen") - F.col("lmaxpos") + 1,
+                    F.col("rlen") - F.col("rmaxpos") + 1,
+                ),
+                F.col("llen"), F.col("rlen"), tc,
+            )
+        )
+    )
+    docbits = _doc_bitsets(tk, n_words)
+    ov = (
+        cand.join(
+            docbits.select(
+                F.col("id").alias("lid"),
+                *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
+            ),
+            "lid",
+        )
+        .join(
+            docbits.select(
+                F.col("id").alias("rid"),
+                *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
+            ),
+            "rid",
+        )
+        .withColumn("sfx", _bitset_suffix_overlap(n_words))
+        .select(
+            "lid",
+            "rid",
+            (F.col("sfx") + F.col("pfxoverlap") - 1).alias("ov"),
+            F.col("llen").alias("lsz"),
+            F.col("rlen").alias("rsz"),
+        )
+    )
+    return _jaccard_threshold_filter(ov, t)
+
+
 def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     """AllPairs/PPJoin-style candidate pairs ``(lid, rid)`` with
     ``lid < rid`` from distinct ``(id, len, token)`` rows (``len`` =
@@ -533,8 +652,10 @@ def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     # a float bound can exceed the exact rational bound by an ulp,
     # shortening a prefix by one token exactly on the boundary and
     # silently losing a qualifying candidate the verification step
-    # never sees.
-    t = float(threshold)
+    # never sees. Additionally relaxed by the round-to-6 slack: the
+    # output keeps pairs whose ROUNDED score reaches the threshold,
+    # so bounds must admit J >= t - 5e-7 (see _round_up_slack).
+    t = _round_up_slack(float(threshold))
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tk = toks.join(dfreq, "token").withColumn(
         "pos",
@@ -605,10 +726,16 @@ def ngram_jaccard_near_duplicates(
         "id", "len", F.xxhash64("token").alias("token")
     )
     toks3 = toks3.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = _prefix_candidates(toks3, threshold)
-    return _verify_jaccard(
-        cands, toks3.select("id", "token"), threshold
-    ).select(
+    dfreq = toks3.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab_n = dfreq.count()  # one driver-side scalar gates the plan
+    if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+        out = _ngram_bitset_pipeline(toks3, dfreq, vocab_n, threshold)
+    else:
+        cands = _prefix_candidates(toks3, threshold)
+        out = _verify_jaccard(
+            cands, toks3.select("id", "token"), threshold
+        )
+    return out.select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
     )
 
