@@ -749,6 +749,7 @@ def connected_components(
     src: str = "l_id",
     dst: str = "r_id",
     max_iterations: int = 25,
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """``(id, comp)`` for every node appearing in ``edges``, where
     ``comp`` is the smallest node id in the node's connected component
@@ -769,8 +770,11 @@ def connected_components(
     instead of O(rounds), and convergence is a driver-side scalar
     count per round (the reference's own discipline of scalar-count
     actions, SURVEY.md §2.5 A4). For graphs with whale components at
-    cluster scale, swap in two-phase large-star/small-star; for dedup
-    edge sets the diameter argument makes hash-min the cheaper plan.
+    cluster scale, ``algorithm='two_phase'`` runs large-star/
+    small-star (Kiveris et al.), which converges in O(log n) rounds
+    regardless of diameter and never funnels a whale component's
+    labels through one reducer; for dedup edge sets the diameter
+    argument makes hash-min the cheaper plan, so it stays the default.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
@@ -778,6 +782,12 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if algorithm == "two_phase":
+        out = _cc_two_phase(e, max_iterations)
+        e.unpersist()
+        return out
+    if algorithm != "hash_min":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     labels = (
         e.select("u").distinct().select("u", F.col("u").alias("comp"))
     ).localCheckpoint()
@@ -803,3 +813,91 @@ def connected_components(
             break
     e.unpersist()
     return labels.select(F.col("u").alias("id"), "comp")
+
+
+def _cc_two_phase(e: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") over the symmetric distinct
+    edge set ``e(u, v)``; returns ``(id, comp)``.
+
+    Each round:
+    - large-star: every node connects its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself) — long chains
+      collapse geometrically;
+    - small-star: every node rewires its smaller-or-equal neighbors
+      to that minimum — forming local stars.
+    The edge set reaches a fixpoint (every component one star rooted
+    at its minimum) in O(log n) rounds; no step aggregates a whole
+    component through a single key, which is what makes it safe for
+    whale components where hash-min's label table hot-spots.
+
+    Fixpoint detection compares (count, sum of xxhash64) of the
+    canonicalized edge set between rounds — two scalars instead of a
+    set-difference join. Labels: star edges read as child→root, plus
+    isolated/self-loop nodes as their own roots.
+    """
+    nodes = e.select("u").distinct().localCheckpoint()
+    cur = (
+        e.filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    ).localCheckpoint()
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(cur)
+    for _ in range(max_iterations):
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min(N(u) ∪ {u})
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        # large-star: (v, m(u)) for v ∈ N(u), v > u. Since v > u >= m,
+        # every emitted edge is (larger, smaller).
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the (a > b) directed edges: for each a,
+        # m = min of its smaller neighborhood; rewire each smaller
+        # neighbor x and a itself to m.
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ls.join(sm, "a")
+        new = (
+            joined.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .union(sm.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        ).localCheckpoint()
+        new_sig = _sig(new)
+        old = cur
+        cur = new
+        old.unpersist()
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Fixpoint stars are (root=u < child=v); a child keeps exactly one
+    # root at convergence (min() guards the capped-iterations case).
+    labels = (
+        cur.groupBy(F.col("v").alias("id"))
+        .agg(F.min("u").alias("comp"))
+    )
+    singletons = (
+        nodes.join(labels, nodes["u"] == labels["id"], "left_anti")
+        .select(F.col("u").alias("id"), F.col("u").alias("comp"))
+    )
+    return labels.union(singletons)

@@ -128,3 +128,37 @@ def test_connected_components_matches_duckdb_oracle(spark):
     )
     want = {tuple(r) for r in duckdb.connect().execute(sql).fetchall()}
     assert got == want
+
+
+def test_connected_components_two_phase(spark):
+    """large-star/small-star must agree with hash-min (itself pinned
+    against the DuckDB recursive-CTE oracle above) on path graphs,
+    self-loops, and a random multigraph."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (7, 4), (5, 6), (9, 9)],
+        "l_id long, r_id long",
+    )
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(
+            edges, "l_id", "r_id", algorithm="two_phase"
+        ).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 1),
+        (5, 5), (6, 5),
+        (9, 9),
+    }
+    rows = [(i, (i * 13) % 23) for i in range(23)] + [(40, 41), (2, 40)]
+    e2 = spark.createDataFrame(rows, "l_id long, r_id long")
+    a = {
+        (r.id, r.comp)
+        for r in connected_components(e2, "l_id", "r_id").collect()
+    }
+    b = {
+        (r.id, r.comp)
+        for r in connected_components(
+            e2, "l_id", "r_id", algorithm="two_phase"
+        ).collect()
+    }
+    assert a == b

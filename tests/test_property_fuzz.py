@@ -9,10 +9,16 @@ Each example costs a Spark job, so examples are capped and the
 deadline disabled; the value is the weird corpora, not the volume.
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# Soak knob: each example costs Spark jobs (+ a DuckDB reference run),
+# so default low; set SPARK_GRAFT_FUZZ_EXAMPLES=50 for a deep pass.
+_N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "10"))
 
 import jaccard_join_duckdb_spark as jj
 from jaccard_join_duckdb_spark import (
@@ -64,7 +70,7 @@ def _named_pairs(df):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -126,7 +132,7 @@ def test_filtered_equals_brute_on_random_corpora(_spark, texts, t, tok_spec):
 
 
 @settings(
-    max_examples=6,
+    max_examples=max(3, _N_EXAMPLES * 6 // 10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
