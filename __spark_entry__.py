@@ -41,6 +41,7 @@ from jaccard_join_duckdb_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_duplicates,
 )
+from jaccard_join_duckdb_spark.operators.curate import curate_corpus
 from jaccard_join_duckdb_spark.operators.evaluate import evaluate
 from jaccard_join_duckdb_spark.operators.similarity import (
     cosine_near_duplicates,
@@ -184,6 +185,16 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
         _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
+    )
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → exact dedup
+    → MinHash near-dup clusters → min-id survivors, hash-checked
+    end-to-end against the single composed DuckDB statement."""
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_quality=0.3, min_tokens=20, neardup_threshold=T_MINHASH,
     )
 
 
@@ -475,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curate": q_corpus_curate,
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
@@ -573,6 +585,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": oracle_ext.minhash_neardup_sql(
             "documents", "doc_id", "text", T_MINHASH
+        ),
+        "corpus_curate": oracle_ext.curate_corpus_sql(
+            "documents", "doc_id", "text",
+            min_quality=0.3, min_tokens=20,
+            neardup_threshold=T_MINHASH,
         ),
         "dedup_clusters": oracle_ext.connected_components_sql(
             oracle_ext.minhash_neardup_sql(

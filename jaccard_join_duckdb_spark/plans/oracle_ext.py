@@ -426,3 +426,47 @@ walk(u, comp) as (
   select e.v, w.comp from walk w join edges e on e.u = w.u)
 select u as {out_id}, min(comp) as {out_comp} from walk group by u
 """
+
+
+def curate_corpus_sql(
+    table: str, key: str, val: str,
+    min_quality: float = 0.3, min_tokens: int = 20,
+    neardup_threshold: float = 0.9,
+    num_hashes: int = 32, bands: int = 8, seed: int = 42,
+) -> str:
+    """Mirror of operators.curate.curate_corpus — the composed
+    pipeline hash-checked end-to-end: quality gate (same rounded
+    arithmetic as text_stats_sql), exact dedup (min id per md5(text)),
+    MinHash near-dup pairs (same params), recursive-CTE component
+    labels (same fixpoint as hash-min propagation), min-id survivors.
+    """
+    pairs = minhash_neardup_sql(
+        "kd", key, val, neardup_threshold, num_hashes, bands, seed
+    )
+    return f"""
+with recursive
+st as ({text_stats_sql(table, key, val)}),
+keep as (
+  select id, n_tokens, quality from st
+  where quality >= CAST({float(min_quality)!r} AS DOUBLE)
+    and n_tokens >= {int(min_tokens)}),
+k as (select d.* from {table} d join keep on d.{key} = keep.id),
+ex as (select min({key}) as id from k group by md5({val})),
+kd as (select k.* from k join ex on k.{key} = ex.id),
+pairs as ({pairs}),
+edges as (
+  select l_id as u, r_id as v from pairs
+  union
+  select r_id as u, l_id as v from pairs),
+walk(u, comp) as (
+  select u, u from edges
+  union
+  select e.v, w.comp from walk w join edges e on e.u = w.u),
+comps as (select u as id, min(comp) as comp from walk group by u),
+losers as (select id from comps where id != comp)
+select kd.{key} as {key}, keep.n_tokens, keep.quality
+from kd
+join keep on kd.{key} = keep.id
+left join losers on kd.{key} = losers.id
+where losers.id is null
+"""
