@@ -18,6 +18,8 @@ __all__ = [
     "load_table",
     "read_jsonl",
     "read_parquet",
+    "read_orc",
+    "write_orc",
     "concat_val",
     "to_join_input",
     "register_view",
@@ -43,6 +45,17 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC (beyond the reference's CSV/JSONL surface): columnar format
+    with predicate pushdown + column pruning, same as parquet —
+    relevant for lakes standardized on ORC."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

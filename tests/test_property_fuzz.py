@@ -137,8 +137,12 @@ def test_filtered_equals_brute_on_random_corpora(_spark, texts, t, tok_spec):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(l_texts=_corpus, r_texts=_corpus, t=st.sampled_from([0.2, 0.5, 0.8]))
+@pytest.mark.parametrize("tok_spec", [
+    ("WhitespaceTokzr", (), {}),
+    ("QGramsTokzr", (2,), {}),
+], ids=["ws-set", "qgram2"])
 def test_inner_filtered_equals_brute_on_random_corpora(
-    _spark, l_texts, r_texts, t
+    _spark, l_texts, r_texts, t, tok_spec
 ):
     """Two-table path has no lexicographic pair-key quirk (sides are
     ordered by table, not by concat(len,'_',id)), but filtered ⊆ brute
@@ -158,7 +162,8 @@ def test_inner_filtered_equals_brute_on_random_corpora(
     r = _spark.createDataFrame(
         [(i, s) for i, s in enumerate(r_texts)], "id long, val string"
     )
-    tok = WhitespaceTokzr()
+    name, args, kwargs = tok_spec
+    tok = getattr(jj, name)(*args, **kwargs)
     filt = _named_pairs(
         jaccard_inner_join(l, r, "id", "id", "val", "val", tok, t)
     )
@@ -170,7 +175,7 @@ def test_inner_filtered_equals_brute_on_random_corpora(
     assert filt <= brute
     if _REF:
         ref_filt, ref_brute = ref_oracle.inner_join_pairs(
-            l_texts, r_texts, ("WhitespaceTokzr", (), {}), t
+            l_texts, r_texts, tok_spec, t
         )
         assert filt == ref_filt
         assert brute == ref_brute

@@ -103,3 +103,18 @@ def test_bucketed_tables_join_without_exchange(spark, documents):
     finally:
         spark.sql("drop table if exists bck_l")
         spark.sql("drop table if exists bck_r")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from jaccard_join_duckdb_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "id long, val string"
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a b c"), (2, "d e f"),
+    ]
