@@ -147,6 +147,18 @@ def q_jaccard_inner_ws_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar pairs (beyond-reference: the reference has
+    no LIMIT/top-k anywhere, SURVEY.md §2.7). Total order (jaccard
+    desc, ids) makes the cut deterministic; physically a TakeOrdered
+    — per-partition top-k then a 50-row driver merge, no full sort."""
+    return (
+        q_jaccard_self_ws_scored(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "l_doc_id", "r_doc_id")
+        .limit(50)
+    )
+
+
 def q_evaluate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluate() (C5): filtered join at T_SELF scored against the
     stricter brute-force join at T_GT as ground truth — non-trivial
@@ -480,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "jaccard_self_ws_scored": q_jaccard_self_ws_scored,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
+        "jaccard_topk_pairs": q_jaccard_topk_pairs,
         "evaluate_metrics": q_evaluate_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -571,6 +584,14 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
+        ),
+        "jaccard_topk_pairs": (
+            "select * from ("
+            + ref_sql.self_filtered_sql(
+                "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id",
+                "r_doc_id", score=True,
+            )
+            + ") order by jaccard desc, l_doc_id, r_doc_id limit 50"
         ),
         "evaluate_metrics": _evaluate_metrics_sql(),
         "dedup_exact": (
