@@ -51,6 +51,8 @@ def curate_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    cc_algorithm: str = "hash_min",
+    cc_max_iterations: int = 50,
 ) -> DataFrame:
     """Surviving documents as ``(id_col, n_tokens, quality)``.
 
@@ -72,7 +74,10 @@ def curate_corpus(
         kept, id_col, text_col, neardup_threshold,
         tokenizer=tokenizer, num_hashes=num_hashes, bands=bands, seed=seed,
     )
-    labels = connected_components(pairs, "l_id", "r_id")
+    labels = connected_components(
+        pairs, "l_id", "r_id",
+        max_iterations=cc_max_iterations, algorithm=cc_algorithm,
+    )
     losers = labels.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

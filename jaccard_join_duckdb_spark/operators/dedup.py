@@ -303,6 +303,7 @@ def _verify_jaccard(
     toks: DataFrame,
     threshold: float,
     r_toks: DataFrame | None = None,
+    vocab_n: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs. ``lid`` draws from
     ``toks``; ``rid`` from ``r_toks`` when given (query-vs-corpus
@@ -326,7 +327,10 @@ def _verify_jaccard(
     if two_sided:
         vocab = vocab.union(r_toks.select("token"))
     vocab = vocab.distinct()
-    vocab_n = vocab.count()  # cheap driver-side scalar, gates the plan
+    # One driver-side scalar gates the plan; callers that already
+    # aggregated the vocabulary pass its size to skip the recount.
+    if vocab_n is None:
+        vocab_n = vocab.count()
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
         n_words = (vocab_n + 63) // 64
         tdim = vocab.withColumn(
@@ -627,7 +631,9 @@ def _ngram_bitset_pipeline(
     return _jaccard_threshold_filter(ov, t)
 
 
-def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    toks: DataFrame, threshold: float, dfreq: DataFrame | None = None
+) -> DataFrame:
     """AllPairs/PPJoin-style candidate pairs ``(lid, rid)`` with
     ``lid < rid`` from distinct ``(id, len, token)`` rows (``len`` =
     set cardinality |x|) — a guaranteed superset of every pair with
@@ -656,7 +662,8 @@ def _prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     # output keeps pairs whose ROUNDED score reaches the threshold,
     # so bounds must admit J >= t - 5e-7 (see _round_up_slack).
     t = _round_up_slack(float(threshold))
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tk = toks.join(dfreq, "token").withColumn(
         "pos",
         F.row_number().over(
@@ -731,9 +738,10 @@ def ngram_jaccard_near_duplicates(
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
         out = _ngram_bitset_pipeline(toks3, dfreq, vocab_n, threshold)
     else:
-        cands = _prefix_candidates(toks3, threshold)
+        cands = _prefix_candidates(toks3, threshold, dfreq=dfreq)
         out = _verify_jaccard(
-            cands, toks3.select("id", "token"), threshold
+            cands, toks3.select("id", "token"), threshold,
+            vocab_n=vocab_n,
         )
     return out.select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
@@ -748,7 +756,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "l_id",
     dst: str = "r_id",
-    max_iterations: int = 25,
+    max_iterations: int = 50,
     algorithm: str = "hash_min",
 ) -> DataFrame:
     """``(id, comp)`` for every node appearing in ``edges``, where
@@ -811,6 +819,19 @@ def connected_components(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        # Fail loud: returning intermediate labels would silently
+        # misassign clusters (and diverge from the exact recursive-CTE
+        # oracle). A component's diameter exceeded the round budget —
+        # adversarial chain graphs do this; dedup clusters normally
+        # converge in a handful of rounds.
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components(hash_min) did not converge within "
+            f"{max_iterations} rounds ({changed} labels still moving); "
+            "raise max_iterations or use algorithm='two_phase' "
+            "(O(log n) rounds regardless of diameter)"
+        )
     e.unpersist()
     return labels.select(F.col("u").alias("id"), "comp")
 
@@ -890,8 +911,15 @@ def _cc_two_phase(e: DataFrame, max_iterations: int) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components(two_phase) did not reach a fixpoint "
+            f"within {max_iterations} rounds — with O(log n) convergence "
+            "this indicates a graph far beyond any expected scale; raise "
+            "max_iterations"
+        )
     # Fixpoint stars are (root=u < child=v); a child keeps exactly one
-    # root at convergence (min() guards the capped-iterations case).
+    # root at convergence.
     labels = (
         cur.groupBy(F.col("v").alias("id"))
         .agg(F.min("u").alias("comp"))

@@ -294,10 +294,19 @@ def _jaccard_score(
     before the last prefix match lies in both prefixes (counted by
     pfxOverlap) and every one after it in both suffixes (counted by
     sfx), with the last prefix match itself counted by both.
+
+    Exactness requires duplicate-row-free token tables (set
+    semantics). ``with_score`` rejects bag mode outright; the
+    remaining degenerate corner is the reference's dedup-before-
+    lowercase quirk (case-collapsed duplicate rows), where the
+    row-counted overlap can reach ``llen + rlen`` — the denominator
+    is NULLed then (Spark ANSI would otherwise raise DIVIDE_BY_ZERO;
+    the oracle SQL uses ``nullif`` for the same NULL).
     """
-    return (overlap.cast("double") / (l_len + r_len - overlap)).alias(
-        "jaccard"
-    )
+    denom = l_len + r_len - overlap
+    return (
+        F.when(denom != 0, overlap.cast("double") / denom)
+    ).alias("jaccard")
 
 
 def _score_cols(with_score: bool, ll: str = "llen", rl: str = "rlen"):
@@ -361,6 +370,12 @@ def jaccard_self_join(
     ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``, plus an
     exact ``jaccard`` double column when ``with_score`` (extension —
     see _jaccard_score)."""
+    if with_score and not tokenizer.return_set:
+        raise ValueError(
+            "with_score requires set semantics (return_set=True): the "
+            "bag-mode overlap counts duplicate token matches and is not "
+            "a Jaccard numerator"
+        )
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
     if persist:
@@ -600,6 +615,12 @@ def jaccard_self_join_brute_force(
     """O(pairs-sharing-a-token) oracle (jaccard_join.py:190-201):
     tokens ⋈ tokens on token with ``L.id < R.id``, group by pair,
     ``HAVING count(*) >= (L.len+R.len)*t/(1+t)``."""
+    if with_score and not tokenizer.return_set:
+        raise ValueError(
+            "with_score requires set semantics (return_set=True): the "
+            "bag-mode overlap counts duplicate token matches and is not "
+            "a Jaccard numerator"
+        )
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
     if persist:
@@ -665,6 +686,12 @@ def jaccard_inner_join(
     side with more indexing-prefix widows becomes the indexing side R
     (ties go to (r, l): jaccard_join.py:353, SURVEY.md §4.3.4).
     """
+    if with_score and not tokenizer.return_set:
+        raise ValueError(
+            "with_score requires set semantics (return_set=True): the "
+            "bag-mode overlap counts duplicate token matches and is not "
+            "a Jaccard numerator"
+        )
     t = float(threshold)
     l_tokens = tokenizer.tokenize(l_df, l_key_attr, l_join_attr)
     r_tokens = tokenizer.tokenize(r_df, r_key_attr, r_join_attr)
@@ -928,6 +955,12 @@ def jaccard_inner_join_brute_force(
     with_score: bool = False,
 ) -> DataFrame:
     """Two-table oracle (jaccard_join.py:407-420)."""
+    if with_score and not tokenizer.return_set:
+        raise ValueError(
+            "with_score requires set semantics (return_set=True): the "
+            "bag-mode overlap counts duplicate token matches and is not "
+            "a Jaccard numerator"
+        )
     t = float(threshold)
     L = tokenizer.tokenize(l_df, l_key_attr, l_join_attr).alias("L")
     R = tokenizer.tokenize(r_df, r_key_attr, r_join_attr).alias("R")

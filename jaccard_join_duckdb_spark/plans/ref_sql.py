@@ -115,11 +115,12 @@ def tokens_sql(
 def _score_sql(overlap: str, l_len: str, r_len: str) -> str:
     """``, <expr> as jaccard`` — exact similarity from overlap and set
     sizes, one correctly-rounded double division on integer operands
-    (bit-identical to operators.jaccard._jaccard_score). Extension
+    (bit-identical to operators.jaccard._jaccard_score, including the
+    NULL on the case-collapse quirk's zero denominator). Extension
     column; the reference emits pairs only (SURVEY.md §4.3.7)."""
     return (
-        f", cast({overlap} as double) / ({l_len} + {r_len} - ({overlap}))"
-        " as jaccard"
+        f", cast({overlap} as double)"
+        f" / nullif({l_len} + {r_len} - ({overlap}), 0) as jaccard"
     )
 
 

@@ -49,8 +49,7 @@ def _ref_tokenizer(spec):
     """spec: (class_name, args_tuple, kwargs_dict) — the same spec the
     fuzz tests use to build OUR tokenizer, applied to the reference's
     class of the same name (the public API surfaces match by design)."""
-    if _REF not in sys.path:
-        sys.path.insert(0, _REF)
+    _ensure_path()
     from py_duckdb.similarity_join import tokenizers as rt
 
     name, args, kwargs = spec

@@ -162,3 +162,14 @@ def test_connected_components_two_phase(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph longer than the round budget must fail loud, not
+    return intermediate labels (which would silently misassign
+    clusters and diverge from the exact oracle)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "l_id long, r_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "l_id", "r_id", max_iterations=3)

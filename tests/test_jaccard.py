@@ -224,3 +224,27 @@ def test_fast_path_gating_on_case_duplicates(spark):
     assert not WhitespaceTokzr().rows_distinct
     assert QGramsTokzr(3).rows_distinct
     assert not QGramsTokzr(3, return_set=False).rows_distinct
+
+
+def test_scored_rejects_bag_mode(purchases):
+    """Bag-mode overlap counts duplicate token matches — not a Jaccard
+    numerator (it can even exceed llen+rlen, which would divide by
+    zero under ANSI) — so with_score refuses it up front."""
+    tok = WhitespaceTokzr(return_set=False)
+    for fn in (jaccard_self_join, jaccard_self_join_brute_force):
+        with pytest.raises(ValueError, match="set semantics"):
+            fn(purchases, "id", "purchases", tok, 0.5, with_score=True)
+
+
+def test_scored_case_collapse_null_score(spark):
+    """The dedup-before-lowercase quirk can drive the row-counted
+    overlap up to llen+rlen; the score column goes NULL there (both
+    engines — the oracle SQL uses nullif) instead of raising
+    DIVIDE_BY_ZERO."""
+    df = spark.createDataFrame(
+        [(1, "A a"), (2, "a A")], "id long, val string"
+    )
+    rows = jaccard_self_join_brute_force(
+        df, "id", "val", WhitespaceTokzr(), 0.5, with_score=True
+    ).collect()
+    assert [(r.l_id, r.r_id, r.jaccard) for r in rows] == [(1, 2, None)]
