@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import text_stats
 from ..tokenizers import Tokenizer
@@ -69,7 +70,12 @@ def curate_corpus(
         & (F.col("n_tokens") >= F.lit(int(min_tokens)))
     )
     kept = df.join(kept_stats.select(id_col), id_col, "left_semi")
-    kept = drop_exact_duplicates(kept, id_col, text_col)
+    # Read twice (near-dup pair generation AND the final survivor
+    # anti-join) — persist so the scan → quality gate → exact-dedup
+    # chain executes once.
+    kept = drop_exact_duplicates(kept, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = minhash_near_duplicates(
         kept, id_col, text_col, neardup_threshold,
         tokenizer=tokenizer, num_hashes=num_hashes, bands=bands, seed=seed,
