@@ -43,8 +43,10 @@ _REF = ref_oracle.available()
 
 # Tiny alphabet maximizes token collisions (shared tokens are what
 # stress the filters); mixed case exercises the lowercase quirks;
-# multi-space runs exercise the blank-token filter.
-_WORDS = ["a", "b", "ab", "A", "Ba", "b b", "", "  ", "ccc"]
+# multi-space runs exercise the blank-token filter; punctuation-bearing
+# and accented words exercise the delimiter split and unicode
+# lowercasing parity between engines.
+_WORDS = ["a", "b", "ab", "A", "Ba", "b b", "", "  ", "ccc", "a,b", "c;a", "Ü"]
 _corpus = st.lists(
     st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
     min_size=2,
@@ -79,7 +81,8 @@ def _named_pairs(df):
     ("WhitespaceTokzr", (), {}),
     ("WhitespaceTokzr", (), {"return_set": False}),
     ("QGramsTokzr", (2,), {}),
-], ids=["ws-set", "ws-bag", "qgram2"])
+    ("DelimiterTokzr", ([",", ";", " "],), {}),
+], ids=["ws-set", "ws-bag", "qgram2", "delim"])
 def test_filtered_equals_brute_on_random_corpora(_spark, texts, t, tok_spec):
     name, args, kwargs = tok_spec
     mk_tok = lambda: getattr(jj, name)(*args, **kwargs)
