@@ -277,6 +277,25 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(emb, "vec_id", "embedding", T_EMB_COS)
 
 
+def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-blocked — the scale path: the
+    pair join is an equi-join on the sign-LSH bucket (shuffle on blk,
+    no cartesian), candidates shrink ~2^n_planes-fold. Recall vs the
+    exact baseline depends on n_planes; the oracle mirrors the same
+    buckets so the gate checks the blocked semantics exactly."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(EMB_DIM, LSH_PLANES)
+    return cosine_near_duplicates(
+        emb, "vec_id", "embedding", T_EMB_COS,
+        block_expr=lsh_bucket_expr(F.col("embedding"), planes),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(
@@ -293,20 +312,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NumPy-matmul Pandas-UDF top-k (no SQL oracle: float64 matmul
-    summation order is not reproducible in SQL — rows-only check;
-    rank agreement with the expression path is tested in
-    tests/test_similarity.py)."""
+    """NumPy-matmul Pandas-UDF top-k, projected to the rank-only
+    columns ``(query_id, neighbor_id, rank)``: float64 matmul
+    summation order differs from the SQL fold in the 6th decimal, so
+    the score itself is not oracle-comparable — the neighbor set and
+    rank order are (brute-force oracle, same projection). Score
+    agreement with the expression path is separately tested with
+    tolerance in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_pandas(
         emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (no SQL oracle: centroid sample
-    uses Spark's partition-seeded rand — rows-only check; recall vs
-    brute force is tested in tests/test_similarity.py)."""
+    """IVF-bucketed approximate top-k. Centroids = the n_lists
+    smallest-id corpus vectors (deterministic, SQL-reproducible —
+    oracle_ext.ivf_topk_sql mirrors assignment and probing
+    bit-for-bit); recall vs brute force is tested in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K,
@@ -504,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embed_cosine": q_dedup_embed_cosine,
+        "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -641,12 +666,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed_cosine": oracle_ext.cosine_neardup_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS
         ),
+        "dedup_embed_cosine_lsh": oracle_ext.cosine_neardup_lsh_sql(
+            "embeddings", "vec_id", "embedding", T_EMB_COS,
+            n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
         "ann_cosine_topk": oracle_ext.cosine_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
         ),
         "ann_lsh_topk": oracle_ext.lsh_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
             n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "ann_pandas_topk": (
+            "select query_id, neighbor_id, CAST(rank AS INTEGER) as rank "
+            "from ("
+            + oracle_ext.cosine_topk_sql(
+                "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
+            )
+            + ")"
+        ),
+        "ann_ivf_topk": oracle_ext.ivf_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
+            n_lists=16, n_probe=4,
         ),
         "text_token_counts": oracle_ext.token_counts_sql(
             "documents", "doc_id", "text"

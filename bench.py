@@ -28,8 +28,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram",
     "dedup_embed_cosine",
+    "dedup_embed_cosine_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_token_counts",
     "text_stats",
     "text_lang_id",

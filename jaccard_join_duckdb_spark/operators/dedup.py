@@ -329,8 +329,11 @@ def _verify_jaccard(
     vocab = vocab.distinct()
     # One driver-side scalar gates the plan; callers that already
     # aggregated the vocabulary pass its size to skip the recount.
+    # limit(MAX+1).count() == min(actual, MAX+1): exact whenever the
+    # gate passes (the bitset must cover every tid), early-stopping
+    # on huge vocabularies where only "too big" matters.
     if vocab_n is None:
-        vocab_n = vocab.count()
+        vocab_n = vocab.limit(_MAX_BITSET_VOCAB + 1).count()
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
         n_words = (vocab_n + 63) // 64
         tdim = vocab.withColumn(
@@ -428,7 +431,7 @@ def _jaccard_threshold_filter(ov: DataFrame, threshold: float) -> DataFrame:
 # SimHash
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 31
+SIMHASH_BITS = 62
 
 
 def simhash_fingerprints(
@@ -437,8 +440,16 @@ def simhash_fingerprints(
     text_col: str,
     tokenizer: Tokenizer | None = None,
 ) -> DataFrame:
-    """31-bit SimHash per document: per-bit vote sum over token
+    """62-bit SimHash per document: per-bit vote sum over token
     hashes (+1 if bit set, -1 otherwise), bit = 1 iff vote > 0.
+
+    The 62-bit token hash packs two independent 31-bit polynomial
+    hashes (multipliers 31 and 37): ``h = h31 + h37 * 2^31``. A
+    single 64-bit mod-prime fold is NOT engine-portable (the
+    multiply overflows BIGINT in DuckDB, which raises instead of
+    wrapping), while each 31-bit fold stays exact in both engines —
+    and 62 fingerprint bits keep pairwise collision rates sane at
+    100 TB corpus sizes where 31 bits would saturate.
 
     Bit extraction uses exact integer math ``(h div 2^j) % 2``
     (portable to DuckDB as ``h // 2^j``) rather than shift operators,
@@ -447,7 +458,11 @@ def simhash_fingerprints(
     tokenizer = tokenizer or WhitespaceTokzr()
     toks = _token_sets(df, id_col, text_col, tokenizer)
     tok_h = toks.select("token").distinct().select(
-        "token", poly_hash(F.col("token")).alias("h")
+        "token",
+        (
+            poly_hash(F.col("token"))
+            + poly_hash(F.col("token"), mult=37) * F.lit(2147483648)
+        ).alias("h"),
     )
     th = toks.join(tok_h, "token").select("id", "h")
     bits = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
@@ -474,7 +489,7 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidate blocking: split the 31-bit fingerprint into four 8-bit
+    Candidate blocking: split the 62-bit fingerprint into four 16-bit
     chunks; by pigeonhole any pair within hamming 3 shares at least
     one identical chunk, so the blocked equi-join loses no pairs for
     max_hamming <= 3 (larger thresholds trade recall, documented).
@@ -484,8 +499,8 @@ def simhash_near_duplicates(
     chunks = F.array(*[F.lit(c) for c in range(4)])
     blocked = (
         fp.select("id", "simhash", F.explode(chunks).alias("c"))
-        .withColumn("p2", F.pow(F.lit(2.0), F.col("c") * 8).cast("long"))
-        .withColumn("chunk", F.expr("(simhash div p2) % 256"))
+        .withColumn("p2", F.pow(F.lit(2.0), F.col("c") * 16).cast("long"))
+        .withColumn("chunk", F.expr("(simhash div p2) % 65536"))
         # Both sides of the chunk self-join read this — persist or the
         # fingerprint chain runs twice.
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -734,7 +749,10 @@ def ngram_jaccard_near_duplicates(
     )
     toks3 = toks3.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks3.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    vocab_n = dfreq.count()  # one driver-side scalar gates the plan
+    # Early-stopping gate scalar: exact iff <= _MAX_BITSET_VOCAB (what
+    # the bitset pipeline needs), capped at MAX+1 otherwise (all the
+    # large-vocab branch needs to know).
+    vocab_n = dfreq.limit(_MAX_BITSET_VOCAB + 1).count()
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
         out = _ngram_bitset_pipeline(toks3, dfreq, vocab_n, threshold)
     else:

@@ -391,7 +391,14 @@ def jaccard_self_join(
     # reads scalar counts for its side-swap decision).
     n_words = 0
     if tokenizer.rows_distinct:
-        vocab_n = tokens.select("token").distinct().count()
+        # limit(MAX+1).count() == min(actual, MAX+1): exact whenever
+        # the gate passes (bitset width must cover every tid), and the
+        # reduce side stops after MAX+1 distinct tokens instead of
+        # counting a 100 TB vocabulary just to learn "too big".
+        vocab_n = (
+            tokens.select("token").distinct()
+            .limit(_MAX_BITSET_VOCAB + 1).count()
+        )
         if 0 < vocab_n <= _MAX_BITSET_VOCAB:
             n_words = (vocab_n + 63) // 64
 
@@ -723,7 +730,9 @@ def jaccard_inner_join(
     # the shared dfreq preserves pos<->tid monotonicity on each side.
     n_words = 0
     if tokenizer.rows_distinct:
-        vocab_n = dfreq.count()
+        # Early-stopping gate count (see self join): exact iff it
+        # passes, capped at MAX+1 otherwise.
+        vocab_n = dfreq.limit(_MAX_BITSET_VOCAB + 1).count()
         if 0 < vocab_n <= _MAX_BITSET_VOCAB:
             n_words = (vocab_n + 63) // 64
             dfreq = dfreq.withColumn(

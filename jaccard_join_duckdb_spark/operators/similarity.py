@@ -47,6 +47,19 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _py_norm(vals) -> float:
+    """Driver-side L2 norm with the exact float semantics of
+    :func:`_norm` / the oracle's ``_norm_sql``: left-to-right
+    double-precision accumulation from 0.0, then correctly-rounded
+    sqrt. Keeping the fold order identical is what makes centroid
+    literals oracle-reproducible."""
+    acc = 0.0
+    for x in vals:
+        v = float(x)
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -177,37 +190,49 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: str = "min_ids",
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
     ``n_lists`` inverted lists by nearest centroid; each query probes
     its ``n_probe`` closest lists only.
 
-    Centroids are a deterministic seeded sample of corpus vectors
-    (IVF-flat with sampled centroids — no iterative training, so the
-    operator stays a pure two-pass DataFrame computation; swap in
-    k-means centroids for better recall if an offline training step
-    is acceptable). Candidates shrink ~n_lists/n_probe-fold versus
-    brute force; recall depends on list balance. Output schema
-    matches :func:`cosine_topk_bruteforce`.
+    Centroids are corpus vectors chosen without iterative training,
+    so the operator stays a pure two-pass DataFrame computation (swap
+    in k-means centroids for better recall if an offline training
+    step is acceptable). ``centroids="min_ids"`` (default) takes the
+    ``n_lists`` smallest-id vectors — fully deterministic and
+    SQL-reproducible, which is what lets
+    ``plans.oracle_ext.ivf_topk_sql`` mirror this operator
+    bit-for-bit; ``centroids="sample"`` takes a seeded random sample
+    (better spread on adversarially ordered corpora, but Spark's
+    partition-seeded rand is not reproducible in an external oracle).
+    Candidates shrink ~n_lists/n_probe-fold versus brute force;
+    recall depends on list balance. Output schema matches
+    :func:`cosine_topk_bruteforce`.
     """
-    cents = [
-        (i, list(r[1]))
-        for i, r in enumerate(
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.rand(seed))
-            .limit(int(n_lists))
-            .collect()
-        )
-    ]
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if centroids == "sample":
+        picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
+    elif centroids == "min_ids":
+        picked = base.orderBy(F.col(id_col).asc()).limit(int(n_lists)).collect()
+    else:
+        raise ValueError(f"unknown centroid rule: {centroids!r}")
+    cents = [(i, list(r[1])) for i, r in enumerate(picked)]
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n closest centroids (by cosine), as an array."""
+        """ids of the n closest centroids (by cosine), as an array.
+        Centroid norms use math.sqrt (correctly-rounded IEEE, same as
+        SQL sqrt) over a left-to-right fold — bit-identical to the
+        oracle's _norm_sql on the same float32-widened values."""
         scored = F.array(
             *[
                 F.struct(
                     (
                         _dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
-                        / (_norm(vec) * F.lit(float(sum(x * x for x in cv) ** 0.5)))
+                        / (
+                            _norm(vec)
+                            * F.lit(_py_norm(cv))
+                        )
                     ).alias("s"),
                     F.lit(ci).alias("c"),
                 )
@@ -258,18 +283,22 @@ def cosine_near_duplicates(
     all-pairs baseline. Output: ``(l_id, r_id, cosine)``."""
     # Norm is per-row: compute it once before the pair join instead of
     # twice per pair. dot/(l_nrm*r_nrm) is the same float expression as
-    # cosine_similarity, so oracle parity is unaffected.
-    sel = df.select(
+    # cosine_similarity, so oracle parity is unaffected. block_expr is
+    # evaluated over the ORIGINAL input columns (before the internal
+    # rename) so callers write it against their own schema.
+    cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ]
+    if block_expr is not None:
+        cols.append(block_expr.alias("blk"))
+    sel = df.select(*cols)
     L = sel.alias("L")
     R = sel.alias("R")
     if block_expr is not None:
-        sel_b = sel.withColumn("blk", block_expr)
-        L = sel_b.alias("L")
-        R = sel_b.alias("R")
+        # Equi-join on the bucket: shuffles both sides on blk — the
+        # scale plan (SortMergeJoin/ShuffledHashJoin, no cartesian).
         pairs = L.join(
             R,
             (F.col("L.blk") == F.col("R.blk")) & (F.col("L.id") < F.col("R.id")),

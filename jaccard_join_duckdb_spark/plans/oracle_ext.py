@@ -25,7 +25,10 @@ __all__ = [
     "simhash_neardup_sql",
     "cosine_sql",
     "cosine_neardup_sql",
+    "cosine_neardup_lsh_sql",
     "cosine_topk_sql",
+    "ivf_topk_sql",
+    "lsh_bucket_lit_sql",
     "lsh_topk_sql",
     "text_stats_sql",
     "lang_id_sql",
@@ -45,13 +48,13 @@ def ws_tokens_sql(table: str, key: str, val: str) -> str:
     )
 
 
-def poly_hash_sql(col: str) -> str:
+def poly_hash_sql(col: str, mult: int = 31) -> str:
     """31-bit polynomial fold — mirrors functions.text.poly_hash."""
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(generate_series(1, len({col})), i -> "
         f"CAST(ascii(substring({col}, i, 1)) AS BIGINT))), "
-        "(a, c) -> (a * 31 + c) % 2147483647)"
+        f"(a, c) -> (a * {int(mult)} + c) % 2147483647)"
     )
 
 
@@ -181,14 +184,19 @@ where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
 
 
 def _simhash_fp_cte(table: str, key: str, val: str) -> str:
-    """CTE chain ending in ``fp(id, simhash)``."""
+    """CTE chain ending in ``fp(id, simhash)`` — 62-bit fingerprint,
+    token hash = poly31 + poly37 * 2^31 (mirrors
+    dedup.simhash_fingerprints; see there for why two 31-bit folds
+    instead of one 64-bit fold)."""
     return f"""
 toks as ({ws_tokens_sql(table, key, val)}),
-th as (select id, {poly_hash_sql('token')} as h from toks),
+th as (select id, {poly_hash_sql('token')}
+                  + {poly_hash_sql('token', mult=37)} * 2147483648 as h
+       from toks),
 votes as (
   select id, j.j as j, CAST(round(pow(2.0, j.j)) AS BIGINT) as p2,
          sum(((h // CAST(round(pow(2.0, j.j)) AS BIGINT)) % 2) * 2 - 1) as vote
-  from th, generate_series(0, 30) as j(j)
+  from th, generate_series(0, 61) as j(j)
   group by id, j.j),
 fp as (
   select id, sum(case when vote > 0 then p2 else 0 end) as simhash
@@ -208,7 +216,7 @@ def simhash_neardup_sql(table: str, key: str, val: str, max_hamming: int = 3) ->
 with {_simhash_fp_cte(table, key, val)},
 blocked as (
   select id, simhash, c.c as c,
-         (simhash // CAST(round(pow(2.0, c.c * 8)) AS BIGINT)) % 256 as chunk
+         (simhash // CAST(round(pow(2.0, c.c * 16)) AS BIGINT)) % 65536 as chunk
   from fp, generate_series(0, 3) as c(c)),
 pairs as (
   select distinct L.id as l_id, R.id as r_id,
@@ -277,6 +285,55 @@ where round({cosine_sql(f'L.{vec_col}', f'R.{vec_col}')}, 6)
 """
 
 
+def ivf_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int,
+    n_lists: int = 16, n_probe: int = 4,
+) -> str:
+    """Mirror of similarity.ivf_topk with ``centroids="min_ids"``:
+    centroids are the ``n_lists`` smallest-id vectors (index = rank
+    in id order, 0-based); every corpus row lands in its top-1 list,
+    queries probe their ``n_probe`` closest lists. Centroid-distance
+    ordering ties break on *descending* centroid index — the exact
+    order Spark's reverse(array_sort(struct(s, c))) yields. The raw
+    (unrounded) cosine drives list assignment, matching the Spark
+    expression bit-for-bit (same folds, same sqrt)."""
+    cos_raw = cosine_sql("v", "cv")
+    return f"""
+with cents as (
+  select CAST(row_number() over (order by {id_col} asc) - 1 AS BIGINT) as c,
+         {vec_col} as cv
+  from (select {id_col}, {vec_col} from {table}
+        order by {id_col} asc limit {int(n_lists)})),
+corpus as (select {id_col} as neighbor_id, {vec_col} as v from {table}),
+qs as (select {id_col} as query_id, {vec_col} as v from {table} where {query_pred}),
+c_ranked as (
+  select neighbor_id, v, c,
+         row_number() over (partition by neighbor_id
+                            order by {cos_raw} desc, c desc) as rn
+  from corpus, cents),
+c_assign as (select neighbor_id, v as cv2, c as lst from c_ranked where rn = 1),
+q_ranked as (
+  select query_id, v, c,
+         row_number() over (partition by query_id
+                            order by {cos_raw} desc, c desc) as rn
+  from qs, cents),
+q_probe as (select query_id, v as qv, c as lst from q_ranked
+            where rn <= {int(n_probe)}),
+scored as (
+  select query_id, neighbor_id,
+         round({cosine_sql('qv', 'cv2')}, 6) as cosine
+  from q_probe join c_assign using (lst)
+  where query_id != neighbor_id),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored)
+select query_id, neighbor_id, cosine, CAST(rank AS INTEGER) as rank
+from ranked where rank <= {int(k)}
+"""
+
+
 def _dot_lit_sql(vec: str, values: list[float]) -> str:
     """Dot product of a vector column against a literal plane —
     mirrors similarity._dot with the plane as F.lit doubles."""
@@ -297,6 +354,29 @@ def lsh_bucket_lit_sql(vec: str, planes: list[list[float]]) -> str:
         for j, p in enumerate(planes)
     )
     return f"(CAST(0 AS BIGINT) + {terms})"
+
+
+def cosine_neardup_lsh_sql(
+    table: str, id_col: str, vec_col: str, threshold: float,
+    n_planes: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """Mirror of similarity.cosine_near_duplicates with
+    ``block_expr = lsh_bucket_expr(...)``: candidate pairs restricted
+    to equal sign-LSH buckets (same shared hyperplanes), cosine from
+    per-row precomputed norms — the scale path, no all-pairs join."""
+    planes = hyperplanes(dim, n_planes, seed)
+    blk = lsh_bucket_lit_sql(vec_col, planes)
+    return f"""
+with b as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm,
+         {blk} as blk
+  from {table})
+select L.id as l_id, R.id as r_id,
+       round({_dot_sql('L.v', 'R.v')} / (L.nrm * R.nrm), 6) as cosine
+from b L join b R on L.blk = R.blk and L.id < R.id
+where round({_dot_sql('L.v', 'R.v')} / (L.nrm * R.nrm), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
 
 
 def lsh_topk_sql(

@@ -26,6 +26,17 @@ __all__ = [
 ]
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` rejects TIMESTAMP_NTZ event-time columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); parquet round-trips of the
+    testdata events table come back as timestamp_ntz. Cast to the
+    session-local TIMESTAMP type before attaching a watermark —
+    wall-clock values are unchanged (both are naive timestamps here)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def hourly_event_stats(
     events: DataFrame,
     ts_col: str = "ts",
@@ -39,7 +50,7 @@ def hourly_event_stats(
     on streams (batch ignores late-data semantics)."""
     df = events
     if df.isStreaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))
         .agg(
@@ -72,7 +83,7 @@ def sessionize(
     stateful on streams, plain agg on batch)."""
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_col, gap)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, gap)
     return (
         df.groupBy(
             F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col)
@@ -175,6 +186,7 @@ def dedup_stream(
         keep = sel.groupBy("fingerprint").agg(F.min("id").alias("id"))
         return keep.select("id", "fingerprint")
     if ts_col:
+        sel = _watermarkable(sel, ts_col)
         return sel.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["fingerprint"]
         )
@@ -241,7 +253,7 @@ def read_event_stream(
     )
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _watermarkable(df, "ts")
 
 
 def run_stream_to_memory(

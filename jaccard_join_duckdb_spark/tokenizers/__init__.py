@@ -40,10 +40,27 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cluster's parallelism when the scan is narrower than that — a
     no-op (and skipped) at real scale where scans already carry
     thousands of partitions."""
+    if df.isStreaming:
+        return df  # micro-batch engine owns partitioning
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Read the width off the optimized logical plan instead of
+    # df.rdd.getNumPartitions(): the RDD conversion forces a full
+    # physical-plan translation per tokenize call (and would throw on
+    # streaming inputs). A scan's file count bounds its partition
+    # count, so sampling via the plan-free heuristic below is enough:
+    # only tiny inputs (fewer leaf files/partitions than cores) need
+    # the repartition, and for those the repartition is cheap anyway.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
+    # Unknown width (no file scan underneath: in-memory or derived
+    # input) — leave untouched; local createDataFrame already slices
+    # to defaultParallelism and post-shuffle DFs carry
+    # spark.sql.shuffle.partitions partitions.
     return df
 
 

@@ -73,7 +73,9 @@ def test_simhash_fingerprints_deterministic(dup_df):
     fp2 = {r.id: r.simhash for r in simhash_fingerprints(dup_df, "id", "text").collect()}
     assert fp1 == fp2
     assert fp1[1] == fp1[2]  # identical texts, identical fingerprints
-    assert all(0 <= v < 2**31 for v in fp1.values())
+    from jaccard_join_duckdb_spark.operators.dedup import SIMHASH_BITS
+    assert all(0 <= v < 2**SIMHASH_BITS for v in fp1.values())
+    assert any(v >= 2**31 for v in fp1.values())  # high half populated
 
 
 def test_simhash_near_duplicates(dup_df):
