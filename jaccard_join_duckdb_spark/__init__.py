@@ -26,6 +26,7 @@ from .operators.evaluate import confusion_matrix_df, evaluate  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .tokenizers import (  # noqa: F401
     DelimiterTokzr,
+    WordsTokzr,
     QGramsTokzr,
     Tokenizer,
     WhitespaceTokzr,

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["Tokenizer", "QGramsTokzr", "DelimiterTokzr", "WhitespaceTokzr"]
+__all__ = ["Tokenizer", "QGramsTokzr", "DelimiterTokzr", "WhitespaceTokzr", "WordsTokzr"]
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -219,3 +219,27 @@ class WhitespaceTokzr(DelimiterTokzr):
 
     def __init__(self, return_set: bool = True, distinct_rows: bool | None = None):
         super().__init__({" ", "\t", "\r", "\n"}, return_set, distinct_rows)
+
+
+class WordsTokzr(DelimiterTokzr):
+    """Historical reference API (``test.ipynb`` cells 27, 162:
+    ``WordsTokzr("'\\|'")``): split on a caller-supplied regex
+    PATTERN, not a character class built from a separator set. The
+    class was dropped from the current reference package (SURVEY.md
+    §2.3 T5); semantics are reconstructed from its call sites as the
+    regex generalization of :class:`DelimiterTokzr` (same drop-blank
+    filter, same dedup-before-lowercase pipeline), which is what the
+    packaged DelimiterTokzr evolved from. The historical argument
+    carried its SQL quoting (``"'\\|'"``); surrounding single quotes
+    are stripped for convenience."""
+
+    def __init__(
+        self,
+        pattern: str,
+        return_set: bool = True,
+        distinct_rows: bool | None = None,
+    ):
+        Tokenizer.__init__(self, return_set, distinct_rows)
+        if len(pattern) >= 2 and pattern[0] == pattern[-1] == "'":
+            pattern = pattern[1:-1]
+        self.pattern = pattern

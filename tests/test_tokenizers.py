@@ -97,3 +97,66 @@ def test_len_is_pre_explode_cardinality(spark):
     assert {(r[0], r[1]) for r in out} == {(1, 2)}
     bag = _spark_tokens(WhitespaceTokzr(return_set=False), spark, [(1, "x x x y")])
     assert {(r[0], r[1]) for r in bag} == {(1, 4)}
+
+
+def _words_sql(pattern, return_set=True):
+    distinct = "list_distinct" if return_set else ""
+    return (
+        "select id, len(tks) as len, lower(unnest(tks)) as token from ("
+        f"select id, {distinct}(list_filter(str_split_regex(val, '{pattern}'),"
+        " x -> trim(x) != '')) as tks from t)"
+    )
+
+
+PIPE_ROWS = [
+    (1, "Bible|charger|pan|whisk"),
+    (2, "colander||comb|razor"),
+    (3, "Whisk|whisk"),  # case-sensitive dedup quirk carries over
+    (4, ""),
+    (5, "|||"),
+    (6, "solo"),
+    (7, "a|b c|d"),  # only the pipe splits; spaces stay inside tokens
+]
+
+
+def test_words_tokzr_matches_duckdb(spark):
+    """Historical WordsTokzr (test.ipynb cell 27): caller-supplied
+    regex split, reference semantics via the same DuckDB shape as
+    DelimiterTokzr."""
+    from jaccard_join_duckdb_spark import WordsTokzr
+
+    tok = WordsTokzr(r"'\|'")  # historical call style: SQL-quoted
+    assert tok.pattern == r"\|"
+    assert _spark_tokens(tok, spark, PIPE_ROWS) == _duckdb_tokens(
+        _words_sql(r"\|", True), PIPE_ROWS
+    )
+    bag = WordsTokzr(r"\|", return_set=False)  # unquoted also accepted
+    assert _spark_tokens(bag, spark, PIPE_ROWS) == _duckdb_tokens(
+        _words_sql(r"\|", False), PIPE_ROWS
+    )
+
+
+def test_words_tokzr_join_parity(spark):
+    """End-to-end: a self join under WordsTokzr matches the reference
+    pipeline in DuckDB (ref_sql routes it through the DelimiterTokzr
+    branch via .pattern)."""
+    import os
+
+    from jaccard_join_duckdb_spark import WordsTokzr, jaccard_self_join
+    from jaccard_join_duckdb_spark.plans.ref_sql import self_filtered_sql
+    from tests.conftest import TESTS_DIR, pairs
+
+    purchases = os.path.join(TESTS_DIR, "data", "purchases.csv")
+    from jaccard_join_duckdb_spark.sources import read_csv
+
+    # purchases values are space-delimited; split on space via regex
+    tok = WordsTokzr("' '")
+    df = read_csv(spark, purchases)
+    got = pairs(jaccard_self_join(df, "id", "purchases", tok, 0.4))
+    want = {
+        tuple(sorted((a, b), key=str))
+        for a, b in duckdb.connect().execute(
+            self_filtered_sql(f"'{purchases}'", "id", "purchases", tok, 0.4)
+        ).fetchall()
+    }
+    assert got == want
