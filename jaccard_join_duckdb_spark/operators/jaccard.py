@@ -165,17 +165,47 @@ def _positional_cond(
 # shared stages
 # --------------------------------------------------------------------------
 
-def tokens_with_doc_freq(tokens: DataFrame, with_pair_key: bool = False) -> DataFrame:
+def tokens_with_doc_freq(
+    tokens: DataFrame,
+    with_pair_key: bool = False,
+    hot_df_threshold: int | None = None,
+) -> DataFrame:
     """tokens → ``tkdf(id, len, token, df, pos[, l_id])``.
 
     Document frequency per token (jaccard_join.py:127-130), position
     = ``row_number() OVER (PARTITION BY id ORDER BY df, token)``
     (jaccard_join.py:132-137), and — for the self-join — the pair
     ordering key ``l_id = concat(len, '_', id)`` (jaccard_join.py:135).
+
+    ``hot_df_threshold`` (opt-in skew mitigation for Zipf token
+    distributions): tokens with ``df >= threshold`` are heavy hitters
+    — on a crawl corpus the hottest word lands in a constant fraction
+    of ALL documents, putting that fraction of the corpus into ONE
+    shuffle partition of the tokens ⋈ dfreq join. AQE's skew-join
+    split cannot help here structurally: the dfreq aggregate reuses
+    the join's token-hash partitioning (no exchange in between), and
+    OptimizeSkewedJoin only splits joins reading bare shuffle stages.
+    Mitigation: heavy hitters are FEW by definition, so their dfreq
+    rows broadcast — hot token rows join map-side (no shuffle at
+    all), and only the cold tail goes through the shuffle join
+    (pre-filtered with a broadcast anti-join so hot rows never enter
+    the skewed exchange). Identical output rows; see
+    tools/skew_demo.py for the measured straggler relief.
     """
     dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if hot_df_threshold:
+        thr = int(hot_df_threshold)
+        hot = dfreq.filter(F.col("df") >= thr)
+        hot_tokens = F.broadcast(hot.select("token"))
+        joined = (
+            tokens.join(hot_tokens, "token", "left_anti")
+            .join(dfreq.filter(F.col("df") < thr), "token")
+            .unionByName(tokens.join(F.broadcast(hot), "token"))
+        )
+    else:
+        joined = tokens.join(dfreq, "token")
     w = Window.partitionBy("id").orderBy("df", "token")
-    out = tokens.join(dfreq, "token").select(
+    out = joined.select(
         "id",
         "len",
         "token",
