@@ -117,10 +117,17 @@ def _minhash_band_sigs(
     toks: DataFrame, num_hashes: int, bands: int, seed: int
 ) -> DataFrame:
     """Distinct ``(id, token)`` rows → LSH band signatures
-    ``(id, band, sig)``; sig is the comma-joined minhash row of the
-    band. Deterministic in (num_hashes, bands, seed) so signatures
-    computed at different times — static corpus index vs streaming
-    micro-batch — bucket-join correctly."""
+    ``(id, band, sig)``; sig is the xxhash64 of the comma-joined
+    minhash row of the band — signatures are only ever compared for
+    EQUALITY (bucket joins), so an 8-byte long key shuffles/sorts ~5×
+    narrower than the raw string. A 64-bit collision could only add a
+    spurious candidate pair, which exact-Jaccard verification then
+    scores truthfully; a verified pair that additionally collides with
+    the oracle's string-sig bucketing is ~2^-64 — the same accepted
+    noise floor as the hashed n-gram tokens. Deterministic in
+    (num_hashes, bands, seed) so signatures computed at different
+    times — static corpus index vs streaming micro-batch —
+    bucket-join correctly."""
     rows_per_band = num_hashes // bands
     # poly_hash folds per character in interpreted mode (higher-order
     # fn) — hash each DISTINCT token once and join back instead of
@@ -149,12 +156,14 @@ def _minhash_band_sigs(
         sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
         .groupBy("id", "band")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "minh"))),
-                    lambda x: x["minh"].cast("string"),
-                ),
-                ",",
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                        lambda x: x["minh"].cast("string"),
+                    ),
+                    ",",
+                )
             ).alias("sig")
         )
     )
