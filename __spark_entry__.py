@@ -339,6 +339,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal plumbing (Arrow-batched mapInPandas; fake kernels are
+# deterministic md5 derivations, so the full pipeline is oracle-graded
+# even though real codecs are stubbed — sources/multimodal.py)
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asset table (payload = utf-8 text bytes) → Arrow-batched decode
+    stage → (asset_id, width, height, channels, n_bytes)."""
+    from jaccard_join_duckdb_spark.sources.multimodal import (
+        decode_image_meta,
+        make_asset_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_image_meta(make_asset_table(docs, "doc_id", "text"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asset table → Arrow-batched feature extraction, unnested to
+    scalar rows (asset_id, dim, value); values are exact dyadic
+    rationals so float32 vs DOUBLE compare bit-equal."""
+    from jaccard_join_duckdb_spark.sources.multimodal import (
+        extract_features,
+        make_asset_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    feats = extract_features(make_asset_table(docs, "doc_id", "text"))
+    return feats.select(
+        "asset_id", F.posexplode("feature").alias("pos", "v")
+    ).select(
+        "asset_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v").cast("double").alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
 
@@ -534,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "text_token_counts": q_text_token_counts,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
@@ -688,6 +728,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracle_ext.ivf_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
             n_lists=16, n_probe=4,
+        ),
+        "multimodal_decode": oracle_ext.multimodal_decode_sql(
+            "documents", "doc_id", "text"
+        ),
+        "multimodal_features": oracle_ext.multimodal_features_sql(
+            "documents", "doc_id", "text"
         ),
         "text_token_counts": oracle_ext.token_counts_sql(
             "documents", "doc_id", "text"

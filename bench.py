@@ -61,7 +61,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best, n_rows = None, None

@@ -33,6 +33,8 @@ __all__ = [
     "text_stats_sql",
     "lang_id_sql",
     "token_counts_sql",
+    "multimodal_decode_sql",
+    "multimodal_features_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -481,6 +483,50 @@ select id, hits_de, hits_en, hits_es, hits_fr,
        when hits_es >= hits_fr then 'es'
        else 'fr' end as pred_lang
 from h
+"""
+
+
+def _hexbyte_sql(hexcol: str, pos: str) -> str:
+    """Byte ``pos`` (1-based SQL expr) of an md5 hex string as
+    0-255 — mirrors ``hashlib.md5(payload).digest()[pos-1]`` for the
+    multimodal fake kernels (payload = utf-8 text, ASCII corpus)."""
+    h1 = f"substring({hexcol}, 2 * ({pos}) - 1, 1)"
+    h2 = f"substring({hexcol}, 2 * ({pos}), 1)"
+    return (
+        f"(16 * (strpos('0123456789abcdef', {h1}) - 1) + "
+        f"(strpos('0123456789abcdef', {h2}) - 1))"
+    )
+
+
+def multimodal_decode_sql(table: str, key: str, val: str) -> str:
+    """Mirror of sources.multimodal.decode_image_meta(fake=True) over
+    make_asset_table(payload = utf-8 text): dims from the first three
+    md5 digest bytes, n_bytes = payload length."""
+    return f"""
+with h as (select {key} as asset_id, md5({val}) as hx,
+                  octet_length(encode({val})) as nb
+           from {table})
+select asset_id,
+       CAST(16 + {_hexbyte_sql('hx', '1')} % 240 AS INTEGER) as width,
+       CAST(16 + {_hexbyte_sql('hx', '2')} % 240 AS INTEGER) as height,
+       CAST(1 + {_hexbyte_sql('hx', '3')} % 4 AS INTEGER) as channels,
+       CAST(nb AS BIGINT) as n_bytes
+from h
+"""
+
+
+def multimodal_features_sql(
+    table: str, key: str, val: str, dim: int = 16
+) -> str:
+    """Mirror of sources.multimodal.extract_features(fake=True),
+    unnested to scalar rows (asset_id, dim, value): value =
+    (digest_byte - 128) / 128 — exact dyadic rationals, identical in
+    float32 and DOUBLE."""
+    return f"""
+with h as (select {key} as asset_id, md5({val}) as hx from {table})
+select asset_id, CAST(i.i AS INTEGER) as dim,
+       CAST(({_hexbyte_sql('hx', 'i.i')} - 128) / 128.0 AS DOUBLE) as value
+from h, generate_series(1, {int(dim)}) as i(i)
 """
 
 
