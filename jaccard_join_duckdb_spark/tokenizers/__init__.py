@@ -181,12 +181,17 @@ class QGramsTokzr(Tokenizer):
         )
         if not self.return_set:
             return bag
-        dist = bag.select("id", "token").distinct()
-        w = Window.partitionBy("id")
-        return dist.select(
+        # Set semantics in ONE exchange: collect_set aggregates to
+        # hash(id) directly (map-side partial dedup included), then
+        # len = array size and tokens re-explode — versus the previous
+        # distinct (exchange on (id, token)) + count window (second
+        # exchange on id). Gram sets are bounded by the padded text
+        # length, so per-id state stays small at any corpus scale.
+        sets = bag.groupBy("id").agg(F.collect_set("token").alias("tks"))
+        return sets.select(
             "id",
-            F.count(F.lit(1)).over(w).cast("int").alias("len"),
-            "token",
+            F.size("tks").cast("int").alias("len"),
+            F.explode("tks").alias("token"),
         )
 
 
