@@ -411,6 +411,20 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval (range) join: purchases within 30 minutes after a
+    click by the same user. Batch twin of the watermarked
+    stream-stream join (streaming.interval_join; stream == batch is
+    tested in tests/test_streaming.py)."""
+    from jaccard_join_duckdb_spark.streaming import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    return interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 # --------------------------------------------------------------------------
 # relational analytics over the TPC-H-ish tables (scan / broadcast
 # join / agg / window at the largest-table scale)
@@ -579,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_interval_join": q_events_interval_join,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_revenue_by_nation": q_orders_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -762,6 +777,14 @@ select min(ts) as session_start,
        max(ts) + interval 30 minute as session_end,
        user_id, count(*) as n_events
 from s group by user_id, sid
+""",
+        "events_interval_join": """
+select l.event_id as l_event_id, r.event_id as r_event_id,
+       l.user_id as user_id, l.ts as l_ts, r.ts as r_ts
+from events l join events r
+  on l.user_id = r.user_id
+ and r.ts >= l.ts and r.ts <= l.ts + interval 30 minute
+where l.event_type = 'click' and r.event_type = 'purchase'
 """,
         "lineitem_pricing": """
 select l_returnflag, l_linestatus,

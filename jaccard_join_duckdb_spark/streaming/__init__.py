@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dedup_stream",
     "hourly_event_stats",
+    "interval_join",
     "near_dedup_stream",
     "read_event_stream",
     "run_stream_to_memory",
@@ -151,6 +152,52 @@ def running_user_totals(
         stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Time-interval (range) join: for each left row, right rows with
+    the same ``key`` and ``l_ts <= r_ts <= l_ts + upper``.
+
+    Works on batch and streaming inputs alike. On streams this is a
+    stream-stream inner join: watermarks on both sides plus the time
+    bound in the join condition let the engine purge state — without
+    them stream-stream join state grows forever (the batch twin is
+    the correctness oracle, tested in tests/test_streaming.py).
+
+    Scale: equi-join (shuffle on ``key``) with the range predicates
+    as join residuals — never a cross product; per-key event rates
+    bound partition sizes.
+    Output: ``(l_{id}, r_{id}, {key}, l_{ts}, r_{ts})``.
+    """
+    L, R = left, right
+    if L.isStreaming:
+        L = _watermarkable(L, ts_col).withWatermark(ts_col, watermark)
+    if R.isStreaming:
+        R = _watermarkable(R, ts_col).withWatermark(ts_col, watermark)
+    La, Ra = L.alias("L"), R.alias("R")
+    cond = (
+        (F.col(f"L.{key}") == F.col(f"R.{key}"))
+        & (F.col(f"R.{ts_col}") >= F.col(f"L.{ts_col}"))
+        & (
+            F.col(f"R.{ts_col}")
+            <= F.col(f"L.{ts_col}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return La.join(Ra, cond).select(
+        F.col(f"L.{id_col}").alias(f"l_{id_col}"),
+        F.col(f"R.{id_col}").alias(f"r_{id_col}"),
+        F.col(f"L.{key}").alias(key),
+        F.col(f"L.{ts_col}").alias(f"l_{ts_col}"),
+        F.col(f"R.{ts_col}").alias(f"r_{ts_col}"),
     )
 
 

@@ -175,3 +175,26 @@ def test_near_dedup_stream_equals_batch_match(spark, tmp_path):
         assert sorted(got) == want
     finally:
         idx.unpersist()
+
+
+def test_interval_join_stream_equals_batch(spark, events, tmp_path):
+    """Stream-stream interval join (watermarks both sides + time
+    bound) drained with AvailableNow equals the batch range join on
+    the same data — inner join emits exactly the matched pairs."""
+    from jaccard_join_duckdb_spark.streaming import interval_join
+
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    want = _rows(interval_join(clicks, purchases))
+    assert len(want) > 0
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.repartition(2).write.parquet(cdir)
+    purchases.repartition(2).write.parquet(pdir)
+    cs = read_event_stream(spark, cdir)
+    ps = read_event_stream(spark, pdir)
+    out = interval_join(cs, ps)
+    assert out.isStreaming
+    run_stream_to_memory(out, "ij_mem", output_mode="append")
+    got = _rows(spark.table("ij_mem"))
+    assert got == want
