@@ -395,11 +395,15 @@ def jaccard_self_join(
     r_out_prefix: str = "r_",
     persist: bool = True,
     with_score: bool = False,
+    hot_df_threshold: int | None = None,
 ) -> DataFrame:
     """Prefix-filtered Jaccard self-join; returns the pair DataFrame
     ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``, plus an
     exact ``jaccard`` double column when ``with_score`` (extension —
-    see _jaccard_score)."""
+    see _jaccard_score). ``hot_df_threshold`` opts into the
+    heavy-hitter broadcast split for Zipf-skewed corpora (see
+    :func:`tokens_with_doc_freq`); it affects only the tkdf build
+    plan, never the result."""
     if with_score and not tokenizer.return_set:
         raise ValueError(
             "with_score requires set semantics (return_set=True): the "
@@ -435,7 +439,9 @@ def jaccard_self_join(
     if n_words:
         tkdf = _tokens_with_tid(tokens)
     else:
-        tkdf = tokens_with_doc_freq(tokens, with_pair_key=True)
+        tkdf = tokens_with_doc_freq(
+            tokens, with_pair_key=True, hot_df_threshold=hot_df_threshold
+        )
     if persist:
         tkdf = tkdf.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -56,6 +56,15 @@ def _ref_tokenizer(spec):
     # Our tokenizers accept distinct_rows (a Spark-side fast-path
     # hint); the reference has no such notion — strip it.
     kwargs = {k: v for k, v in kwargs.items() if k != "distinct_rows"}
+    if name == "WordsTokzr":
+        # Historical class, absent from the current reference package.
+        # For a single non-meta character pattern it is semantically
+        # identical to DelimiterTokzr with that one separator (regex
+        # 'c' == class '[c]'), which lets the port be fuzzed against
+        # the real reference implementation.
+        (pattern,) = args
+        assert len(pattern) == 1, "fuzz mapping only for 1-char patterns"
+        return rt.DelimiterTokzr([pattern], **kwargs)
     return getattr(rt, name)(*args, **kwargs)
 
 

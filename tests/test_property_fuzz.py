@@ -82,7 +82,11 @@ def _named_pairs(df):
     ("WhitespaceTokzr", (), {"return_set": False}),
     ("QGramsTokzr", (2,), {}),
     ("DelimiterTokzr", ([",", ";", " "],), {}),
-], ids=["ws-set", "ws-bag", "qgram2", "delim"])
+    # Historical WordsTokzr: 1-char pattern maps to the reference's
+    # DelimiterTokzr (see ref_oracle._ref_tokenizer), so the port is
+    # fuzzed against the actual reference implementation.
+    ("WordsTokzr", (",",), {}),
+], ids=["ws-set", "ws-bag", "qgram2", "delim", "words"])
 def test_filtered_equals_brute_on_random_corpora(_spark, texts, t, tok_spec):
     name, args, kwargs = tok_spec
     mk_tok = lambda: getattr(jj, name)(*args, **kwargs)
