@@ -135,37 +135,44 @@ def _minhash_band_sigs(
     tok_h = toks.select("token").distinct().select(
         "token", poly_hash(F.col("token")).alias("h")
     )
-    base = toks.join(tok_h, "token").select("id", "token", "h")
-    params = F.array(
+    base = toks.join(tok_h, "token").select("id", "h")
+    # All num_hashes permutation minima in ONE aggregation keyed by id:
+    # 32 compiled min() columns over the token-hash rows, with map-side
+    # partial aggregation — versus exploding num_hashes rows per token
+    # (a num_hashes× bigger shuffle) and aggregating twice. Per-id
+    # output is a single 32-long row regardless of document size.
+    mins = base.groupBy("id").agg(
         *[
-            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)
+            ).alias(f"m{i}")
             for i, a, b in minhash_params(num_hashes, seed)
         ]
     )
-    hashes = base.select(
-        "id",
-        F.explode(params).alias("p"),
-        F.col("h"),
-    ).select(
-        "id",
-        F.col("p.i").alias("i"),
-        ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MERSENNE31)).alias("hh"),
+    # One (id, band, sig) row per band: sig = xxhash64 of the
+    # comma-joined minima in permutation order — byte-identical input
+    # string to the previous collect_list/array_sort formulation.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
     )
-    sig = hashes.groupBy("id", "i").agg(F.min("hh").alias("minh"))
-    return (
-        sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
-                        lambda x: x["minh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("sig")
-        )
+    return mins.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
