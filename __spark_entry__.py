@@ -398,6 +398,14 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by BM25 weight
+    (rational idf — see functions.text.bm25_top_terms)."""
+    from jaccard_join_duckdb_spark.functions.text import bm25_top_terms
+
+    return bm25_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
 # --------------------------------------------------------------------------
 # events: windowed + session aggregations (streaming-shaped; same
 # transform is stream-applied in jaccard_join_duckdb_spark.streaming)
@@ -591,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
+        "text_bm25_topk": q_text_bm25_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_interval_join": q_events_interval_join,
@@ -755,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_stats": oracle_ext.text_stats_sql("documents", "doc_id", "text"),
         "text_lang_id": oracle_ext.lang_id_sql("documents", "doc_id", "text"),
+        "text_bm25_topk": oracle_ext.bm25_top_terms_sql(
+            "documents", "doc_id", "text", k=3
+        ),
         "events_hourly": """
 select date_trunc('hour', ts) as window_start, event_type,
        count(*) as n_events,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "text_token_counts",
     "text_stats",
     "text_lang_id",
+    "text_bm25_topk",
     "events_hourly",
     "events_sessionize",
     "lineitem_pricing",

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
+    "bm25_top_terms",
     "ws_token_array",
     "poly_hash",
     "text_stats",
@@ -155,4 +157,75 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
+    )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by BM25 weight —
+    keyword extraction / relevance weighting for a text pipeline.
+
+    Deliberately uses the Robertson idf WITHOUT the logarithm:
+    ``idf = (N - df + 0.5) / (df + 0.5)``. Rankings are identical
+    (log is monotone) but every operation is IEEE +,*,/ on exactly
+    representable inputs — bit-deterministic across engines, unlike
+    ``ln`` whose last ulp is libm-dependent; that is what lets the
+    DuckDB oracle hash-match (plans/oracle_ext.bm25_top_terms_sql).
+
+    N counts ALL documents (empty ones too); avgdl = total tokens / N.
+    Scale: one shuffle for tf (id, token), windows over token (df) and
+    id (dl), two one-row aggregates broadcast — no driver round trip.
+    Output: ``(id, token, tf, score, rank)``, rank by (score desc,
+    token asc).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_token_array(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("id"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("tot"))
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "token",
+            "tf",
+            F.round(
+                (
+                    (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("dl")
+                        / (
+                            F.col("tot").cast("double")
+                            / F.col("n").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
     )

@@ -35,6 +35,7 @@ __all__ = [
     "token_counts_sql",
     "multimodal_decode_sql",
     "multimodal_features_sql",
+    "bm25_top_terms_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -483,6 +484,47 @@ select id, hits_de, hits_en, hits_es, hits_fr,
        when hits_es >= hits_fr then 'es'
        else 'fr' end as pred_lang
 from h
+"""
+
+
+def bm25_top_terms_sql(
+    table: str, key: str, val: str, k: int = 3,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Mirror of functions.text.bm25_top_terms: rational Robertson
+    idf (no log — bit-deterministic IEEE arithmetic), N = all rows,
+    avgdl = total tokens / N, identical operation order."""
+    one_minus_b = 1.0 - float(b)
+    k1_plus_1 = float(k1) + 1.0
+    return f"""
+with toks as (
+  select {key} as id, unnest({_ws_bag_sql(val)}) as token from {table}),
+tf0 as (select id, token, count(*) as tf from toks group by id, token),
+tf as (
+  select id, token, tf,
+         sum(tf) over (partition by id) as dl,
+         count(*) over (partition by token) as dfq
+  from tf0),
+n as (select count(*) as n from {table}),
+tot as (select count(*) as tot from toks),
+scored as (
+  select id, token, tf,
+         round(
+           ((n - dfq + CAST(0.5 AS DOUBLE)) / (dfq + CAST(0.5 AS DOUBLE)))
+           * (tf * CAST({k1_plus_1!r} AS DOUBLE))
+           / (tf + CAST({float(k1)!r} AS DOUBLE)
+              * (CAST({one_minus_b!r} AS DOUBLE)
+                 + CAST({float(b)!r} AS DOUBLE) * dl
+                   / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))),
+           6) as score
+  from tf, n, tot),
+ranked as (
+  select id, token, tf, score,
+         row_number() over (partition by id
+                            order by score desc, token asc) as rank
+  from scored)
+select id, token, tf, score, CAST(rank AS INTEGER) as rank
+from ranked where rank <= {int(k)}
 """
 
 

