@@ -406,6 +406,15 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile (counts + exact doc-length percentiles;
+    functions.text.corpus_profile — pass exact=False for the t-digest
+    sketch beyond ~1e9 docs)."""
+    from jaccard_join_duckdb_spark.functions.text import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir), "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # events: windowed + session aggregations (streaming-shaped; same
 # transform is stream-applied in jaccard_join_duckdb_spark.streaming)
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_bm25_topk": q_text_bm25_topk,
+        "corpus_profile": q_corpus_profile,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_interval_join": q_events_interval_join,
@@ -766,6 +776,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracle_ext.lang_id_sql("documents", "doc_id", "text"),
         "text_bm25_topk": oracle_ext.bm25_top_terms_sql(
             "documents", "doc_id", "text", k=3
+        ),
+        "corpus_profile": oracle_ext.corpus_profile_sql(
+            "documents", "doc_id", "text"
         ),
         "events_hourly": """
 select date_trunc('hour', ts) as window_start, event_type,

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "bm25_top_terms",
+    "corpus_profile",
     "ws_token_array",
     "poly_hash",
     "text_stats",
@@ -228,4 +229,41 @@ def bm25_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """One-row corpus profile: document counts, token totals, and
+    doc-length percentiles — the numbers that drive pipeline tuning
+    (partition sizing, length-outlier filters, curation thresholds).
+
+    ``exact=True`` uses ``percentile`` — its aggregation state is the
+    per-document length list (one long per doc, NOT corpus bytes), so
+    it holds to ~1e9 documents; beyond that pass ``exact=False`` for
+    the t-digest sketch (``approx_percentile``, bounded state, not
+    oracle-comparable). Spark's exact interpolation is bit-identical
+    to DuckDB ``quantile_cont`` (verified including the float
+    interpolation artifacts).
+    Output: ``(n_docs, n_empty_docs, total_tokens, avg_tokens,
+    p50_tokens, p90_tokens, p99_tokens, max_tokens)``.
+    """
+    lens = df.select(F.size(ws_token_array(F.col(text_col))).alias("nt"))
+    pct = "approx_percentile" if not exact else "percentile"
+    qs = F.expr(f"{pct}(nt, array(0.5D, 0.9D, 0.99D))")
+    return lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("nt") == 0).alias("n_empty_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("nt").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_tokens"),
+        F.element_at(qs, 1).alias("p50_tokens"),
+        F.element_at(qs, 2).alias("p90_tokens"),
+        F.element_at(qs, 3).alias("p99_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
     )

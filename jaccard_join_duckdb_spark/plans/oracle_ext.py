@@ -36,6 +36,7 @@ __all__ = [
     "multimodal_decode_sql",
     "multimodal_features_sql",
     "bm25_top_terms_sql",
+    "corpus_profile_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -525,6 +526,24 @@ ranked as (
   from scored)
 select id, token, tf, score, CAST(rank AS INTEGER) as rank
 from ranked where rank <= {int(k)}
+"""
+
+
+def corpus_profile_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.text.corpus_profile (exact percentiles:
+    DuckDB quantile_cont is bit-identical to Spark percentile)."""
+    return f"""
+with lens as (select len({_ws_bag_sql(val)}) as nt from {table})
+select count(*) as n_docs,
+       count(*) filter (nt = 0) as n_empty_docs,
+       CAST(sum(nt) AS BIGINT) as total_tokens,
+       round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         as avg_tokens,
+       quantile_cont(nt, CAST(0.5 AS DOUBLE)) as p50_tokens,
+       quantile_cont(nt, CAST(0.9 AS DOUBLE)) as p90_tokens,
+       quantile_cont(nt, CAST(0.99 AS DOUBLE)) as p99_tokens,
+       CAST(max(nt) AS BIGINT) as max_tokens
+from lens
 """
 
 
