@@ -18,10 +18,11 @@ Findings this script demonstrates (see BENCHMARKS.md):
    are structurally excluded from the indexing prefix.
 
 Corpus: ``n_docs`` documents × 20 tokens; each token draw is the
-constant hot token with p=10%%, else log-uniform rank in [1, vocab]
-(Zipf-ish tail). Fully deterministic (xxhash64).
+constant hot token with p=$SKEW_DEMO_HOT_P (default 0.10), else
+log-uniform rank in [1, vocab] (Zipf-ish tail). Fully deterministic
+(xxhash64).
 
-Usage: python tools/skew_demo.py [n_docs] [vocab]
+Usage: [SKEW_DEMO_HOT_P=0.3] python tools/skew_demo.py [n_docs] [vocab]
 Prints one JSON line with timings; exit 0 iff outputs of both paths
 are identical and the executed baseline plan confirms no AQE split.
 """
