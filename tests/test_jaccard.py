@@ -248,3 +248,24 @@ def test_scored_case_collapse_null_score(spark):
         df, "id", "val", WhitespaceTokzr(), 0.5, with_score=True
     ).collect()
     assert [(r.l_id, r.r_id, r.jaccard) for r in rows] == [(1, 2, None)]
+
+
+def test_empty_and_degenerate_corpora(spark):
+    """Edge inputs must produce empty results, not errors: empty
+    table, all-whitespace texts (no tokens), single document."""
+    from jaccard_join_duckdb_spark import (
+        WhitespaceTokzr,
+        jaccard_self_join,
+        jaccard_self_join_brute_force,
+    )
+
+    tok = WhitespaceTokzr()
+    empty = spark.createDataFrame([], "id long, val string")
+    assert jaccard_self_join(empty, "id", "val", tok, 0.5).count() == 0
+    assert jaccard_self_join_brute_force(empty, "id", "val", tok, 0.5).count() == 0
+
+    blank = spark.createDataFrame([(1, "   "), (2, "")], "id long, val string")
+    assert jaccard_self_join(blank, "id", "val", tok, 0.0).count() == 0
+
+    solo = spark.createDataFrame([(1, "only doc here")], "id long, val string")
+    assert jaccard_self_join(solo, "id", "val", tok, 0.5).count() == 0
