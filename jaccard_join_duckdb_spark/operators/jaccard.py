@@ -742,9 +742,17 @@ def jaccard_inner_join(
         l_tokens = l_tokens.persist(StorageLevel.MEMORY_AND_DISK)
         r_tokens = r_tokens.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Widow placeholder: max possible df product + 1 — unambiguous
-    # sentinel that also sorts widows last (jaccard_join.py:266-268).
-    widow_placeholder = l_df.count() * r_df.count() + 1
+    # Widow placeholder (jaccard_join.py:266-268). The reference uses
+    # count(l)*count(r)+1 — two full-table scans whose only role is a
+    # df value that sorts AFTER every real product in the (df, token)
+    # pos ordering. Any constant strictly above all real products
+    # yields the bit-identical ordering (widows tie with each other
+    # either way and fall to the token tiebreak; real products are
+    # <= count(l)*count(r) < 2^63-1 anywhere long arithmetic holds),
+    # so the two driver-side count jobs are dropped from the critical
+    # path. The remaining two scalar counts (widow counts for the
+    # side swap) are decision-bearing and stay.
+    widow_placeholder = (1 << 63) - 1
 
     # Cross-table document frequency: full outer join of per-side
     # dfs; df = l_df * r_df, widows get the placeholder
