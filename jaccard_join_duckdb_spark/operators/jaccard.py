@@ -723,11 +723,12 @@ def jaccard_inner_join(
     """Two-table prefix-filtered join with the reference's widow
     handling and adaptive side selection (jaccard_join.py:265-362).
 
-    Driver-side actions (4 scalar counts) mirror the reference's
-    ``fetchall()[0][0]`` calls: two table counts for the widow
-    placeholder and two widow counts for the (R, S) side swap — the
-    side with more indexing-prefix widows becomes the indexing side R
-    (ties go to (r, l): jaccard_join.py:353, SURVEY.md §4.3.4).
+    Driver-side actions: two widow-count scalars mirroring the
+    reference's ``fetchall()[0][0]`` side-swap decision — the side
+    with more indexing-prefix widows becomes the indexing side R
+    (ties go to (r, l): jaccard_join.py:353, SURVEY.md §4.3.4). The
+    reference's two additional full-table counts (widow placeholder)
+    are replaced by an order-equivalent constant — see below.
     """
     if with_score and not tokenizer.return_set:
         raise ValueError(
