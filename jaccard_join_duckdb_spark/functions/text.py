@@ -173,15 +173,27 @@ def bm25_top_terms(
     keyword extraction / relevance weighting for a text pipeline.
 
     Deliberately uses the Robertson idf WITHOUT the logarithm:
-    ``idf = (N - df + 0.5) / (df + 0.5)``. Rankings are identical
-    (log is monotone) but every operation is IEEE +,*,/ on exactly
-    representable inputs — bit-deterministic across engines, unlike
-    ``ln`` whose last ulp is libm-dependent; that is what lets the
-    DuckDB oracle hash-match (plans/oracle_ext.bm25_top_terms_sql).
+    ``idf = (N - df + 0.5) / (df + 0.5)``. Every operation is IEEE
+    +,*,/ on exactly representable inputs — bit-deterministic across
+    engines, unlike ``ln`` whose last ulp is libm-dependent; that is
+    what lets the DuckDB oracle hash-match
+    (plans/oracle_ext.bm25_top_terms_sql). NOTE this is a
+    *rational-idf variant*, not classical log-idf BM25: because idf is
+    multiplied by the tf-saturation factor before ranking, dropping
+    the log can reorder terms whose saturation factors differ (the
+    ranking agrees with log-idf BM25 only when comparing terms with
+    equal tf-saturation). Engine and oracle use the identical formula,
+    so they always agree with each other.
 
     N counts ALL documents (empty ones too); avgdl = total tokens / N.
-    Scale: one shuffle for tf (id, token), windows over token (df) and
-    id (dl), two one-row aggregates broadcast — no driver round trip.
+    Scale: one shuffle for tf (id, token); document frequency is a
+    map-side-partial ``groupBy("token").count()`` joined back on
+    ``token`` — an AQE-splittable shuffle join, NOT a window
+    partitioned by ``token`` (a hot token like "the" would force one
+    straggler task that AQE cannot split; see BENCHMARKS.md skew
+    study). The ``dl`` window over ``id`` is bounded by document
+    length and stays. Two one-row aggregates broadcast — no driver
+    round trip.
     Output: ``(id, token, tf, score, rank)``, rank by (score desc,
     token asc).
     """
@@ -190,9 +202,10 @@ def bm25_top_terms(
         F.explode(ws_token_array(F.col(text_col))).alias("token"),
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tf = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("id"))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    ).join(dfreq, "token")
     n = df.agg(F.count(F.lit(1)).alias("n"))
     tot = toks.agg(F.count(F.lit(1)).alias("tot"))
     scored = (

@@ -158,7 +158,13 @@ def cosine_topk_pandas(
                 cand_idx = np.nonzero(mask)[0]
                 if cand_idx.size == 0:
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx])[: int(k)]]
+                # Local selection must use the SAME ordering as the
+                # global rank window (rounded score desc, neighbor_id
+                # asc) — selecting on raw float scores could drop a
+                # candidate that outranks a kept one after rounding.
+                rounded = np.round(col[cand_idx], 6)
+                order = np.lexsort((ids[cand_idx], -rounded))
+                top = cand_idx[order[: int(k)]]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -209,7 +215,20 @@ def ivf_topk(
     Candidates shrink ~n_lists/n_probe-fold versus brute force;
     recall depends on list balance. Output schema matches
     :func:`cosine_topk_bruteforce`.
+
+    Scale: corpus-side list assignment is a vectorized numpy
+    mapInPandas stage (one Arrow batch scores all ``n_lists``
+    centroids at once) — NOT ``n_lists`` interpreted higher-order
+    dot-product folds per row, which at 100 TB is pure wasted CPU on
+    the scan. The kernel vectorizes ACROSS rows while accumulating
+    dimension-by-dimension, so each row's dot/norm is the identical
+    left-to-right float64 fold as :func:`_dot` / the oracle's
+    ``list_reduce`` — bit-identical assignment, hash-gate safe.
+    Query-side probing (a handful of rows) stays a column expression.
     """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if centroids == "sample":
         picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
@@ -242,11 +261,46 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(scored))
         return F.transform(F.slice(ordered, 1, n), lambda x: x["c"])
 
-    c = corpus.select(
+    # (dim, n_lists) centroid matrix + driver-side norms (math.sqrt =
+    # correctly-rounded IEEE = np.sqrt = SQL sqrt).
+    cent_cols = np.array([cv for _, cv in cents], dtype=np.float64).T
+    cent_norms = np.array([_py_norm(cv) for _, cv in cents], dtype=np.float64)
+    n_dims = cent_cols.shape[0]
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            n_rows = c_mat.shape[0]
+            # Dimension-at-a-time accumulation: every element performs
+            # acc = acc + x_i*y_i in index order — the same float64
+            # operation sequence as the scalar left-to-right fold, just
+            # for all (row, centroid) cells at once.
+            dots = np.zeros((n_rows, cent_cols.shape[1]))
+            sq = np.zeros(n_rows)
+            for i in range(n_dims):
+                xi = c_mat[:, i]
+                dots = dots + xi[:, None] * cent_cols[i][None, :]
+                sq = sq + xi * xi
+            scores = dots / (np.sqrt(sq)[:, None] * cent_norms[None, :])
+            # argmax with ties to the LARGER centroid index — matches
+            # reverse(array_sort(struct(s, c))) which orders ties by c
+            # descending. (All-NaN rows also agree: both pick the max c.)
+            flipped = scores[:, ::-1]
+            best = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
+            yield pdf.assign(lst=best.astype("int32"))
+
+    c_in = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        # corpus rows land in exactly one list
-        F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("lst"),
+    )
+    # corpus rows land in exactly one list
+    c = c_in.mapInPandas(
+        assign_kernel,
+        StructType(
+            list(c_in.schema.fields) + [StructField("lst", IntegerType())]
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
