@@ -71,6 +71,7 @@ ANN_QUERY_PRED = "vec_id < 10"
 # empty set; 0.4 keeps the operator's output non-trivial for the gate.
 T_EMB_COS = 0.4
 LSH_PLANES = 4
+LSH_BANDS = 4
 EMB_DIM = 64
 
 # distinct_rows=True: the synthetic corpus is lowercase, so token
@@ -98,6 +99,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_self_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_self_join(
         _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF
+    )
+
+
+def q_jaccard_self_ws_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME filtered self-join as jaccard_self_ws, with the
+    heavy-hitter broadcast split engaged (hot_df_threshold): tokens in
+    >= 200 documents get their doc-freq row broadcast (map-side join,
+    no shuffle) while the cold tail takes the shuffle join — the
+    mitigation for the skewed tokens ⋈ dfreq exchange that AQE
+    structurally cannot split (operators/jaccard.py
+    tokens_with_doc_freq). Output rows are identical to the baseline,
+    so the unmodified self_filtered_sql oracle grades it."""
+    return jaccard_self_join(
+        _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF,
+        hot_df_threshold=200,
     )
 
 
@@ -293,6 +309,25 @@ def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(
         emb, "vec_id", "embedding", T_EMB_COS,
         block_expr=lsh_bucket_expr(F.col("embedding"), planes),
+    )
+
+
+def q_dedup_embed_cosine_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified sign-LSH near-dup: LSH_BANDS independent
+    LSH_PLANES-bit buckets; a pair is a candidate on a collision in
+    ANY band (the cosine analogue of MinHash banding). Band 0 uses the
+    exact single-band plane set, so candidates — hence recall — are a
+    structural superset of dedup_embed_cosine_lsh; the recall ordering
+    single-band <= banded <= exact is pinned in
+    tests/test_similarity.py."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        cosine_near_duplicates_lsh_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates_lsh_banded(
+        emb, "vec_id", "embedding", T_EMB_COS,
+        n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
     )
 
 
@@ -579,6 +614,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jaccard_self_ws": q_jaccard_self_ws,
+        "jaccard_self_ws_hotsplit": q_jaccard_self_ws_hotsplit,
         "jaccard_self_ws_brute": q_jaccard_self_ws_brute,
         "jaccard_self_qgram": q_jaccard_self_qgram,
         "jaccard_inner_ws": q_jaccard_inner_ws,
@@ -598,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
+        "dedup_embed_cosine_lsh_banded": q_dedup_embed_cosine_lsh_banded,
         "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -660,6 +697,9 @@ from cnt
 def oracle_sql() -> dict[str, str]:
     return {
         "jaccard_self_ws": ref_sql.self_filtered_sql(
+            "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
+        ),
+        "jaccard_self_ws_hotsplit": ref_sql.self_filtered_sql(
             "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
         ),
         "jaccard_self_ws_brute": ref_sql.self_brute_sql(
@@ -743,6 +783,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed_cosine_lsh": oracle_ext.cosine_neardup_lsh_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS,
             n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "dedup_embed_cosine_lsh_banded": oracle_ext.cosine_neardup_lsh_banded_sql(
+            "embeddings", "vec_id", "embedding", T_EMB_COS,
+            n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
         ),
         "ann_cosine_topk": oracle_ext.cosine_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K

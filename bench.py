@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "jaccard_self_ws",
+    "jaccard_self_ws_hotsplit",
     "jaccard_self_ws_brute",
     "jaccard_self_qgram",
     "jaccard_inner_ws",
@@ -29,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_ngram",
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
+    "dedup_embed_cosine_lsh_banded",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -66,6 +68,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best, n_rows = None, None
+        # One untimed warm-up: the first execution of a plan shape pays
+        # whole-stage-codegen JIT (2-3x on codegen-heavy queries) —
+        # steady-state throughput is what the timed iterations measure.
+        spark.catalog.clearCache()
+        qs[name](spark, sf_dir).count()
         for _ in range(iters):
             # Each query call persists its own intermediates; clear so
             # a repeat run (or a later query with an identical

@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_pandas",
     "cosine_near_duplicates",
+    "cosine_near_duplicates_lsh_banded",
     "hyperplanes",
     "ivf_topk",
     "lsh_bucket_topk",
@@ -372,6 +373,91 @@ def cosine_near_duplicates(
             F.round(
                 _dot(F.col("L.v"), F.col("R.v"))
                 / (F.col("L.nrm") * F.col("R.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def cosine_near_duplicates_lsh_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified sign-LSH near-dup: ``n_bands`` independent
+    ``n_planes``-bit buckets; a pair is a candidate if it collides in
+    ANY band — the cosine analogue of MinHash banding
+    (:func:`..dedup._minhash_band_sigs`). Single-band sign-LSH misses
+    any near-pair that differs in one sign bit; OR-ing bands drives
+    recall toward 1 at the cost of ~n_bands× candidate volume
+    (standard s-curve tradeoff).
+
+    The ``n_bands * n_planes`` hyperplanes come from ONE sequential
+    :func:`hyperplanes` stream chunked per band, so band 0 is exactly
+    the single-band plane set — banded candidates are a structural
+    superset of :func:`cosine_near_duplicates` with the same
+    seed/n_planes, hence recall is provably >= single-band.
+
+    Scale: vectors are NOT carried through the band explosion — the
+    bucket self-join runs on narrow ``(id, band, blk)`` rows (two
+    longs + an int), candidate pairs are de-duplicated, and vectors
+    join back only for the surviving pairs (same shape as the MinHash
+    candidates→verify split). All equi-joins, AQE-splittable; no
+    cartesian. Output: ``(l_id, r_id, cosine)``.
+    """
+    planes = hyperplanes(dim, int(n_bands) * int(n_planes), seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_expr(
+                    F.col("v"),
+                    planes[b * int(n_planes) : (b + 1) * int(n_planes)],
+                ).alias("blk"),
+            )
+            for b in range(int(n_bands))
+        ]
+    )
+    sig = base.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.blk").alias("blk")
+    )
+    L = sig.alias("L")
+    R = sig.alias("R")
+    cands = (
+        L.join(
+            R,
+            (F.col("L.band") == F.col("R.band"))
+            & (F.col("L.blk") == F.col("R.blk"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
+        .distinct()
+    )
+    lb = base.select(
+        F.col("id").alias("lid"), F.col("v").alias("lv"), F.col("nrm").alias("lnrm")
+    )
+    rb = base.select(
+        F.col("id").alias("rid"), F.col("v").alias("rv"), F.col("nrm").alias("rnrm")
+    )
+    return (
+        cands.join(lb, "lid")
+        .join(rb, "rid")
+        .select(
+            F.col("lid").alias("l_id"),
+            F.col("rid").alias("r_id"),
+            F.round(
+                _dot(F.col("lv"), F.col("rv")) / (F.col("lnrm") * F.col("rnrm")),
                 6,
             ).alias("cosine"),
         )

@@ -26,6 +26,7 @@ __all__ = [
     "cosine_sql",
     "cosine_neardup_sql",
     "cosine_neardup_lsh_sql",
+    "cosine_neardup_lsh_banded_sql",
     "cosine_topk_sql",
     "ivf_topk_sql",
     "lsh_bucket_lit_sql",
@@ -380,6 +381,37 @@ select L.id as l_id, R.id as r_id,
 from b L join b R on L.blk = R.blk and L.id < R.id
 where round({_dot_sql('L.v', 'R.v')} / (L.nrm * R.nrm), 6)
       >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def cosine_neardup_lsh_banded_sql(
+    table: str, id_col: str, vec_col: str, threshold: float,
+    n_bands: int = 4, n_planes: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """Mirror of similarity.cosine_near_duplicates_lsh_banded: the
+    same sequential hyperplane stream chunked per band, UNION ALL of
+    per-band (id, band, blk) signatures, distinct colliding pairs in
+    ANY band, then cosine from per-row norms on the survivors."""
+    planes = hyperplanes(dim, int(n_bands) * int(n_planes), seed)
+    sigs = "\n  union all\n".join(
+        f"  select id, {b} as band, "
+        f"{lsh_bucket_lit_sql('v', planes[b * int(n_planes):(b + 1) * int(n_planes)])}"
+        " as blk from base"
+        for b in range(int(n_bands))
+    )
+    cos = f"round({_dot_sql('lb.v', 'rb.v')} / (lb.nrm * rb.nrm), 6)"
+    return f"""
+with base as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm
+  from {table}),
+sig as (
+{sigs}),
+cand as (
+  select distinct L.id as lid, R.id as rid
+  from sig L join sig R on L.band = R.band and L.blk = R.blk and L.id < R.id)
+select c.lid as l_id, c.rid as r_id, {cos} as cosine
+from cand c join base lb on c.lid = lb.id join base rb on c.rid = rb.id
+where {cos} >= CAST({float(threshold)!r} AS DOUBLE)
 """
 
 
