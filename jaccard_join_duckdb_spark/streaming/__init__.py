@@ -38,6 +38,22 @@ def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
     return df
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int | None:
+    """Seconds for a simple "<n> <unit>" interval string; ``None``
+    when the form is compound/unrecognized (validation is then
+    skipped rather than guessed)."""
+    parts = str(spec).strip().lower().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _INTERVAL_UNIT_S:
+        return int(parts[0]) * _INTERVAL_UNIT_S[parts[1]]
+    return None
+
+
 def hourly_event_stats(
     events: DataFrame,
     ts_col: str = "ts",
@@ -176,8 +192,22 @@ def interval_join(
     Scale: equi-join (shuffle on ``key``) with the range predicates
     as join residuals — never a cross product; per-key event rates
     bound partition sizes.
+
+    Invariant: ``watermark >= upper`` — with a shorter watermark the
+    engine may purge left-side state before late right rows that are
+    still inside the interval arrive, silently dropping matches.
+    Validated here for the simple "<n> <unit>" interval forms
+    (raises ``ValueError``); compound intervals are the caller's
+    responsibility.
     Output: ``(l_{id}, r_{id}, {key}, l_{ts}, r_{ts})``.
     """
+    wm_s, up_s = _interval_seconds(watermark), _interval_seconds(upper)
+    if wm_s is not None and up_s is not None and wm_s < up_s:
+        raise ValueError(
+            f"watermark ({watermark!r}) must be >= the join upper bound "
+            f"({upper!r}): shorter watermarks purge join state before "
+            "in-interval late rows arrive, silently dropping matches"
+        )
     L, R = left, right
     if L.isStreaming:
         L = _watermarkable(L, ts_col).withWatermark(ts_col, watermark)

@@ -52,5 +52,70 @@ def test_frame_sampling(assets):
 
 
 def test_real_decode_gated(assets):
+    """Non-PNG/BMP payloads (here: utf-8 text) still raise through
+    the real-decode path."""
     with pytest.raises(PythonException, match="NotImplementedError"):
         decode_image_meta(assets, fake=False).collect()
+
+
+def _png_bytes(w: int, h: int, color_type: int = 6, bit_depth: int = 8) -> bytes:
+    """Minimal VALID PNG: signature + IHDR + zero-length IDAT + IEND,
+    all with correct CRCs (stdlib struct+zlib only)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(w: int, h: int, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Minimal valid BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, no
+    pixel data (row size 0 is fine for header parsing and matches a
+    0x0 clipped image reader's expectations)."""
+    import struct
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, 0, 2835, 2835, 0, 0
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(info), 0, 0, 14 + len(info))
+    return file_hdr + info
+
+
+def test_real_decode_png_bmp_headers(spark):
+    """decode_image_meta(fake=False) parses real PNG/BMP headers —
+    width/height/channels round-trip the values the payloads were
+    generated with."""
+    payloads = [
+        (1, _png_bytes(640, 480, color_type=6)),   # RGBA → 4
+        (2, _png_bytes(31, 7, color_type=0)),      # gray → 1
+        (3, _png_bytes(12, 34, color_type=2)),     # RGB → 3
+        (4, _bmp_bytes(800, 600, bpp=24)),         # BGR → 3
+        (5, _bmp_bytes(64, 128, bpp=32, top_down=True)),  # BGRA → 4
+        (6, _bmp_bytes(5, 9, bpp=8)),              # palette → 1
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p, None) for i, p in payloads], ASSET_SCHEMA
+    )
+    got = {r.asset_id: r for r in decode_image_meta(df, fake=False).collect()}
+    want = {
+        1: (640, 480, 4), 2: (31, 7, 1), 3: (12, 34, 3),
+        4: (800, 600, 3), 5: (64, 128, 4), 6: (5, 9, 1),
+    }
+    assert len(got) == len(want)
+    for aid, (w, h, c) in want.items():
+        r = got[aid]
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.n_bytes == len(dict(payloads)[aid])

@@ -198,3 +198,21 @@ def test_interval_join_stream_equals_batch(spark, events, tmp_path):
     run_stream_to_memory(out, "ij_mem", output_mode="append")
     got = _rows(spark.table("ij_mem"))
     assert got == want
+
+
+def test_interval_join_watermark_guard(spark):
+    """A watermark shorter than the join's upper bound would let the
+    engine purge state before in-interval late rows arrive — the API
+    rejects it instead of silently dropping matches."""
+    import pytest
+    from jaccard_join_duckdb_spark.streaming import interval_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        interval_join(df, df, upper="2 hours", watermark="30 minutes")
+    # compound / unparseable forms skip validation rather than guess
+    interval_join(df, df, upper="1 hour 30 minutes", watermark="30 minutes")
