@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from ..tokenizers import _ensure_parallelism
 
 __all__ = [
+    "ann_recall",
     "cosine_similarity",
     "cosine_topk_bruteforce",
     "cosine_topk_pandas",
@@ -212,7 +213,11 @@ def ivf_topk(
     ``plans.oracle_ext.ivf_topk_sql`` mirror this operator
     bit-for-bit; ``centroids="sample"`` takes a seeded random sample
     (better spread on adversarially ordered corpora, but Spark's
-    partition-seeded rand is not reproducible in an external oracle).
+    partition-seeded rand is not reproducible in an external oracle);
+    ``centroids="kmeans"`` trains seeded spherical k-means on a
+    bounded deterministic sample (:func:`_kmeans_centroids`) — the
+    production choice for recall/balance, opt-in because the numpy
+    training step is not SQL-reproducible.
     Candidates shrink ~n_lists/n_probe-fold versus brute force;
     recall depends on list balance. Output schema matches
     :func:`cosine_topk_bruteforce`.
@@ -231,13 +236,23 @@ def ivf_topk(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     base = corpus.select(F.col(id_col), F.col(vec_col))
-    if centroids == "sample":
-        picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
-    elif centroids == "min_ids":
-        picked = base.orderBy(F.col(id_col).asc()).limit(int(n_lists)).collect()
+    if centroids == "kmeans":
+        # Trained centroids (better list balance/recall on clustered
+        # corpora) — driver-side numpy on a bounded sample, not
+        # SQL-reproducible, so min_ids stays the oracle-graded default.
+        cents = list(
+            enumerate(_kmeans_centroids(base, id_col, vec_col, n_lists, seed))
+        )
     else:
-        raise ValueError(f"unknown centroid rule: {centroids!r}")
-    cents = [(i, list(r[1])) for i, r in enumerate(picked)]
+        if centroids == "sample":
+            picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
+        elif centroids == "min_ids":
+            picked = (
+                base.orderBy(F.col(id_col).asc()).limit(int(n_lists)).collect()
+            )
+        else:
+            raise ValueError(f"unknown centroid rule: {centroids!r}")
+        cents = [(i, list(r[1])) for i, r in enumerate(picked)]
 
     def nearest_lists(vec: Column, n: int) -> Column:
         """ids of the n closest centroids (by cosine), as an array.
@@ -378,6 +393,91 @@ def cosine_near_duplicates(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
+    """Mean recall@k of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| averaged over queries. Both inputs
+    use the ``(query_id, neighbor_id, ...)`` top-k schema. One
+    aggregate job; returns a driver-side float (instrumentation, not
+    a pipeline stage)."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    per_q = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+    )
+    totals = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    row = (
+        totals.join(per_q, "query_id", "left")
+        .select(
+            F.avg(
+                F.coalesce(F.col("hit"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("recall")
+        )
+        .collect()[0]
+    )
+    return float(row.recall) if row.recall is not None else 0.0
+
+
+def _kmeans_centroids(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    sample_size: int = 4096,
+    iters: int = 10,
+):
+    """Seeded spherical k-means trained driver-side on a bounded
+    deterministic sample (``orderBy(xxhash64(id, seed)) LIMIT n`` — a
+    seeded pseudo-random draw that is reproducible across runs and
+    cluster layouts, unlike partition-seeded ``rand``). The collect is
+    capped at ``sample_size`` rows regardless of corpus size, so the
+    offline step stays O(sample) at 100 TB while list ASSIGNMENT stays
+    fully distributed. k-means++ seeding, then Lloyd iterations with
+    cosine assignment (mean + renormalize); empty clusters keep their
+    previous centroid. Returns ``n_lists`` float lists."""
+    import numpy as np
+
+    rows = (
+        base.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    X = X[nrm > 0] / nrm[nrm > 0, None]
+    k = min(int(n_lists), len(X))
+    rng = np.random.RandomState(int(seed))
+    # k-means++ on the unit sphere: D(x) = 1 - max cosine to chosen.
+    chosen = [int(rng.randint(len(X)))]
+    for _ in range(1, k):
+        sims = X @ X[chosen].T
+        d = np.clip(1.0 - sims.max(axis=1), 0.0, None)
+        tot = d.sum()
+        if tot <= 0:
+            # all points already coincide with a centroid — pad from
+            # the remaining indices deterministically
+            rest = [i for i in range(len(X)) if i not in chosen]
+            chosen.append(rest[0] if rest else chosen[-1])
+            continue
+        chosen.append(int(rng.choice(len(X), p=d / tot)))
+    C = X[chosen].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                C[j] = m / n
+    return [[float(x) for x in c] for c in C]
 
 
 def cosine_near_duplicates_lsh_banded(

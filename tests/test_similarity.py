@@ -162,3 +162,25 @@ def test_banded_lsh_recall_ordering(embeddings):
     # OR-amplification should actually help on this corpus, not just
     # tie — banded recall strictly above single-band.
     assert len(banded) > len(single)
+
+
+def test_ivf_kmeans_centroids_recall(spark, embeddings):
+    """centroids="kmeans" (seeded spherical k-means on a bounded
+    deterministic sample) is deterministic across invocations and its
+    recall vs brute force is measurable and sane."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        ann_recall,
+        ivf_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, q, k=5)
+    km1 = ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=4, centroids="kmeans")
+    km2 = ivf_topk(embeddings, q, k=5, n_lists=8, n_probe=4, centroids="kmeans")
+    rows1 = sorted(map(tuple, km1.collect()))
+    assert rows1 == sorted(map(tuple, km2.collect()))  # deterministic
+    r = ann_recall(km1, exact)
+    assert 0.0 <= r <= 1.0
+    # probing half the lists of a near-orthogonal corpus must do far
+    # better than chance; exactness isn't required, sanity is
+    assert r >= 0.3
