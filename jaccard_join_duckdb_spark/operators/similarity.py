@@ -509,28 +509,66 @@ def cosine_near_duplicates_lsh_banded(
     longs + an int), candidate pairs are de-duplicated, and vectors
     join back only for the surviving pairs (same shape as the MinHash
     candidates→verify split). All equi-joins, AQE-splittable; no
-    cartesian. Output: ``(l_id, r_id, cosine)``.
+    cartesian. Signature computation is a vectorized numpy
+    mapInPandas stage — NOT ``n_bands * n_planes`` interpreted
+    higher-order dot folds per corpus row (the same
+    wasted-CPU-on-the-scan hazard as the IVF assignment); the kernel
+    accumulates dimension-at-a-time so every dot is the identical
+    left-to-right float64 fold as :func:`lsh_bucket_expr` / the
+    oracle's ``list_reduce`` — bit-identical buckets, hash-gate safe.
+    Output: ``(l_id, r_id, cosine)``.
     """
-    planes = hyperplanes(dim, int(n_bands) * int(n_planes), seed)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    n_bands, n_planes = int(n_bands), int(n_planes)
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_bucket_expr(
-                    F.col("v"),
-                    planes[b * int(n_planes) : (b + 1) * int(n_planes)],
-                ).alias("blk"),
-            )
-            for b in range(int(n_bands))
-        ]
-    )
-    sig = base.select("id", F.explode(band_structs).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.blk").alias("blk")
+    planes_mat = np.array(planes, dtype=np.float64)  # (bands*planes, dim)
+
+    def sig_kernel(batches):
+        for pdf in batches:
+            # NULL vectors can never reach a non-null cosine >= t, so
+            # dropping them from the signature stream is lossless.
+            mask = pdf["v"].notna()
+            pdf = pdf[mask]
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            n_rows = V.shape[0]
+            # Dimension-at-a-time accumulation == the scalar
+            # left-to-right fold of _dot, per (row, plane) cell.
+            dots = np.zeros((n_rows, planes_mat.shape[0]))
+            for i in range(V.shape[1]):
+                dots = dots + V[:, i][:, None] * planes_mat[:, i][None, :]
+            bits = dots > 0
+            ids = pdf["id"].to_numpy()
+            out = []
+            for b in range(n_bands):
+                blk = np.zeros(n_rows, dtype=np.int64)
+                for j in range(n_planes):
+                    blk |= bits[:, b * n_planes + j].astype(np.int64) << j
+                out.append(
+                    pd.DataFrame(
+                        {"id": ids, "band": np.full(n_rows, b, "int32"), "blk": blk}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    sig = base.select("id", "v").mapInPandas(
+        sig_kernel,
+        StructType(
+            [
+                base.schema["id"],
+                StructField("band", IntegerType()),
+                StructField("blk", LongType()),
+            ]
+        ),
     )
     L = sig.alias("L")
     R = sig.alias("R")
