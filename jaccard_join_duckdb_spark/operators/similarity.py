@@ -639,12 +639,39 @@ def lsh_bucket_topk(
     """Approximate top-k: join only within matching sign-LSH buckets
     (2^n_planes buckets). The scale path for ANN — candidates per
     query shrink by ~2^n_planes; recall depends on bucket count.
+    Corpus-side bucketing is a vectorized numpy mapInPandas stage
+    (dimension-at-a-time accumulation == the scalar left-to-right
+    fold, so buckets are bit-identical to :func:`lsh_bucket_expr`,
+    which the tiny query side still uses); the vector column is
+    echoed through the kernel, so no extra shuffle is introduced.
     Output schema matches :func:`cosine_topk_bruteforce`."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    planes_mat = np.array(planes, dtype=np.float64)
+
+    def bucket_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["cv"]), dtype=np.float64)
+            n_rows = V.shape[0]
+            dots = np.zeros((n_rows, planes_mat.shape[0]))
+            for i in range(V.shape[1]):
+                dots = dots + V[:, i][:, None] * planes_mat[:, i][None, :]
+            blk = np.zeros(n_rows, dtype=np.int64)
+            for j in range(planes_mat.shape[0]):
+                blk |= (dots[:, j] > 0).astype(np.int64) << j
+            yield pdf.assign(blk=blk)
+
+    c_in = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("blk"),
+    )
+    c = c_in.mapInPandas(
+        bucket_kernel,
+        StructType(list(c_in.schema.fields) + [StructField("blk", LongType())]),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
