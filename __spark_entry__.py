@@ -331,6 +331,28 @@ def q_dedup_embed_cosine_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_dedup_embed_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-vs-corpus embedding near-dup (the streaming-ingest batch
+    twin, embedding modality): vectors with vec_id % 10 == 0 are the
+    incoming "batch", the rest the indexed corpus
+    (operators/similarity.py embedding_lsh_index/embedding_lsh_match;
+    streaming wrapper: streaming.embed_near_dedup_stream)."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_lsh_match,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = embedding_lsh_index(
+        emb.filter(F.col("vec_id") % 10 != 0), "vec_id", "embedding",
+        n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
+    )
+    return embedding_lsh_match(
+        emb.filter(F.col("vec_id") % 10 == 0), idx, "vec_id", "embedding",
+        T_EMB_COS,
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(
@@ -635,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "dedup_embed_cosine_lsh_banded": q_dedup_embed_cosine_lsh_banded,
+        "dedup_embed_lsh_match": q_dedup_embed_lsh_match,
         "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -786,6 +809,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embed_cosine_lsh_banded": oracle_ext.cosine_neardup_lsh_banded_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS,
+            n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "dedup_embed_lsh_match": oracle_ext.embedding_lsh_match_sql(
+            "embeddings", "vec_id", "embedding",
+            "vec_id % 10 = 0", "vec_id % 10 != 0", T_EMB_COS,
             n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
         ),
         "ann_cosine_topk": oracle_ext.cosine_topk_sql(

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
     "dedup_embed_cosine_lsh_banded",
+    "dedup_embed_lsh_match",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

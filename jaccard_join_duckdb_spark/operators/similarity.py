@@ -20,20 +20,25 @@ from __future__ import annotations
 
 import math
 import random
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..tokenizers import _ensure_parallelism
 
 __all__ = [
+    "EmbeddingLshIndex",
     "ann_recall",
     "cosine_similarity",
     "cosine_topk_bruteforce",
     "cosine_topk_pandas",
     "cosine_near_duplicates",
     "cosine_near_duplicates_lsh_banded",
+    "embedding_lsh_index",
+    "embedding_lsh_match",
     "hyperplanes",
     "ivf_topk",
     "lsh_bucket_topk",
@@ -480,6 +485,169 @@ def _kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _sign_lsh_sigs(
+    base: DataFrame, planes: list[list[float]], n_bands: int, n_planes: int
+) -> DataFrame:
+    """``(id, v)`` → per-band sign-LSH signatures ``(id, band, blk)``
+    via a vectorized numpy mapInPandas kernel. The kernel accumulates
+    dimension-at-a-time, so every dot product is the identical
+    left-to-right float64 fold as :func:`_dot` /
+    :func:`lsh_bucket_expr` / the DuckDB oracle's ``list_reduce`` —
+    buckets are bit-identical to the expression path, hash-gate safe.
+    Shared by the banded near-dup, the embedding LSH index, and its
+    per-batch query matcher (signatures computed at different times
+    bucket-join correctly)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    planes_mat = np.array(planes, dtype=np.float64)  # (bands*planes, dim)
+
+    def sig_kernel(batches):
+        for pdf in batches:
+            # NULL vectors can never reach a non-null cosine >= t, so
+            # dropping them from the signature stream is lossless.
+            pdf = pdf[pdf["v"].notna()]
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            n_rows = V.shape[0]
+            # Dimension-at-a-time accumulation == the scalar
+            # left-to-right fold of _dot, per (row, plane) cell.
+            dots = np.zeros((n_rows, planes_mat.shape[0]))
+            for i in range(V.shape[1]):
+                dots = dots + V[:, i][:, None] * planes_mat[:, i][None, :]
+            bits = dots > 0
+            ids = pdf["id"].to_numpy()
+            out = []
+            for b in range(n_bands):
+                blk = np.zeros(n_rows, dtype=np.int64)
+                for j in range(n_planes):
+                    blk |= bits[:, b * n_planes + j].astype(np.int64) << j
+                out.append(
+                    pd.DataFrame(
+                        {"id": ids, "band": np.full(n_rows, b, "int32"), "blk": blk}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(
+        sig_kernel,
+        StructType(
+            [
+                base.schema["id"],
+                StructField("band", IntegerType()),
+                StructField("blk", LongType()),
+            ]
+        ),
+    )
+
+
+@dataclass
+class EmbeddingLshIndex:
+    """Precomputed banded sign-LSH index over a static embedding
+    corpus: per-band signatures for bucketing plus the vectors (and
+    norms) for exact cosine verification, both persisted. Build once
+    with :func:`embedding_lsh_index`, then match any number of query
+    batches (e.g. streaming micro-batches) with
+    :func:`embedding_lsh_match` — the corpus is never re-hashed. The
+    embedding analogue of :class:`..dedup.MinHashIndex`."""
+
+    sigs: DataFrame
+    vecs: DataFrame
+    planes: list[list[float]]
+    n_bands: int
+    n_planes: int
+
+    def unpersist(self) -> None:
+        self.sigs.unpersist()
+        self.vecs.unpersist()
+
+
+def embedding_lsh_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> EmbeddingLshIndex:
+    """Build the static-corpus side of query-vs-corpus embedding
+    near-dup matching. At scale, persist is the minimum; for a
+    long-lived ingest pipeline write ``sigs``/``vecs`` as tables
+    bucketed by (band, blk) / id (:func:`..sources.write_bucketed`)
+    so every micro-batch joins shuffle-free."""
+    n_bands, n_planes = int(n_bands), int(n_planes)
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    vecs = base.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _sign_lsh_sigs(vecs.select("id", "v"), planes, n_bands, n_planes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return EmbeddingLshIndex(
+        sigs=sigs, vecs=vecs, planes=planes, n_bands=n_bands, n_planes=n_planes
+    )
+
+
+def embedding_lsh_match(
+    query_df: DataFrame,
+    index: EmbeddingLshIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicates of ``query_df`` vectors against the indexed
+    corpus: ``(q_id, c_id, cosine)``. Banded-LSH candidates (query
+    signatures ⋈ index signatures on (band, blk), collision in ANY
+    band) then exact cosine between query and corpus vectors. Same
+    recall contract as :func:`cosine_near_duplicates_lsh_banded`.
+    Self-matches are not filtered — callers re-checking an
+    already-indexed vector should drop ``q_id == c_id``."""
+    qbase = query_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    q_sigs = _sign_lsh_sigs(
+        qbase.select("id", "v"), index.planes, index.n_bands, index.n_planes
+    )
+    Q = q_sigs.alias("Q")
+    C = index.sigs.alias("C")
+    cands = (
+        Q.join(
+            C,
+            (F.col("Q.band") == F.col("C.band"))
+            & (F.col("Q.blk") == F.col("C.blk")),
+        )
+        .select(F.col("Q.id").alias("qid"), F.col("C.id").alias("cid"))
+        .distinct()
+    )
+    qv = qbase.select(
+        F.col("id").alias("qid"), F.col("v").alias("lv"), F.col("nrm").alias("lnrm")
+    )
+    cv = index.vecs.select(
+        F.col("id").alias("cid"), F.col("v").alias("rv"), F.col("nrm").alias("rnrm")
+    )
+    return (
+        cands.join(qv, "qid")
+        .join(cv, "cid")
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("cid").alias("c_id"),
+            F.round(
+                _dot(F.col("lv"), F.col("rv")) / (F.col("lnrm") * F.col("rnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def cosine_near_duplicates_lsh_banded(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -518,10 +686,6 @@ def cosine_near_duplicates_lsh_banded(
     oracle's ``list_reduce`` — bit-identical buckets, hash-gate safe.
     Output: ``(l_id, r_id, cosine)``.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
     n_bands, n_planes = int(n_bands), int(n_planes)
     planes = hyperplanes(dim, n_bands * n_planes, seed)
     base = df.select(
@@ -529,47 +693,7 @@ def cosine_near_duplicates_lsh_banded(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    planes_mat = np.array(planes, dtype=np.float64)  # (bands*planes, dim)
-
-    def sig_kernel(batches):
-        for pdf in batches:
-            # NULL vectors can never reach a non-null cosine >= t, so
-            # dropping them from the signature stream is lossless.
-            mask = pdf["v"].notna()
-            pdf = pdf[mask]
-            if len(pdf) == 0:
-                continue
-            V = np.array(list(pdf["v"]), dtype=np.float64)
-            n_rows = V.shape[0]
-            # Dimension-at-a-time accumulation == the scalar
-            # left-to-right fold of _dot, per (row, plane) cell.
-            dots = np.zeros((n_rows, planes_mat.shape[0]))
-            for i in range(V.shape[1]):
-                dots = dots + V[:, i][:, None] * planes_mat[:, i][None, :]
-            bits = dots > 0
-            ids = pdf["id"].to_numpy()
-            out = []
-            for b in range(n_bands):
-                blk = np.zeros(n_rows, dtype=np.int64)
-                for j in range(n_planes):
-                    blk |= bits[:, b * n_planes + j].astype(np.int64) << j
-                out.append(
-                    pd.DataFrame(
-                        {"id": ids, "band": np.full(n_rows, b, "int32"), "blk": blk}
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    sig = base.select("id", "v").mapInPandas(
-        sig_kernel,
-        StructType(
-            [
-                base.schema["id"],
-                StructField("band", IntegerType()),
-                StructField("blk", LongType()),
-            ]
-        ),
-    )
+    sig = _sign_lsh_sigs(base.select("id", "v"), planes, n_bands, n_planes)
     L = sig.alias("L")
     R = sig.alias("R")
     cands = (

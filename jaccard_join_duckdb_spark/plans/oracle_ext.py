@@ -27,6 +27,7 @@ __all__ = [
     "cosine_neardup_sql",
     "cosine_neardup_lsh_sql",
     "cosine_neardup_lsh_banded_sql",
+    "embedding_lsh_match_sql",
     "cosine_topk_sql",
     "ivf_topk_sql",
     "lsh_bucket_lit_sql",
@@ -411,6 +412,47 @@ cand as (
   from sig L join sig R on L.band = R.band and L.blk = R.blk and L.id < R.id)
 select c.lid as l_id, c.rid as r_id, {cos} as cosine
 from cand c join base lb on c.lid = lb.id join base rb on c.rid = rb.id
+where {cos} >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def embedding_lsh_match_sql(
+    table: str, id_col: str, vec_col: str,
+    query_pred: str, corpus_pred: str, threshold: float,
+    n_bands: int = 4, n_planes: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """Mirror of similarity.embedding_lsh_match over an
+    embedding_lsh_index built on the ``corpus_pred`` rows, queried
+    with the ``query_pred`` rows: per-band signatures on both sides,
+    candidates on a collision in ANY band, exact cosine on the
+    survivors."""
+    planes = hyperplanes(dim, int(n_bands) * int(n_planes), seed)
+
+    def sigs(src: str) -> str:
+        return "\n  union all\n".join(
+            f"  select id, {b} as band, "
+            f"{lsh_bucket_lit_sql('v', planes[b * int(n_planes):(b + 1) * int(n_planes)])}"
+            f" as blk from {src}"
+            for b in range(int(n_bands))
+        )
+
+    cos = f"round({_dot_sql('qb.v', 'cb.v')} / (qb.nrm * cb.nrm), 6)"
+    return f"""
+with qbase as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm
+  from {table} where {query_pred}),
+cbase as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm
+  from {table} where {corpus_pred}),
+qsig as (
+{sigs('qbase')}),
+csig as (
+{sigs('cbase')}),
+cand as (
+  select distinct Q.id as qid, C.id as cid
+  from qsig Q join csig C on Q.band = C.band and Q.blk = C.blk)
+select c.qid as q_id, c.cid as c_id, {cos} as cosine
+from cand c join qbase qb on c.qid = qb.id join cbase cb on c.cid = cb.id
 where {cos} >= CAST({float(threshold)!r} AS DOUBLE)
 """
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dedup_stream",
+    "embed_near_dedup_stream",
     "hourly_event_stats",
     "interval_join",
     "near_dedup_stream",
@@ -308,6 +309,47 @@ def near_dedup_stream(
         )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embed_near_dedup_stream(
+    stream_vecs: DataFrame,
+    index,
+    sink,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    trigger_available_now: bool = True,
+):
+    """Streaming embedding near-duplicate detection against a static
+    corpus: each micro-batch is banded-sign-LSH matched against a
+    prebuilt :class:`..operators.similarity.EmbeddingLshIndex` — the
+    embedding-modality twin of :func:`near_dedup_stream` (new vectors
+    stream in, the reference corpus is fixed and never re-hashed).
+
+    Uses ``foreachBatch`` for the same reason as the MinHash stream:
+    the candidate/verify pipeline (signature build, bucket join,
+    distinct, two vector join-backs) is a multi-aggregation batch
+    shape, and per-micro-batch batch semantics reuses
+    :func:`..operators.similarity.embedding_lsh_match` verbatim —
+    matches are per-vector, so micro-batch boundaries cannot change
+    results.
+
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(q_id, c_id, cosine)``. Returns the started StreamingQuery
+    (caller awaits/stops).
+    """
+    from ..operators.similarity import embedding_lsh_match
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            embedding_lsh_match(batch_df, index, id_col, vec_col, threshold),
+            epoch_id,
+        )
+
+    writer = stream_vecs.writeStream.foreachBatch(_process)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

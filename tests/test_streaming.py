@@ -216,3 +216,46 @@ def test_interval_join_watermark_guard(spark):
         interval_join(df, df, upper="2 hours", watermark="30 minutes")
     # compound / unparseable forms skip validation rather than guess
     interval_join(df, df, upper="1 hour 30 minutes", watermark="30 minutes")
+
+
+def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
+    """Streaming embedding near-dup against a static banded-LSH
+    index: the union of per-micro-batch matches must equal the
+    one-shot batch embedding_lsh_match on the same query set (matches
+    are per-vector, so micro-batch boundaries cannot change
+    results)."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_lsh_match,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import embed_near_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    idx = embedding_lsh_index(corpus, "vec_id", "embedding")
+    try:
+        want = _rows(embedding_lsh_match(queries, idx, threshold=0.4))
+        assert len(want) > 0
+
+        stream_dir = str(tmp_path / "emb_stream")
+        queries.repartition(3).write.parquet(stream_dir)
+        schema = spark.read.parquet(stream_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        got = []
+        q = embed_near_dedup_stream(
+            stream,
+            idx,
+            sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+            threshold=0.4,
+        )
+        q.awaitTermination()
+        assert sorted(got) == want
+    finally:
+        idx.unpersist()
