@@ -72,6 +72,7 @@ ANN_QUERY_PRED = "vec_id < 10"
 T_EMB_COS = 0.4
 LSH_PLANES = 4
 LSH_BANDS = 4
+ANN_BANDS = 8          # bands for the OR-amplified ANN top-k path
 EMB_DIM = 64
 
 # distinct_rows=True: the synthetic corpus is lowercase, so token
@@ -368,6 +369,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified (banded) sign-LSH top-k — the production ANN path:
+    candidates collide in ANY of ANN_BANDS LSH_PLANES-bit bands, exact
+    cosine ranks survivors. Band 0 reuses ann_lsh_topk's plane set, so
+    recall is a structural superset of the single-band path (~0.16 →
+    0.80 at 8×4, 0.94 at 16×4, on the sf0.1 embeddings —
+    BENCHMARKS.md recall table)."""
+    from jaccard_join_duckdb_spark.operators.similarity import lsh_banded_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_banded_topk(
+        emb, emb.filter(ANN_QUERY_PRED), "vec_id", "embedding", ANN_K,
+        n_bands=ANN_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
+    )
+
+
 def q_ann_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NumPy-matmul Pandas-UDF top-k, projected to the rank-only
     columns ``(query_id, neighbor_id, rank)``: float64 matmul
@@ -483,6 +500,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (streaming.running_user_totals, applyInPandasWithState): final
+    per-user event count + decimal-exact value sum. Stream == batch
+    (integer-cents state vs decimal sum) is pinned in
+    tests/test_streaming.py; this gate grades the shared semantics."""
+    from jaccard_join_duckdb_spark.streaming import running_user_totals
+
+    return running_user_totals(load_table(spark, sf_dir, "events"))
 
 
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_banded_topk": q_ann_lsh_banded_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -672,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_running_totals": q_events_running_totals,
         "events_interval_join": q_events_interval_join,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_revenue_by_nation": q_orders_revenue_by_nation,
@@ -823,6 +853,10 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
             n_planes=LSH_PLANES, dim=EMB_DIM,
         ),
+        "ann_lsh_banded_topk": oracle_ext.lsh_banded_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
+            n_bands=ANN_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
         "ann_pandas_topk": (
             "select query_id, neighbor_id, CAST(rank AS INTEGER) as rank "
             "from ("
@@ -874,6 +908,11 @@ select min(ts) as session_start,
        max(ts) + interval 30 minute as session_end,
        user_id, count(*) as n_events
 from s group by user_id, sid
+""",
+        "events_running_totals": """
+select user_id, count(*) as n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) as sum_value
+from events group by user_id
 """,
         "events_interval_join": """
 select l.event_id as l_event_id, r.event_id as r_event_id,

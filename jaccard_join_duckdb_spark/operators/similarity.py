@@ -39,8 +39,11 @@ __all__ = [
     "cosine_near_duplicates_lsh_banded",
     "embedding_lsh_index",
     "embedding_lsh_match",
+    "read_embedding_lsh_index",
+    "write_embedding_lsh_index",
     "hyperplanes",
     "ivf_topk",
+    "lsh_banded_topk",
     "lsh_bucket_topk",
 ]
 
@@ -238,7 +241,7 @@ def ivf_topk(
     Query-side probing (a handful of rows) stays a column expression.
     """
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if centroids == "kmeans":
@@ -304,13 +307,18 @@ def ivf_topk(
                 xi = c_mat[:, i]
                 dots = dots + xi[:, None] * cent_cols[i][None, :]
                 sq = sq + xi * xi
-            scores = dots / (np.sqrt(sq)[:, None] * cent_norms[None, :])
+            nrm = np.sqrt(sq)
+            scores = dots / (nrm[:, None] * cent_norms[None, :])
             # argmax with ties to the LARGER centroid index — matches
             # reverse(array_sort(struct(s, c))) which orders ties by c
             # descending. (All-NaN rows also agree: both pick the max c.)
             flipped = scores[:, ::-1]
             best = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
-            yield pdf.assign(lst=best.astype("int32"))
+            # Echo the corpus norm (np.sqrt == math.sqrt == SQL sqrt,
+            # over the fold-order-identical sq) so verification scores
+            # with dot/(qnrm*nrm) instead of re-folding both norms per
+            # candidate pair.
+            yield pdf.assign(lst=best.astype("int32"), nrm=nrm)
 
     c_in = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -320,21 +328,125 @@ def ivf_topk(
     c = c_in.mapInPandas(
         assign_kernel,
         StructType(
-            list(c_in.schema.fields) + [StructField("lst", IntegerType())]
+            list(c_in.schema.fields)
+            + [StructField("lst", IntegerType()), StructField("nrm", DoubleType())]
         ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qnrm"),
         F.explode(nearest_lists(F.col(vec_col), int(n_probe))).alias("lst"),
     )
     pairs = c.join(F.broadcast(q), "lst").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # Same float expression as cosine_similarity(qv, cv) — the norms
+    # are per-row values computed once (query side: one fold per query
+    # row; corpus side: echoed from the assignment kernel), not
+    # re-evaluated per candidate pair.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def lsh_banded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bands: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified sign-LSH approximate top-k — the production ANN
+    scale path: ``n_bands`` independent ``n_planes``-bit buckets, a
+    corpus vector is a candidate for a query if they collide in ANY
+    band, then exact cosine ranks the survivors. The top-k analogue of
+    :func:`cosine_near_duplicates_lsh_banded` (same banding, same
+    candidates→verify split); recall@5 rises from ~0.16 (single band)
+    to 0.80 at the default 8×4 and 0.94 at 16×4 on the sf0.1
+    embeddings (BENCHMARKS.md recall table) while candidates stay
+    ~n_bands/2^n_planes of brute force.
+
+    The ``n_bands * n_planes`` hyperplanes come from ONE sequential
+    :func:`hyperplanes` stream chunked per band, so band 0 is exactly
+    the plane set :func:`lsh_bucket_topk` uses with the same
+    seed/n_planes — banded candidates are a structural superset of the
+    single-band path, hence recall is provably >= single-band (pinned
+    by ``tests/test_similarity.py::test_banded_topk_recall_ordering``).
+
+    Scale: vectors are NOT carried through the band explosion — both
+    sides hash in a vectorized numpy kernel (:func:`_sign_lsh_sigs`,
+    fold-order-identical to the oracle), the tiny query signature set
+    broadcasts against the corpus signatures (map-side join, no
+    corpus shuffle), candidate pairs are de-duplicated, and vectors
+    (with their once-computed norms) join back only for survivors.
+    Output schema matches :func:`cosine_topk_bruteforce`.
+    """
+    n_bands, n_planes = int(n_bands), int(n_planes)
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
+    cbase = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    c_sigs = _sign_lsh_sigs(cbase.select("id", "v"), planes, n_bands, n_planes)
+    q_sigs = _sign_lsh_sigs(qbase.select("id", "v"), planes, n_bands, n_planes)
+    C = c_sigs.alias("C")
+    Q = q_sigs.alias("Q")
+    cands = (
+        C.join(
+            F.broadcast(Q),
+            (F.col("C.band") == F.col("Q.band"))
+            & (F.col("C.blk") == F.col("Q.blk"))
+            & (F.col("C.id") != F.col("Q.id")),
+        )
+        .select(
+            F.col("Q.id").alias("query_id"), F.col("C.id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    qv = qbase.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cv = cbase.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -575,9 +687,10 @@ def embedding_lsh_index(
 ) -> EmbeddingLshIndex:
     """Build the static-corpus side of query-vs-corpus embedding
     near-dup matching. At scale, persist is the minimum; for a
-    long-lived ingest pipeline write ``sigs``/``vecs`` as tables
-    bucketed by (band, blk) / id (:func:`..sources.write_bucketed`)
-    so every micro-batch joins shuffle-free."""
+    long-lived ingest pipeline persist the index with
+    :func:`write_embedding_lsh_index` (tables bucketed by (band, blk)
+    / id) so every micro-batch joins with zero corpus-side Exchange —
+    proven end-to-end in ``tools/index_bucket_bench.py``."""
     n_bands, n_planes = int(n_bands), int(n_planes)
     planes = hyperplanes(dim, n_bands * n_planes, seed)
     base = corpus.select(
@@ -591,6 +704,56 @@ def embedding_lsh_index(
     )
     return EmbeddingLshIndex(
         sigs=sigs, vecs=vecs, planes=planes, n_bands=n_bands, n_planes=n_planes
+    )
+
+
+def write_embedding_lsh_index(
+    index: EmbeddingLshIndex, name: str, num_buckets: int = 8
+) -> str:
+    """Persist the index as co-bucketed catalog tables — the
+    long-lived-ingest layout: ``{name}_sigs`` bucketed by
+    ``(band, blk)`` (the match join's keys) and ``{name}_vecs``
+    bucketed by ``id`` (the verification join-back key). A corpus
+    bucketed this way joins every micro-batch with NO Exchange on the
+    corpus side — only the (small) batch shuffles into the bucket
+    layout; the 100 TB corpus is hashed once at write time, never per
+    batch. Repartition-on-bucket-key first → one file per bucket, so
+    the bucket-sort holds file-wide. Demonstrated exit-code-gated in
+    ``tools/index_bucket_bench.py``; load with
+    :func:`read_embedding_lsh_index`."""
+    from ..sources import write_bucketed
+
+    nb = int(num_buckets)
+    write_bucketed(
+        index.sigs.repartition(nb, "band", "blk"),
+        f"{name}_sigs", ["band", "blk"], nb,
+    )
+    write_bucketed(
+        index.vecs.repartition(nb, "id"), f"{name}_vecs", ["id"], nb
+    )
+    return name
+
+
+def read_embedding_lsh_index(
+    spark,
+    name: str,
+    dim: int = 64,
+    n_bands: int = 4,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> EmbeddingLshIndex:
+    """Load an index persisted by :func:`write_embedding_lsh_index`.
+    The hyperplanes are deterministic from ``(dim, n_bands, n_planes,
+    seed)`` — pass the SAME parameters the index was built with
+    (:func:`hyperplanes` is a seeded stream, so the regenerated planes
+    are bit-identical to the build-time set)."""
+    n_bands, n_planes = int(n_bands), int(n_planes)
+    return EmbeddingLshIndex(
+        sigs=spark.table(f"{name}_sigs"),
+        vecs=spark.table(f"{name}_vecs"),
+        planes=hyperplanes(dim, n_bands * n_planes, seed),
+        n_bands=n_bands,
+        n_planes=n_planes,
     )
 
 
@@ -760,9 +923,16 @@ def lsh_bucket_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: join only within matching sign-LSH buckets
-    (2^n_planes buckets). The scale path for ANN — candidates per
-    query shrink by ~2^n_planes; recall depends on bucket count.
+    """Approximate top-k: join only within ONE matching sign-LSH
+    bucket (2^n_planes buckets). Candidates per query shrink by
+    ~2^n_planes, but a single band loses any neighbor that differs in
+    even one sign bit — recall@5 is ~0.16 with the default 4 planes on
+    the sf0.1 embeddings (BENCHMARKS.md). This is the maximal-pruning
+    building block; the production ANN path is
+    :func:`lsh_banded_topk`, which ORs several such bands to amplify
+    recall (or :func:`ivf_topk` when list-balanced probing fits the
+    corpus better).
+
     Corpus-side bucketing is a vectorized numpy mapInPandas stage
     (dimension-at-a-time accumulation == the scalar left-to-right
     fold, so buckets are bit-identical to :func:`lsh_bucket_expr`,
@@ -770,7 +940,7 @@ def lsh_bucket_topk(
     echoed through the kernel, so no extra shuffle is introduced.
     Output schema matches :func:`cosine_topk_bruteforce`."""
     import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     planes = hyperplanes(dim, n_planes, seed)
     planes_mat = np.array(planes, dtype=np.float64)
@@ -782,12 +952,17 @@ def lsh_bucket_topk(
             V = np.array(list(pdf["cv"]), dtype=np.float64)
             n_rows = V.shape[0]
             dots = np.zeros((n_rows, planes_mat.shape[0]))
+            sq = np.zeros(n_rows)
             for i in range(V.shape[1]):
-                dots = dots + V[:, i][:, None] * planes_mat[:, i][None, :]
+                xi = V[:, i]
+                dots = dots + xi[:, None] * planes_mat[:, i][None, :]
+                sq = sq + xi * xi
             blk = np.zeros(n_rows, dtype=np.int64)
             for j in range(planes_mat.shape[0]):
                 blk |= (dots[:, j] > 0).astype(np.int64) << j
-            yield pdf.assign(blk=blk)
+            # Echo the corpus norm (fold-order-identical sq, np.sqrt ==
+            # SQL sqrt) so verification never re-folds it per pair.
+            yield pdf.assign(blk=blk, nrm=np.sqrt(sq))
 
     c_in = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -795,20 +970,28 @@ def lsh_bucket_topk(
     )
     c = c_in.mapInPandas(
         bucket_kernel,
-        StructType(list(c_in.schema.fields) + [StructField("blk", LongType())]),
+        StructType(
+            list(c_in.schema.fields)
+            + [StructField("blk", LongType()), StructField("nrm", DoubleType())]
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qnrm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("blk"),
     )
     pairs = c.join(F.broadcast(q), "blk").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # Per-row norms computed once (query fold / kernel echo), never
+    # per candidate pair — same float values as cosine_similarity.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

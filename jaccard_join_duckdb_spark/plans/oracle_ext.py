@@ -30,6 +30,7 @@ __all__ = [
     "embedding_lsh_match_sql",
     "cosine_topk_sql",
     "ivf_topk_sql",
+    "lsh_banded_topk_sql",
     "lsh_bucket_lit_sql",
     "lsh_topk_sql",
     "text_stats_sql",
@@ -476,6 +477,54 @@ c as (select {id_col} as neighbor_id, {vec_col} as cv,
 scored as (
   select query_id, neighbor_id, round({cosine_sql('qv', 'cv')}, 6) as cosine
   from c join q using (blk) where query_id != neighbor_id),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored)
+select query_id, neighbor_id, cosine, CAST(rank AS INTEGER) as rank
+from ranked where rank <= {int(k)}
+"""
+
+
+def lsh_banded_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int,
+    n_bands: int = 8, n_planes: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """Mirror of similarity.lsh_banded_topk: the same sequential
+    hyperplane stream chunked per band, UNION ALL per-band signatures
+    on both sides, distinct candidates on a collision in ANY band,
+    exact cosine from per-row norms, same rank ordering."""
+    planes = hyperplanes(dim, int(n_bands) * int(n_planes), seed)
+
+    def sigs(src: str) -> str:
+        return "\n  union all\n".join(
+            f"  select id, {b} as band, "
+            f"{lsh_bucket_lit_sql('v', planes[b * int(n_planes):(b + 1) * int(n_planes)])}"
+            f" as blk from {src}"
+            for b in range(int(n_bands))
+        )
+
+    cos = f"round({_dot_sql('qb.v', 'cb.v')} / (qb.nrm * cb.nrm), 6)"
+    return f"""
+with qbase as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm
+  from {table} where {query_pred}),
+cbase as (
+  select {id_col} as id, {vec_col} as v, {_norm_sql(vec_col)} as nrm
+  from {table}),
+qsig as (
+{sigs('qbase')}),
+csig as (
+{sigs('cbase')}),
+cand as (
+  select distinct Q.id as query_id, C.id as neighbor_id
+  from qsig Q join csig C on Q.band = C.band and Q.blk = C.blk
+  where Q.id != C.id),
+scored as (
+  select query_id, neighbor_id, {cos} as cosine
+  from cand c join qbase qb on c.query_id = qb.id
+  join cbase cb on c.neighbor_id = cb.id),
 ranked as (
   select query_id, neighbor_id, cosine,
          row_number() over (partition by query_id

@@ -96,12 +96,54 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
 # PNG color type → sample channels (PNG spec, IHDR color byte).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# JPEG frame markers carrying dimensions: SOF0-SOF15 minus the
+# non-frame C-range markers DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+# Standalone markers with no length field: TEM (01), RST0-7 (D0-D7).
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int, int]:
+    """JPEG marker walk to the first SOF frame header (JPEG/JFIF
+    spec): after SOI, each segment is 0xFF, a marker byte, then a
+    big-endian length that includes itself; SOFn's payload is
+    precision(1) height(2) width(2) components(1). Dimensions must
+    precede the scan data, so the walk stops at SOS/EOI."""
+    n = len(payload)
+    i = 2  # past SOI
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise NotImplementedError("corrupt JPEG marker stream")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        i += 2
+        if marker in _JPEG_STANDALONE:
+            continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no SOF seen
+            break
+        if i + 2 > n:
+            break
+        seg_len = struct.unpack(">H", payload[i : i + 2])[0]
+        if marker in _JPEG_SOF:
+            if i + 8 > n:
+                break
+            h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
+            return int(w), int(h), int(payload[i + 7])
+        i += seg_len
+    raise NotImplementedError("JPEG without SOF frame header before scan")
+
 
 def _real_dims(payload: bytes) -> tuple[int, int, int]:
-    """Stdlib-only header parse for the formats whose dimensions live
-    at fixed offsets — PNG (IHDR) and BMP (BITMAPINFOHEADER). Other
-    formats (JPEG needs a marker walk; video/audio need real codecs)
-    still raise ``NotImplementedError``."""
+    """Stdlib-only header parse for the formats whose dimensions are
+    recoverable without a codec — PNG (IHDR), BMP (BITMAPINFOHEADER),
+    and JPEG (SOF marker walk, :func:`_jpeg_dims`). Video/audio need
+    real codecs and still raise ``NotImplementedError``."""
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        return _jpeg_dims(payload)
     if len(payload) >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         # 8-byte signature, 4-byte chunk length, b"IHDR", then
         # width/height as big-endian uint32 + bit-depth/color bytes.
@@ -118,7 +160,7 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
         bpp = struct.unpack("<H", payload[28:30])[0]
         return int(w), abs(int(h)), max(1, bpp // 8)
     raise NotImplementedError(
-        "real decode implemented for PNG/BMP headers only; other "
+        "real decode implemented for PNG/BMP/JPEG headers only; other "
         "formats require PIL/ffmpeg (not in container)"
     )
 

@@ -94,6 +94,57 @@ def _bmp_bytes(w: int, h: int, bpp: int = 24, top_down: bool = False) -> bytes:
     return file_hdr + info
 
 
+def _jpeg_bytes(
+    w: int, h: int, components: int = 3, progressive: bool = False,
+    fill_bytes: int = 0,
+) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0 (JFIF), a DQT stub the
+    walk must skip by its length field, optional 0xFF fill padding,
+    then SOF0/SOF2 with the frame dimensions. No scan data — header
+    parsing never reads past SOF."""
+    import struct
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(65))
+    sof_data = struct.pack(">BHHB", 8, h, w, components) + bytes(
+        3 * components
+    )
+    sof = seg(0xC2 if progressive else 0xC0, sof_data)
+    return b"\xff\xd8" + app0 + dqt + b"\xff" * fill_bytes + sof
+
+
+def test_real_decode_jpeg_sof_walk(spark):
+    """decode_image_meta(fake=False) walks JPEG markers to SOF0/SOF2
+    and recovers width/height/components — including past fill bytes
+    and variable-length segments; a truncated stream (no SOF) still
+    raises through the real path."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    payloads = [
+        (1, _jpeg_bytes(1920, 1080, components=3)),            # baseline RGB
+        (2, _jpeg_bytes(64, 32, components=1, progressive=True)),  # SOF2 gray
+        (3, _jpeg_bytes(300, 200, components=3, fill_bytes=3)),    # fill padding
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p, None) for i, p in payloads], ASSET_SCHEMA
+    )
+    got = {r.asset_id: r for r in decode_image_meta(df, fake=False).collect()}
+    want = {1: (1920, 1080, 3), 2: (64, 32, 1), 3: (300, 200, 3)}
+    assert len(got) == len(want)
+    for aid, (w, h, c) in want.items():
+        r = got[aid]
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.n_bytes == len(dict(payloads)[aid])
+    truncated = spark.createDataFrame(
+        [(9, "image", b"\xff\xd8\xff\xe0\x00\x02", None)], ASSET_SCHEMA
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_image_meta(truncated, fake=False).collect()
+
+
 def test_real_decode_png_bmp_headers(spark):
     """decode_image_meta(fake=False) parses real PNG/BMP headers —
     width/height/channels round-trip the values the payloads were

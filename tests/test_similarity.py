@@ -77,6 +77,34 @@ def test_lsh_topk_subset_of_brute(embeddings):
         assert sc <= brute[(key[0], 1)] + 1e-9
 
 
+def test_banded_topk_recall_ordering(embeddings):
+    """ANN top-k recall is monotone in banding: the banded path's
+    candidate set is a structural superset of the single-band path
+    (band 0 = the identical plane set, one sequential hyperplane
+    stream), so its recall@k against brute force can only be >= —
+    and more bands can only add candidates."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        ann_recall,
+        lsh_banded_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, q, k=5)
+    r_single = ann_recall(lsh_bucket_topk(embeddings, q, k=5, n_planes=4), exact)
+    r_banded = ann_recall(
+        lsh_banded_topk(embeddings, q, k=5, n_bands=8, n_planes=4), exact
+    )
+    r_banded16 = ann_recall(
+        lsh_banded_topk(embeddings, q, k=5, n_bands=16, n_planes=4), exact
+    )
+    assert r_single <= r_banded <= r_banded16 <= 1.0
+    # OR-amplification must actually recover neighbors on this corpus,
+    # not just tie the single band (sf0.1: 0.16 → 0.80 → 0.94).
+    assert r_banded > r_single
+    out = lsh_banded_topk(embeddings, q, k=5, n_bands=8, n_planes=4)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
 def test_pandas_topk_matches_expression_topk(spark, embeddings):
     """The numpy-matmul path must produce the same neighbor ranking as
     the expression-based brute force (scores equal to ~1e-9; the 6-dp
