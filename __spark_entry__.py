@@ -227,6 +227,23 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with every optional stage engaged:
+    quality gate → language gate (keep 'en') → exact dedup → MinHash
+    near-dup clusters → banded-LSH embedding near-dup clusters (the
+    semantic dedup token stages can't see; embeddings join on
+    vec_id == doc_id) → min-id survivors, hash-checked end-to-end
+    against the single composed DuckDB statement."""
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_quality=0.3, min_tokens=20, neardup_threshold=T_MINHASH,
+        allowed_langs=["en"],
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+        emb_threshold=T_EMB_COS,
+        emb_bands=LSH_BANDS, emb_planes=LSH_PLANES, emb_dim=EMB_DIM,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup clusters: connected components over the
     MinHash near-dup edge set (survivor = min doc_id per cluster) —
@@ -679,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_clusters": q_dedup_clusters,
         "corpus_curate": q_corpus_curate,
+        "corpus_curate_full": q_corpus_curate_full,
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
@@ -803,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text",
             min_quality=0.3, min_tokens=20,
             neardup_threshold=T_MINHASH,
+        ),
+        "corpus_curate_full": oracle_ext.curate_corpus_sql(
+            "documents", "doc_id", "text",
+            min_quality=0.3, min_tokens=20,
+            neardup_threshold=T_MINHASH,
+            allowed_langs=["en"],
+            emb_table="embeddings",
+            emb_threshold=T_EMB_COS,
+            emb_bands=LSH_BANDS, emb_planes=LSH_PLANES, emb_dim=EMB_DIM,
         ),
         "dedup_clusters": oracle_ext.connected_components_sql(
             oracle_ext.minhash_neardup_sql(

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_embed_lsh_match",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_banded_topk",
     "ann_ivf_topk",
     "text_token_counts",
     "text_stats",
@@ -41,6 +42,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "events_hourly",
     "events_sessionize",
+    "events_running_totals",
     "lineitem_pricing",
     "orders_revenue_by_nation",
     "top_orders_per_customer",

@@ -5,22 +5,32 @@ way a pre-training data run does —
 
 1. quality gate   (:func:`..functions.text.text_stats` composite score
                    + minimum token count),
-2. exact dedup    (:func:`.dedup.drop_exact_duplicates`, min-id
+2. language gate  (optional — :func:`..functions.text.lang_id`
+                   heuristic, keep ``allowed_langs`` only),
+3. exact dedup    (:func:`.dedup.drop_exact_duplicates`, min-id
                    survivor per identical text),
-3. near-dup dedup (:func:`.dedup.minhash_near_duplicates` pairs →
+4. near-dup dedup (:func:`.dedup.minhash_near_duplicates` pairs →
                    :func:`.dedup.connected_components` clusters →
-                   keep the minimum id of every cluster).
+                   keep the minimum id of every cluster),
+5. embedding dedup (optional — semantic near-dups the token stages
+                   can't see: :func:`.similarity.
+                   cosine_near_duplicates_lsh_banded` pairs over the
+                   survivors' embeddings → components → min-id keep).
 
-Everything stays a lazy DataFrame graph except the near-dup stage's
+Everything stays a lazy DataFrame graph except the near-dup stages'
 bounded driver-side iteration (hash-min rounds) — no row data ever
 reaches the driver, so the same code runs at cluster scale: the
-quality gate is a scan-side filter, exact dedup one hash-groupBy, and
-the MinHash stage shuffles signatures/bands exactly as documented in
-:mod:`.dedup`.
+quality/language gates are scan-side filters, exact dedup one
+hash-groupBy, the MinHash stage shuffles signatures/bands exactly as
+documented in :mod:`.dedup`, and the embedding stage runs the banded
+candidates→verify split of :mod:`.similarity` on the (already
+thinned) survivor set — cheap stages cut the corpus before expensive
+ones, as real pipelines order them.
 
 The DuckDB oracle twin (plans/oracle_ext.curate_corpus_sql) replicates
-every stage — same quality arithmetic, same md5 grouping, same minhash
-parameters, same recursive-CTE component labels — so the composed
+every stage — same quality arithmetic, same stopword-hit language
+pick, same md5 grouping, same minhash parameters, same hyperplane
+buckets, same recursive-CTE component labels — so the composed
 pipeline is hash-checked end-to-end, not just stage by stage.
 """
 
@@ -30,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import text_stats
+from ..functions.text import lang_id, text_stats
 from ..tokenizers import Tokenizer
 from .dedup import (
     connected_components,
@@ -54,13 +64,30 @@ def curate_corpus(
     seed: int = 42,
     cc_algorithm: str = "hash_min",
     cc_max_iterations: int = 50,
+    allowed_langs: list[str] | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    emb_threshold: float = 0.95,
+    emb_bands: int = 4,
+    emb_planes: int = 4,
+    emb_dim: int = 64,
+    emb_seed: int = 42,
 ) -> DataFrame:
     """Surviving documents as ``(id_col, n_tokens, quality)``.
 
-    A document survives iff it passes the quality gate AND is the
-    minimum-id representative of both its exact-text group and its
-    near-duplicate cluster (computed on the quality-passing set, as
-    real pipelines do — junk is cut before the expensive stage).
+    A document survives iff it passes the quality gate (and, when
+    ``allowed_langs`` is given, the language gate) AND is the
+    minimum-id representative of its exact-text group, its MinHash
+    near-duplicate cluster, and — when ``embeddings`` is given — its
+    embedding near-duplicate cluster. Each stage is computed on the
+    previous stage's survivors, as real pipelines do — junk is cut
+    before the expensive stages.
+
+    ``embeddings`` rows join to documents on ``emb_id_col == id_col``
+    (documents without an embedding simply cannot be semantic
+    duplicates); pairs come from the banded sign-LSH path, so the
+    stage never goes all-pairs.
     """
     stats = text_stats(df, id_col, text_col).select(
         id_col, "n_tokens", "quality"
@@ -69,10 +96,16 @@ def curate_corpus(
         (F.col("quality") >= F.lit(float(min_quality)))
         & (F.col("n_tokens") >= F.lit(int(min_tokens)))
     )
-    kept = df.join(kept_stats.select(id_col), id_col, "left_semi")
+    kept_ids = kept_stats.select(id_col)
+    if allowed_langs:
+        in_lang = lang_id(df, id_col, text_col).filter(
+            F.col("pred_lang").isin([str(x) for x in allowed_langs])
+        )
+        kept_ids = kept_ids.join(in_lang.select(id_col), id_col, "left_semi")
+    kept = df.join(kept_ids, id_col, "left_semi")
     # Read twice (near-dup pair generation AND the final survivor
-    # anti-join) — persist so the scan → quality gate → exact-dedup
-    # chain executes once.
+    # anti-join) — persist so the scan → gates → exact-dedup chain
+    # executes once.
     kept = drop_exact_duplicates(kept, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -87,8 +120,28 @@ def curate_corpus(
     losers = labels.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
+    survivors = kept.join(losers, id_col, "left_anti")
+    if embeddings is not None:
+        from .similarity import cosine_near_duplicates_lsh_banded
+
+        surv_vecs = embeddings.select(
+            F.col(emb_id_col).alias(id_col), F.col(emb_vec_col).alias("__v")
+        ).join(survivors.select(id_col), id_col, "left_semi")
+        epairs = cosine_near_duplicates_lsh_banded(
+            surv_vecs, id_col, "__v", emb_threshold,
+            n_bands=emb_bands, n_planes=emb_planes, dim=emb_dim,
+            seed=emb_seed,
+        )
+        elabels = connected_components(
+            epairs, "l_id", "r_id",
+            max_iterations=cc_max_iterations, algorithm=cc_algorithm,
+        )
+        elosers = elabels.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+        survivors = survivors.join(elosers, id_col, "left_anti")
     return (
-        kept.join(losers, id_col, "left_anti")
+        survivors
         .join(kept_stats, id_col)
         .select(id_col, "n_tokens", "quality")
     )

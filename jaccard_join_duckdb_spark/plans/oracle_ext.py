@@ -743,23 +743,48 @@ def curate_corpus_sql(
     min_quality: float = 0.3, min_tokens: int = 20,
     neardup_threshold: float = 0.9,
     num_hashes: int = 32, bands: int = 8, seed: int = 42,
+    allowed_langs: list[str] | None = None,
+    emb_table: str | None = None,
+    emb_id: str = "vec_id", emb_vec: str = "embedding",
+    emb_threshold: float = 0.95,
+    emb_bands: int = 4, emb_planes: int = 4,
+    emb_dim: int = 64, emb_seed: int = 42,
 ) -> str:
     """Mirror of operators.curate.curate_corpus — the composed
     pipeline hash-checked end-to-end: quality gate (same rounded
-    arithmetic as text_stats_sql), exact dedup (min id per md5(text)),
-    MinHash near-dup pairs (same params), recursive-CTE component
-    labels (same fixpoint as hash-min propagation), min-id survivors.
+    arithmetic as text_stats_sql), optional language gate (same
+    stopword-hit CASE chain as lang_id_sql), exact dedup (min id per
+    md5(text)), MinHash near-dup pairs (same params), recursive-CTE
+    component labels (same fixpoint as hash-min propagation), min-id
+    survivors — then, when ``emb_table`` is given, banded sign-LSH
+    embedding near-dup pairs over the survivors (same hyperplane
+    buckets as cosine_neardup_lsh_banded_sql) with a second
+    recursive-CTE component pass.
     """
     pairs = minhash_neardup_sql(
         "kd", key, val, neardup_threshold, num_hashes, bands, seed
     )
-    return f"""
-with recursive
+    if allowed_langs:
+        langs_in = ", ".join(f"'{x}'" for x in allowed_langs)
+        keep_ctes = f"""
+st as ({text_stats_sql(table, key, val)}),
+lng as ({lang_id_sql(table, key, val)}),
+keep as (
+  select st.id, st.n_tokens, st.quality from st
+  join lng on st.id = lng.id
+  where st.quality >= CAST({float(min_quality)!r} AS DOUBLE)
+    and st.n_tokens >= {int(min_tokens)}
+    and lng.pred_lang in ({langs_in})),"""
+    else:
+        keep_ctes = f"""
 st as ({text_stats_sql(table, key, val)}),
 keep as (
   select id, n_tokens, quality from st
   where quality >= CAST({float(min_quality)!r} AS DOUBLE)
-    and n_tokens >= {int(min_tokens)}),
+    and n_tokens >= {int(min_tokens)}),"""
+    head = f"""
+with recursive
+{keep_ctes}
 k as (select d.* from {table} d join keep on d.{key} = keep.id),
 ex as (select min({key}) as id from k group by md5({val})),
 kd as (select k.* from k join ex on k.{key} = ex.id),
@@ -773,10 +798,42 @@ walk(u, comp) as (
   union
   select e.v, w.comp from walk w join edges e on e.u = w.u),
 comps as (select u as id, min(comp) as comp from walk group by u),
-losers as (select id from comps where id != comp)
+losers as (select id from comps where id != comp)"""
+    if emb_table is None:
+        return f"""{head}
 select kd.{key} as {key}, keep.n_tokens, keep.quality
 from kd
 join keep on kd.{key} = keep.id
 left join losers on kd.{key} = losers.id
 where losers.id is null
+"""
+    surv_vecs = (
+        f"(select e.{emb_id} as vid, e.{emb_vec} as vv from {emb_table} e "
+        "join surv on e." + emb_id + " = surv.id)"
+    )
+    epairs = cosine_neardup_lsh_banded_sql(
+        surv_vecs, "vid", "vv", emb_threshold,
+        n_bands=emb_bands, n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
+    )
+    return f"""{head},
+surv as (
+  select kd.{key} as id from kd
+  left join losers on kd.{key} = losers.id
+  where losers.id is null),
+epairs as ({epairs}),
+eedges as (
+  select l_id as u, r_id as v from epairs
+  union
+  select r_id as u, l_id as v from epairs),
+ewalk(u, comp) as (
+  select u, u from eedges
+  union
+  select e2.v, w.comp from ewalk w join eedges e2 on e2.u = w.u),
+ecomps as (select u as id, min(comp) as comp from ewalk group by u),
+elosers as (select id from ecomps where id != comp)
+select surv.id as {key}, keep.n_tokens, keep.quality
+from surv
+join keep on surv.id = keep.id
+left join elosers on surv.id = elosers.id
+where elosers.id is null
 """

@@ -16,6 +16,24 @@ ROWS = [
     (6, "a completely different document about the weather in the mountains today"),
     (7, "a completely different document about the weather in the mountains today"),
     (8, "the sun was shining and the birds were singing in the quiet green park"),
+    # German doc: dropped by the optional language gate, survives
+    # every other stage (long enough, good quality, no duplicate)
+    (9, "der hund und die katze sind nicht in das haus und der garten ist ein ort"),
+]
+
+# vec_id == doc_id; all values dyadic (exact in float32 AND in the
+# DuckDB literal view, so both engines fold identical doubles). Docs
+# 6 and 8 are semantic near-dups (cosine ≈ 0.992) whose TEXTS differ —
+# only the embedding stage can merge them. Doc 3 has no embedding.
+EMB_ROWS = [
+    (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    (5, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+    (6, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    (7, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+    (8, [0.0, 0.0, 0.0, 0.0, 1.0, 0.125, 0.0, 0.0]),
+    (9, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
 ]
 
 
@@ -54,3 +72,51 @@ def test_curate_matches_duckdb(docs):
     assert 1 in kept_ids and 2 not in kept_ids
     assert 6 in kept_ids and 7 not in kept_ids
     assert 8 in kept_ids
+
+
+def test_curate_full_matches_duckdb(spark, docs):
+    """All optional stages engaged: language gate + banded embedding
+    near-dup stage, Spark ≡ the composed DuckDB statement."""
+    emb = spark.createDataFrame(
+        EMB_ROWS, "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.doc_id, r.n_tokens, r.quality)
+        for r in curate_corpus(
+            docs, "doc_id", "text",
+            min_quality=0.3, min_tokens=5, neardup_threshold=0.8,
+            allowed_langs=["en"],
+            embeddings=emb, emb_threshold=0.95, emb_dim=8,
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in ROWS)
+    con.execute(
+        f"create view documents as select * from (values {vals}) v(doc_id, text)"
+    )
+    evals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in v) + "])"
+        for i, v in EMB_ROWS
+    )
+    con.execute(
+        "create view embeddings as select vec_id, CAST(embedding AS FLOAT[])"
+        f" as embedding from (values {evals}) e(vec_id, embedding)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            curate_corpus_sql(
+                "documents", "doc_id", "text",
+                min_quality=0.3, min_tokens=5, neardup_threshold=0.8,
+                allowed_langs=["en"],
+                emb_table="embeddings", emb_threshold=0.95, emb_dim=8,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    kept_ids = {r[0] for r in got}
+    # the base-variant survivors minus: 9 (German → language gate) and
+    # 8 (semantic near-dup of 6 → embedding stage keeps min id 6)
+    assert 9 not in kept_ids
+    assert 6 in kept_ids and 8 not in kept_ids
+    assert 1 in kept_ids
