@@ -64,6 +64,7 @@ T_MINHASH = 0.9
 MAX_HAMMING = 3
 NGRAM_Q = 5
 T_NGRAM = 0.9
+T_CONTAIN = 0.95
 ANN_K = 5
 ANN_QUERY_PRED = "vec_id < 10"
 # The synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -285,6 +286,18 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_near_duplicates(
         _docs(spark, sf_dir), "doc_id", "text", T_NGRAM, q=NGRAM_Q
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset pairs: |T(l) ∩ T(r)| / |T(l)| >=
+    T_CONTAIN — catches excerpt/boilerplate containment that
+    symmetric Jaccard misses (operators/dedup.py containment_join;
+    prefix-filtered candidates, lossless vs the brute oracle)."""
+    from jaccard_join_duckdb_spark.operators.dedup import containment_join
+
+    return containment_join(
+        _docs(spark, sf_dir), "doc_id", "text", T_CONTAIN
     )
 
 
@@ -700,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_containment": q_dedup_containment,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "dedup_embed_cosine_lsh_banded": q_dedup_embed_cosine_lsh_banded,
@@ -850,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram": oracle_ext.ngram_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_NGRAM, q=NGRAM_Q
+        ),
+        "dedup_containment": oracle_ext.containment_sql(
+            "documents", "doc_id", "text", T_CONTAIN
         ),
         "dedup_stream_batch": (
             "select min(doc_id) as id, "

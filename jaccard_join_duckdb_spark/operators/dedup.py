@@ -47,9 +47,12 @@ __all__ = [
     "MinHashIndex",
     "minhash_index",
     "minhash_match",
+    "read_minhash_index",
+    "write_minhash_index",
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_near_duplicates",
+    "containment_join",
     "connected_components",
 ]
 
@@ -256,9 +259,10 @@ def minhash_index(
 ) -> MinHashIndex:
     """Build the static-corpus side of query-vs-corpus near-dup
     matching. At scale, persist is the minimum; for a long-lived
-    ingest pipeline write ``band_sigs``/``toks`` as tables bucketed
-    by (band, sig) / token (:func:`..sources.write_bucketed`) so
-    every micro-batch joins shuffle-free."""
+    ingest pipeline persist the index with
+    :func:`write_minhash_index` (tables bucketed by (band, sig) /
+    id) so every micro-batch joins without re-hashing or shuffling
+    the corpus signatures."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     tokenizer = tokenizer or WhitespaceTokzr()
@@ -275,6 +279,54 @@ def minhash_index(
         num_hashes=num_hashes,
         bands=bands,
         seed=seed,
+    )
+
+
+def write_minhash_index(
+    index: MinHashIndex, name: str, num_buckets: int = 8
+) -> str:
+    """Persist the index as co-bucketed catalog tables — the
+    long-lived-ingest layout: ``{name}_sigs`` bucketed by
+    ``(band, sig)`` (the candidate join's keys) and ``{name}_toks``
+    bucketed by ``id`` (the verification side groups token rows per
+    document). A corpus bucketed this way joins every micro-batch
+    without re-hashing or shuffling the corpus signatures — the
+    MinHash twin of
+    :func:`..similarity.write_embedding_lsh_index` (whose plan
+    evidence tool, ``tools/index_bucket_bench.py``, demonstrates the
+    shared shape). Load with :func:`read_minhash_index`."""
+    from ..sources import write_bucketed
+
+    nb = int(num_buckets)
+    write_bucketed(
+        index.band_sigs.repartition(nb, "band", "sig"),
+        f"{name}_sigs", ["band", "sig"], nb,
+    )
+    write_bucketed(
+        index.toks.repartition(nb, "id"), f"{name}_toks", ["id"], nb
+    )
+    return name
+
+
+def read_minhash_index(
+    spark,
+    name: str,
+    tokenizer: Tokenizer | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> MinHashIndex:
+    """Load an index persisted by :func:`write_minhash_index`. Pass
+    the SAME tokenizer/num_hashes/bands/seed the index was built with
+    (signatures are deterministic in them, so query-side signatures
+    computed later bucket-join correctly)."""
+    return MinHashIndex(
+        band_sigs=spark.table(f"{name}_sigs"),
+        toks=spark.table(f"{name}_toks"),
+        tokenizer=tokenizer or WhitespaceTokzr(),
+        num_hashes=int(num_hashes),
+        bands=int(bands),
+        seed=int(seed),
     )
 
 
@@ -321,9 +373,27 @@ def _verify_jaccard(
     r_toks: DataFrame | None = None,
     vocab_n: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over candidate pairs. ``lid`` draws from
+    """Exact Jaccard over candidate pairs (overlap machinery in
+    :func:`_verify_overlap`): ``jaccard = ov / (lsz + rsz - ov)``
+    rounded to 6, threshold-filtered."""
+    return _jaccard_threshold_filter(
+        _verify_overlap(cands, toks, r_toks=r_toks, vocab_n=vocab_n),
+        threshold,
+    )
+
+
+def _verify_overlap(
+    cands: DataFrame,
+    toks: DataFrame,
+    r_toks: DataFrame | None = None,
+    vocab_n: int | None = None,
+) -> DataFrame:
+    """Exact set-overlap counts over candidate pairs:
+    ``(lid, rid, ov, lsz, rsz)`` with ``ov >= 1``. ``lid`` draws from
     ``toks``; ``rid`` from ``r_toks`` when given (query-vs-corpus
-    matching), else from ``toks`` (self dedup).
+    matching), else from ``toks`` (self dedup). Shared by the Jaccard
+    verifiers and :func:`containment_join` (different final metric,
+    same overlap plan).
 
     Small vocabularies (<= _MAX_BITSET_VOCAB distinct tokens): each
     document's token set is packed into a few 64-bit words and
@@ -399,7 +469,7 @@ def _verify_jaccard(
             .select("lid", "rid", ov_expr.alias("ov"), "lsz", "rsz")
             .filter(F.col("ov") >= 1)
         )
-        return _jaccard_threshold_filter(ov, threshold)
+        return ov
 
     def tok_arrays(side_toks: DataFrame) -> DataFrame:
         return side_toks.groupBy("id").agg(
@@ -426,7 +496,7 @@ def _verify_jaccard(
         )
         .filter(F.col("ov") >= 1)
     )
-    return _jaccard_threshold_filter(ov, threshold)
+    return ov
 
 
 def _jaccard_threshold_filter(ov: DataFrame, threshold: float) -> DataFrame:
@@ -780,6 +850,78 @@ def ngram_jaccard_near_duplicates(
     return out.select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment self-join: ordered pairs
+    ``(l_id, r_id, containment)`` with ``containment = |T(l) ∩ T(r)|
+    / |T(l)| >= threshold`` (and >= 1 shared token) — "document l is
+    mostly contained in document r", the near-subset detector a
+    training-data pipeline uses to drop quotes/excerpts/boilerplate
+    wrappers that symmetric Jaccard misses (a short doc inside a long
+    one has low Jaccard but containment 1.0). Both directions are
+    reported when both qualify. Set semantics
+    (:func:`_token_sets`).
+
+    Scale: prefix-filtered candidates, not all token-sharing pairs.
+    If ``ov >= ceil(t·|L|)`` then by pigeonhole ANY ``|L| -
+    ceil(t·|L|) + 1`` tokens of L include an overlap token, so only
+    L's that many rarest tokens (global (df, token) ascending order —
+    rarity minimizes fanout; soundness needs no order at all) are
+    indexed against the full token table; candidates are verified
+    exactly (:func:`_verify_overlap` — bitset/array plans, no
+    pairs×tokens explosion), so the prefix filter is lossless and the
+    output equals the brute all-sharing-pairs result. Only the left
+    side prunes: containment bounds involve ``|L|`` alone, so the
+    probing side legitimately keeps every token.
+    """
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy("id").orderBy("df", "token")
+    prefix = (
+        toks.join(dfreq, "token")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select(F.col("id").alias("lid"), "token")
+    )
+    cands = (
+        prefix.join(
+            toks.select(F.col("id").alias("rid"), "token"), "token"
+        )
+        .filter(F.col("lid") != F.col("rid"))
+        .select("lid", "rid")
+        .distinct()
+    )
+    ov = _verify_overlap(cands, toks.select("id", "token"))
+    out = (
+        ov.withColumn(
+            "containment",
+            F.round(
+                F.col("ov").cast("double") / F.col("lsz").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select(
+            F.col("lid").alias("l_id"),
+            F.col("rid").alias("r_id"),
+            "containment",
+        )
+    )
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -99,11 +99,18 @@ def cosine_topk_bruteforce(
     deterministic ordering even under score ties.
     Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
+    # Norms are per-row: fold them once per query/corpus row, not per
+    # pair (|Q|× the work on the corpus side otherwise). Same float
+    # values as cosine_similarity, so oracle parity is unaffected.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qnrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cnrm"),
     )
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -111,7 +118,9 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -262,20 +271,19 @@ def ivf_topk(
             raise ValueError(f"unknown centroid rule: {centroids!r}")
         cents = [(i, list(r[1])) for i, r in enumerate(picked)]
 
-    def nearest_lists(vec: Column, n: int) -> Column:
+    def nearest_lists(vec: Column, vnorm: Column, n: int) -> Column:
         """ids of the n closest centroids (by cosine), as an array.
-        Centroid norms use math.sqrt (correctly-rounded IEEE, same as
-        SQL sqrt) over a left-to-right fold — bit-identical to the
-        oracle's _norm_sql on the same float32-widened values."""
+        ``vnorm`` is the caller's once-folded row norm (so it is not
+        re-folded per centroid); centroid norms use math.sqrt
+        (correctly-rounded IEEE, same as SQL sqrt) over a
+        left-to-right fold — bit-identical to the oracle's _norm_sql
+        on the same float32-widened values."""
         scored = F.array(
             *[
                 F.struct(
                     (
                         _dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
-                        / (
-                            _norm(vec)
-                            * F.lit(_py_norm(cv))
-                        )
+                        / (vnorm * F.lit(_py_norm(cv)))
                     ).alias("s"),
                     F.lit(ci).alias("c"),
                 )
@@ -336,7 +344,13 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qnrm"),
-        F.explode(nearest_lists(F.col(vec_col), int(n_probe))).alias("lst"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.explode(
+            nearest_lists(F.col("qv"), F.col("qnrm"), int(n_probe))
+        ).alias("lst"),
     )
     pairs = c.join(F.broadcast(q), "lst").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -20,6 +20,7 @@ __all__ = [
     "minhash_match_sql",
     "qgram_tokens_sql",
     "ngram_jaccard_neardup_sql",
+    "containment_sql",
     "connected_components_sql",
     "simhash_fingerprints_sql",
     "simhash_neardup_sql",
@@ -186,6 +187,31 @@ select ov.lid as l_id, ov.rid as r_id,
        round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6) as jaccard
 from ov join sizes sl on sl.id = ov.lid join sizes sr on sr.id = ov.rid
 where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def containment_sql(table: str, key: str, val: str, threshold: float) -> str:
+    """Mirror of dedup.containment_join: all ordered token-sharing
+    pairs (the prefix filter is lossless, so the brute candidate set
+    yields identical output), exact overlap, containment = ov / |L|
+    rounded to 6, threshold filter."""
+    return f"""
+with toks as ({ws_tokens_sql(table, key, val)}),
+sizes as (select id, count(*) as sz from toks group by id),
+cands as (
+  select distinct L.id as lid, R.id as rid
+  from toks L join toks R on L.token = R.token and L.id != R.id),
+ov as (
+  select c.lid, c.rid, count(*) as ov
+  from cands c
+  join toks tl on tl.id = c.lid
+  join toks tr on tr.id = c.rid and tl.token = tr.token
+  group by c.lid, c.rid)
+select ov.lid as l_id, ov.rid as r_id,
+       round(CAST(ov AS DOUBLE) / CAST(sl.sz AS DOUBLE), 6) as containment
+from ov join sizes sl on sl.id = ov.lid
+where round(CAST(ov AS DOUBLE) / CAST(sl.sz AS DOUBLE), 6)
       >= CAST({float(threshold)!r} AS DOUBLE)
 """
 

@@ -175,3 +175,92 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "l_id", "r_id", max_iterations=3)
+
+
+def test_minhash_index_bucketed_roundtrip(spark, dup_df):
+    """write_minhash_index → read_minhash_index: the table-backed
+    index produces byte-identical matches to the in-memory one
+    (query signatures computed later bucket-join correctly because
+    signatures are deterministic in tokenizer/params)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_index,
+        minhash_match,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus = dup_df.filter(F.col("id") != 3)
+    queries = dup_df.filter(F.col("id") == 3)
+    idx = minhash_index(corpus, "id", "text")
+    want = {
+        tuple(r)
+        for r in minhash_match(queries, idx, "id", "text", 0.5).collect()
+    }
+    try:
+        write_minhash_index(idx, "mh_idx_rt", num_buckets=4)
+        idx2 = read_minhash_index(spark, "mh_idx_rt")
+        got = {
+            tuple(r)
+            for r in minhash_match(queries, idx2, "id", "text", 0.5).collect()
+        }
+        assert got == want and want  # non-trivial match set
+    finally:
+        spark.sql("drop table if exists mh_idx_rt_sigs")
+        spark.sql("drop table if exists mh_idx_rt_toks")
+        idx.unpersist()
+
+
+def test_containment_join_known_geometry(spark):
+    """Asymmetric semantics: the short doc is fully contained in the
+    long one (containment 1.0) while the reverse direction is only
+    |∩|/|L| — the case symmetric Jaccard cannot separate."""
+    from jaccard_join_duckdb_spark.operators.dedup import containment_join
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta gamma delta"),
+        (3, "alpha zeta"),
+        (4, "unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    strict = {
+        (r.l_id, r.r_id): r.containment
+        for r in containment_join(df, "id", "text", 0.9).collect()
+    }
+    assert strict == {(1, 2): 1.0}
+    loose = {
+        (r.l_id, r.r_id): r.containment
+        for r in containment_join(df, "id", "text", 0.5).collect()
+    }
+    assert loose == {
+        (1, 2): 1.0, (2, 1): 0.5, (1, 3): 0.5, (3, 1): 0.5, (3, 2): 0.5,
+    }
+
+
+def test_containment_join_matches_duckdb_brute(spark, documents):
+    """The prefix filter is lossless: output equals the brute
+    all-token-sharing-pairs DuckDB oracle on real documents."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import containment_join
+    from jaccard_join_duckdb_spark.plans.oracle_ext import containment_sql
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.l_id, r.r_id, r.containment)
+        for r in containment_join(
+            documents, "doc_id", "text", 0.95
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{SF_SMALL}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            containment_sql("documents", "doc_id", "text", 0.95)
+        ).fetchall()
+    }
+    assert got == want and want  # non-trivial on the dense corpus

@@ -212,3 +212,39 @@ def test_ivf_kmeans_centroids_recall(spark, embeddings):
     # probing half the lists of a near-orthogonal corpus must do far
     # better than chance; exactness isn't required, sanity is
     assert r >= 0.3
+
+
+def test_embedding_lsh_index_bucketed_roundtrip(spark, embeddings):
+    """write_embedding_lsh_index → read_embedding_lsh_index: the
+    table-backed index produces byte-identical matches to the
+    in-memory one (hyperplanes regenerate deterministically from the
+    build parameters). Plan-level exchange evidence is exit-gated in
+    tools/index_bucket_bench.py."""
+    from jaccard_join_duckdb_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_lsh_match,
+        read_embedding_lsh_index,
+        write_embedding_lsh_index,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") % 10 != 0)
+    queries = embeddings.filter(F.col("vec_id") % 10 == 0)
+    idx = embedding_lsh_index(corpus, "vec_id", "embedding")
+    want = {
+        tuple(r)
+        for r in embedding_lsh_match(queries, idx, threshold=0.4).collect()
+    }
+    try:
+        write_embedding_lsh_index(idx, "emb_idx_rt", num_buckets=4)
+        idx2 = read_embedding_lsh_index(spark, "emb_idx_rt")
+        got = {
+            tuple(r)
+            for r in embedding_lsh_match(
+                queries, idx2, threshold=0.4
+            ).collect()
+        }
+        assert got == want and want  # non-trivial match set
+    finally:
+        spark.sql("drop table if exists emb_idx_rt_sigs")
+        spark.sql("drop table if exists emb_idx_rt_vecs")
+        idx.unpersist()
