@@ -317,6 +317,77 @@ def q_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_stream(docs, "doc_id", "text")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: docs with doc_id % 50 == 0 play the benchmark
+    set, the rest the training corpus; a hit = a training document
+    containing >= 90% of a benchmark item's token set (asymmetric
+    containment — the right metric when the training doc dwarfs the
+    benchmark item; operators/dedup.py containment_match)."""
+    from jaccard_join_duckdb_spark.operators.dedup import containment_match
+
+    docs = _docs(spark, sf_dir)
+    return containment_match(
+        docs.filter(F.col("doc_id") % 50 == 0),
+        docs.filter(F.col("doc_id") % 50 != 0),
+        "doc_id", "text", 0.9,
+    )
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (data mixing): split is
+    a pure function of the row id (md5-derived uniform), stable across
+    runs, engines, repartitions, and corpus growth — unlike
+    partition-seeded sample()/rand() (sources.hash_split)."""
+    from jaccard_join_duckdb_spark.sources import hash_split
+
+    return hash_split(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+# PII gate input: the synthetic corpus carries no PII, so the gate
+# query injects a deterministic email + URL + phone per document with
+# engine-identical string arithmetic, then redacts — exercising every
+# pattern with non-trivial counts.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via https://site.example/page/' || "
+    "CAST(doc_id AS VARCHAR) || ' or call +1555' || "
+    "lpad(CAST(doc_id AS VARCHAR), 7, '0')"
+)
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii): URL/email/phone
+    redaction with per-document counts, over documents with injected
+    deterministic PII (see _PII_SUFFIX_SQL)."""
+    from jaccard_join_duckdb_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site.example/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(withpii, "doc_id", "text")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions.text.
+    repetition_stats): duplicate-token ratio, top-token fraction,
+    duplicate-bigram ratio — explode → per-doc roll-up, no hot keys."""
+    from jaccard_join_duckdb_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact all-pairs baseline (at scale
     pass ``block_expr`` = LSH bucket; see operators/similarity.py)."""
@@ -714,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
         "dedup_containment": q_dedup_containment,
+        "decontaminate": q_decontaminate,
+        "data_split": q_data_split,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "dedup_embed_cosine_lsh_banded": q_dedup_embed_cosine_lsh_banded,
@@ -729,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
         "text_bm25_topk": q_text_bm25_topk,
         "corpus_profile": q_corpus_profile,
         "events_hourly": q_events_hourly,
@@ -867,6 +942,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_containment": oracle_ext.containment_sql(
             "documents", "doc_id", "text", T_CONTAIN
+        ),
+        "decontaminate": oracle_ext.containment_match_sql(
+            "(select * from documents where doc_id % 50 = 0)",
+            "(select * from documents where doc_id % 50 != 0)",
+            "doc_id", "text", 0.9,
+        ),
+        "data_split": (
+            "select doc_id, split from ("
+            + oracle_ext.hash_split_sql("documents", "doc_id")
+            + ")"
+        ),
+        "text_redact_pii": oracle_ext.redact_pii_sql(
+            f"(select doc_id, {_PII_SUFFIX_SQL} as text from documents)",
+            "doc_id", "text",
+        ),
+        "text_repetition": oracle_ext.repetition_stats_sql(
+            "documents", "doc_id", "text"
         ),
         "dedup_stream_batch": (
             "select min(doc_id) as id, "

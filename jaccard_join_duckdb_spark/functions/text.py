@@ -21,10 +21,13 @@ __all__ = [
     "corpus_profile",
     "ws_token_array",
     "poly_hash",
+    "redact_pii",
+    "repetition_stats",
     "text_stats",
     "token_counts",
     "lang_id",
     "doc_fingerprint",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -279,4 +282,138 @@ def corpus_profile(
         F.element_at(qs, 2).alias("p90_tokens"),
         F.element_at(qs, 3).alias("p99_tokens"),
         F.max("nt").cast("long").alias("max_tokens"),
+    )
+
+
+# PII patterns — Java-regex AND RE2 compatible (no lookaround, no \b),
+# so the SAME strings drive Spark regexp_replace/extract_all and the
+# DuckDB oracle. Redaction order is URL → email → phone: an email can
+# sit inside a URL (credited to the URL), never vice versa, and the
+# placeholder tokens contain no digits so phone matching on the
+# already-redacted text cannot double-count.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ \t\r\n]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for a pre-training corpus: URLs, emails, and
+    phone-like digit runs replaced by placeholder tokens, with
+    per-document match counts — pure column expressions (JVM regex,
+    whole-stage codegen; a 100 TB scan-shaped stage, no shuffle).
+
+    Counts are taken progressively on the text as redacted so far
+    (URL matches first claim their span), so ``n_*`` partition the
+    redacted spans rather than double-counting an email inside a URL.
+    Output: ``(id, clean_text, n_urls, n_emails, n_phones)``.
+    """
+    stage = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+            .alias(f"n_{name}s")
+        )
+        stage = F.regexp_replace(stage, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"),
+        stage.alias("clean_text"),
+        *counts,
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/Dolma-style repetition signals per document — the
+    quality filters that catch boilerplate and degenerate generations
+    which length/punctuation stats miss:
+
+    - ``dup_token_ratio``: 1 − |set(tokens)| / |tokens| — fraction of
+      token occurrences that repeat an earlier token;
+    - ``top_token_frac``: occurrences of the most frequent token /
+      total tokens (Gopher's "fraction in most common word"; ties are
+      count-only, no tie-break needed);
+    - ``dup_bigram_ratio``: fraction of adjacent-bigram occurrences
+      whose bigram appears more than once (degenerate loops repeat
+      n-grams even when individual words vary).
+
+    Scale: explode → ``groupBy(id, token)`` count → ``groupBy(id)``
+    roll-up (map-side partial aggs; partitions bounded by doc length,
+    never by corpus-wide token frequency — the per-DOC grouping cannot
+    have a hot key the way per-TOKEN grouping can). Deliberately NOT
+    the per-row ``transform × filter`` array form, which is O(len²)
+    per document and melts on long documents. Empty docs emit 0
+    ratios; one-token docs have no bigrams (0). Rounded to 6 on
+    double arithmetic — oracle-reproducible
+    (``plans.oracle_ext.repetition_stats_sql``).
+    Output: ``(id, n_tokens, dup_token_ratio, top_token_frac,
+    dup_bigram_ratio)``.
+    """
+    toks = ws_token_array(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    tok_rows = base.select("id", F.explode("toks").alias("t"))
+    tok_agg = (
+        tok_rows.groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("uniq"),
+            F.max("c").alias("top"),
+        )
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big_agg = (
+        base.select("id", F.explode(bigrams).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("nb"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dupb"
+            ),
+        )
+    )
+    z = F.lit(0.0)
+    return (
+        base.select("id")
+        .join(tok_agg, "id", "left")
+        .join(big_agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("uniq").cast("double") / F.col("n").cast("double"),
+                    6,
+                ),
+            ).otherwise(z).alias("dup_token_ratio"),
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.col("top").cast("double") / F.col("n").cast("double"), 6
+                ),
+            ).otherwise(z).alias("top_token_frac"),
+            F.when(
+                F.col("nb") > 0,
+                F.round(
+                    F.col("dupb").cast("double") / F.col("nb").cast("double"),
+                    6,
+                ),
+            ).otherwise(z).alias("dup_bigram_ratio"),
+        )
     )

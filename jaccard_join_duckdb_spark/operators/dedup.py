@@ -53,6 +53,7 @@ __all__ = [
     "simhash_near_duplicates",
     "ngram_jaccard_near_duplicates",
     "containment_join",
+    "containment_match",
     "connected_components",
 ]
 
@@ -922,6 +923,80 @@ def containment_join(
         )
     )
     return out
+
+
+def containment_match(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """Two-table containment: ``(q_id, c_id, containment)`` with
+    ``containment = |T(q) ∩ T(c)| / |T(q)| >= threshold`` — the
+    DECONTAMINATION shape: ``query_df`` is a benchmark/eval set,
+    ``corpus_df`` the training corpus; a match means a training
+    document contains (most of) a benchmark item, and asymmetric
+    containment is the right metric because the training document is
+    usually far larger than the benchmark item (symmetric Jaccard
+    would dilute the overlap to noise).
+
+    Same lossless pigeonhole prefix filter as
+    :func:`containment_join` — only the query side prunes (the bound
+    involves ``|Q|`` alone, ordered by CORPUS token frequency so the
+    prefix probes the rarest corpus tokens); candidates are verified
+    exactly via the shared bitset/array overlap plans
+    (:func:`_verify_overlap` two-sided mode). Tokens the corpus never
+    contains have corpus-df 0 and sort first — maximal pruning.
+    Self-pairs are possible only if ids overlap across tables;
+    callers filter if needed.
+    """
+    tokenizer = tokenizer or WhitespaceTokzr()
+    q_toks = _token_sets(query_df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c_toks = _token_sets(corpus_df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = q_toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    c_dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy("id").orderBy("df", "token")
+    prefix = (
+        q_toks.join(c_dfreq, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select(F.col("id").alias("lid"), "token")
+    )
+    cands = (
+        prefix.join(
+            c_toks.select(F.col("id").alias("rid"), "token"), "token"
+        )
+        .select("lid", "rid")
+        .distinct()
+    )
+    ov = _verify_overlap(
+        cands, q_toks.select("id", "token"), r_toks=c_toks.select("id", "token")
+    )
+    return (
+        ov.withColumn(
+            "containment",
+            F.round(
+                F.col("ov").cast("double") / F.col("lsz").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select(
+            F.col("lid").alias("q_id"),
+            F.col("rid").alias("c_id"),
+            "containment",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

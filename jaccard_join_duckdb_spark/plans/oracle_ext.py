@@ -9,7 +9,7 @@ lists) come from the same Python functions the Spark operators use.
 
 from __future__ import annotations
 
-from ..functions.text import BPE_REGEX, STOPWORDS
+from ..functions.text import BPE_REGEX, PII_PATTERNS, STOPWORDS
 from ..operators.dedup import MERSENNE31, minhash_params
 from ..operators.similarity import hyperplanes
 
@@ -21,6 +21,7 @@ __all__ = [
     "qgram_tokens_sql",
     "ngram_jaccard_neardup_sql",
     "containment_sql",
+    "containment_match_sql",
     "connected_components_sql",
     "simhash_fingerprints_sql",
     "simhash_neardup_sql",
@@ -35,7 +36,10 @@ __all__ = [
     "lsh_bucket_lit_sql",
     "lsh_topk_sql",
     "text_stats_sql",
+    "hash_split_sql",
     "lang_id_sql",
+    "redact_pii_sql",
+    "repetition_stats_sql",
     "token_counts_sql",
     "multimodal_decode_sql",
     "multimodal_features_sql",
@@ -212,6 +216,33 @@ select ov.lid as l_id, ov.rid as r_id,
        round(CAST(ov AS DOUBLE) / CAST(sl.sz AS DOUBLE), 6) as containment
 from ov join sizes sl on sl.id = ov.lid
 where round(CAST(ov AS DOUBLE) / CAST(sl.sz AS DOUBLE), 6)
+      >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def containment_match_sql(
+    q_table: str, c_table: str, key: str, val: str, threshold: float
+) -> str:
+    """Mirror of dedup.containment_match (decontamination shape):
+    brute token-sharing query×corpus pairs (the prefix filter is
+    lossless), exact overlap, containment = ov / |Q| rounded to 6."""
+    return f"""
+with q_toks as ({ws_tokens_sql(q_table, key, val)}),
+c_toks as ({ws_tokens_sql(c_table, key, val)}),
+q_sizes as (select id, count(*) as sz from q_toks group by id),
+cands as (
+  select distinct Q.id as qid, C.id as cid
+  from q_toks Q join c_toks C on Q.token = C.token),
+ov as (
+  select c.qid, c.cid, count(*) as ov
+  from cands c
+  join q_toks tq on tq.id = c.qid
+  join c_toks tc on tc.id = c.cid and tq.token = tc.token
+  group by c.qid, c.cid)
+select ov.qid as q_id, ov.cid as c_id,
+       round(CAST(ov AS DOUBLE) / CAST(sq.sz AS DOUBLE), 6) as containment
+from ov join q_sizes sq on sq.id = ov.qid
+where round(CAST(ov AS DOUBLE) / CAST(sq.sz AS DOUBLE), 6)
       >= CAST({float(threshold)!r} AS DOUBLE)
 """
 
@@ -637,6 +668,69 @@ from h
 """
 
 
+def redact_pii_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.text.redact_pii: the SAME pattern strings
+    (shared PII_PATTERNS constant — Java-regex and RE2 compatible),
+    progressive count-then-replace stages in the same order."""
+    stages = []
+    prev = "s0"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        cols = ", ".join(["id"] + carried)
+        stages.append(
+            f"s{i} as (select {cols}, "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) as n_{name}s, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') as t from {prev})"
+        )
+        carried.append(f"n_{name}s")
+        prev = f"s{i}"
+    out_counts = ", ".join(carried)
+    stages_sql = ",\n".join(stages)
+    return f"""
+with s0 as (select {key} as id, {val} as t from {table}),
+{stages_sql}
+select id, t as clean_text, {out_counts} from {prev}
+"""
+
+
+def repetition_stats_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.text.repetition_stats: unnest → per-(id,
+    token) counts → per-id roll-up; adjacent bigrams via
+    list_transform; identical double arithmetic and 0.0 defaults."""
+    return f"""
+with base as (select {key} as id, {_ws_bag_sql(val)} as toks from {table}),
+tokc as (
+  select id, t, count(*) as c
+  from (select id, unnest(toks) as t from base) group by id, t),
+ta as (select id, sum(c) as n, count(*) as uniq, max(c) as top
+       from tokc group by id),
+bgc as (
+  select id, b, count(*) as c
+  from (select id, unnest(list_transform(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1])) as b
+        from base where len(toks) >= 2)
+  group by id, b),
+ba as (select id, sum(c) as nb,
+              sum(case when c > 1 then c else 0 end) as dupb
+       from bgc group by id)
+select base.id,
+  CAST(coalesce(n, 0) AS INTEGER) as n_tokens,
+  case when n > 0
+       then round(CAST(1.0 AS DOUBLE) - CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       else CAST(0.0 AS DOUBLE) end as dup_token_ratio,
+  case when n > 0
+       then round(CAST(top AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       else CAST(0.0 AS DOUBLE) end as top_token_frac,
+  case when nb > 0
+       then round(CAST(dupb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+       else CAST(0.0 AS DOUBLE) end as dup_bigram_ratio
+from base
+left join ta on base.id = ta.id
+left join ba on base.id = ba.id
+"""
+
+
 def bm25_top_terms_sql(
     table: str, key: str, val: str, k: int = 3,
     k1: float = 1.2, b: float = 0.75,
@@ -694,6 +788,34 @@ select count(*) as n_docs,
        CAST(max(nt) AS BIGINT) as max_tokens
 from lens
 """
+
+
+def hash_split_sql(
+    table: str, key: str,
+    weights: list[tuple[str, float]] | None = None,
+    seed: int = 42, split_col: str = "split",
+) -> str:
+    """Mirror of sources.hash_split: u = uint32 of the first 8 md5
+    hex chars (assembled byte-wise via :func:`_hexbyte_sql` — equal
+    to Spark's conv(substring(md5, 1, 8), 16, 10)) / 2^32, then the
+    identical cumulative CASE chain on double literals."""
+    if weights is None:
+        weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    hx = f"md5(CAST({key} AS VARCHAR) || ':' || '{int(seed)}')"
+    b = [_hexbyte_sql(hx, str(i)) for i in (1, 2, 3, 4)]
+    u = (
+        f"(CAST((({b[0]} * 256 + {b[1]}) * 256 + {b[2]}) * 256 + {b[3]} "
+        "AS DOUBLE) / 4294967296.0)"
+    )
+    acc, whens = 0.0, []
+    for label, w in weights[:-1]:
+        acc += float(w)
+        whens.append(f"when {u} < CAST({acc!r} AS DOUBLE) then '{label}'")
+    chain = " ".join(whens)
+    return (
+        f"select *, case {chain} else '{weights[-1][0]}' end as {split_col} "
+        f"from {table}"
+    )
 
 
 def _hexbyte_sql(hexcol: str, pos: str) -> str:

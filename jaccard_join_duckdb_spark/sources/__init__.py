@@ -25,6 +25,7 @@ __all__ = [
     "register_view",
     "union_distinct",
     "sample_fixed",
+    "hash_split",
     "write_bucketed",
     "read_table",
 ]
@@ -115,6 +116,57 @@ def sample_fixed(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     non-deterministic; this is the reproducible Spark equivalent
     (seeded random order, then limit)."""
     return df.orderBy(F.rand(seed)).limit(int(n))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for data mixing: adds
+    ``split_col`` with the first label whose cumulative weight covers
+    ``u(id) = uint32(md5(id ':' seed)[:8 hex]) / 2^32``.
+
+    Unlike ``df.sample``/``rand(seed)`` (partition-seeded: the split
+    changes with cluster layout, file order, or AQE re-planning), the
+    assignment is a pure function of the ROW ID — stable across runs,
+    engines, repartitions, and incremental ingests (a document keeps
+    its split when the corpus grows, so eval sets never silently leak
+    into train). u is exact in double (integer < 2^32 divided by
+    2^32), so the same arithmetic reproduces bit-for-bit in the
+    DuckDB oracle. Weight order matters (cumulative CASE chain);
+    weights must sum to ~1 (the last label catches the remainder).
+    """
+    if weights is None:
+        weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    acc = 0.0
+    expr = None
+    for label, w in weights[:-1]:
+        acc += float(w)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
 
 
 def write_bucketed(

@@ -264,3 +264,31 @@ def test_containment_join_matches_duckdb_brute(spark, documents):
         ).fetchall()
     }
     assert got == want and want  # non-trivial on the dense corpus
+
+
+def test_containment_match_two_tables(spark):
+    """Decontamination shape: benchmark items found inside larger
+    corpus docs; containment is computed over the QUERY side's size."""
+    from jaccard_join_duckdb_spark.operators.dedup import containment_match
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta something else entirely here"),
+            (3, "nothing shared at all"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        (r.q_id, r.c_id): r.containment
+        for r in containment_match(bench, corpus, "id", "text", 0.9).collect()
+    }
+    assert got == {(100, 1): 1.0}
+    loose = {
+        (r.q_id, r.c_id): r.containment
+        for r in containment_match(bench, corpus, "id", "text", 0.6).collect()
+    }
+    assert loose == {(100, 1): 1.0, (100, 2): round(2 / 3, 6)}

@@ -118,3 +118,42 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == [
         (1, "a b c"), (2, "d e f"),
     ]
+
+
+def test_hash_split_deterministic_and_stable(spark, documents):
+    """Split is a pure function of the id: identical across calls,
+    unchanged when the corpus grows (no eval->train leakage on
+    incremental ingest), and proportions roughly match the weights."""
+    from jaccard_join_duckdb_spark.sources import hash_split
+
+    full = {
+        r.doc_id: r.split
+        for r in hash_split(documents, "doc_id").select("doc_id", "split").collect()
+    }
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(documents, "doc_id").select("doc_id", "split").collect()
+    }
+    assert full == again
+    half = documents.filter(F.col("doc_id") % 2 == 0)
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(half, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full[i] == s for i, s in sub.items())
+    n = len(full)
+    train_frac = sum(1 for s in full.values() if s == "train") / n
+    assert 0.8 < train_frac < 0.97
+    assert set(full.values()) <= {"train", "val", "test"}
+
+
+def test_hash_split_custom_weights_order(spark):
+    from jaccard_join_duckdb_spark.sources import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = hash_split(
+        df, "id", weights=[("a", 0.5), ("b", 0.5)], seed=7
+    ).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"a", "b"}
+    assert abs(counts["a"] - 1000) < 120  # md5-uniform

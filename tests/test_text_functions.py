@@ -98,3 +98,48 @@ def test_bm25_top_terms(spark):
     assert out[(3, 1)][0] == "date" and out[(3, 1)][1] == 3
     # every doc got exactly its 2 distinct terms
     assert len(out) == 6
+
+
+def test_redact_pii_known_strings(spark):
+    from jaccard_join_duckdb_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-site.co.uk or visit https://x.io/p?q=1 now"),
+        (2, "call +1 555-123-4567 or 0800 111 222 today"),
+        (3, "no pii here at all"),
+        (4, "double http://a.b/c http://d.e/f and x@y.zz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in redact_pii(df, "id", "text").collect()}
+    assert got[1].n_emails == 1 and got[1].n_urls == 1
+    assert "<EMAIL>" in got[1].clean_text and "<URL>" in got[1].clean_text
+    assert "a.b+c@ex-site.co.uk" not in got[1].clean_text
+    assert got[2].n_phones >= 1 and "555-123-4567" not in got[2].clean_text
+    assert got[3].clean_text == "no pii here at all"
+    assert (got[3].n_urls, got[3].n_emails, got[3].n_phones) == (0, 0, 0)
+    assert got[4].n_urls == 2 and got[4].n_emails == 1
+
+
+def test_repetition_stats_known_docs(spark):
+    from jaccard_join_duckdb_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),                  # one token repeated
+        (2, "w x y z"),                  # all distinct, distinct bigrams
+        (3, "go stop go stop go stop"),  # degenerate loop
+        (4, ""),                         # empty
+        (5, "solo"),                     # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in repetition_stats(df, "id", "text").collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].dup_token_ratio == 0.75 and got[1].top_token_frac == 1.0
+    assert got[1].dup_bigram_ratio == 1.0  # "a a" x3
+    assert got[2].dup_token_ratio == 0.0 and got[2].dup_bigram_ratio == 0.0
+    assert got[2].top_token_frac == 0.25
+    # 6 tokens, 2 distinct; bigrams: "go stop"x3, "stop go"x2 -> all dup
+    assert got[3].dup_token_ratio == round(1 - 2 / 6, 6)
+    assert got[3].top_token_frac == 0.5
+    assert got[3].dup_bigram_ratio == 1.0
+    assert got[4].n_tokens == 0 and got[4].dup_token_ratio == 0.0
+    assert got[5].n_tokens == 1 and got[5].dup_bigram_ratio == 0.0
