@@ -231,14 +231,17 @@ def minhash_near_duplicates(
 @dataclass
 class MinHashIndex:
     """Precomputed LSH index over a static corpus: band signatures
-    for bucketing plus the distinct token sets for exact
-    verification, both persisted. Build once with
-    :func:`minhash_index`, then match any number of query batches
-    (e.g. streaming micro-batches) with :func:`minhash_match` —
-    the corpus is never re-tokenized or re-hashed."""
+    for bucketing, the distinct token sets, and the per-document
+    token ARRAYS for exact verification — all persisted. Build once
+    with :func:`minhash_index`, then match any number of query
+    batches (e.g. streaming micro-batches) with :func:`minhash_match`
+    — the corpus is never re-tokenized, re-hashed, or re-aggregated
+    (``tok_arrs`` is what keeps per-batch verification free of
+    corpus-wide work; see :func:`minhash_match`)."""
 
     band_sigs: DataFrame
     toks: DataFrame
+    tok_arrs: DataFrame
     tokenizer: Tokenizer
     num_hashes: int
     bands: int
@@ -247,6 +250,7 @@ class MinHashIndex:
     def unpersist(self) -> None:
         self.band_sigs.unpersist()
         self.toks.unpersist()
+        self.tok_arrs.unpersist()
 
 
 def minhash_index(
@@ -273,9 +277,19 @@ def minhash_index(
     band_sigs = _minhash_band_sigs(toks, num_hashes, bands, seed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Per-document token arrays, aggregated ONCE at build time: match
+    # calls verify candidates by joining these rows — without this, a
+    # streaming dedup would re-aggregate the full corpus token table
+    # every micro-batch.
+    tok_arrs = (
+        toks.groupBy("id")
+        .agg(F.collect_list("token").alias("arr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return MinHashIndex(
         band_sigs=band_sigs,
         toks=toks,
+        tok_arrs=tok_arrs,
         tokenizer=tokenizer,
         num_hashes=num_hashes,
         bands=bands,
@@ -320,10 +334,20 @@ def read_minhash_index(
     """Load an index persisted by :func:`write_minhash_index`. Pass
     the SAME tokenizer/num_hashes/bands/seed the index was built with
     (signatures are deterministic in them, so query-side signatures
-    computed later bucket-join correctly)."""
+    computed later bucket-join correctly). Token arrays are rebuilt
+    from the id-bucketed token table — a ``groupBy("id")`` that the
+    bucketed scan satisfies with NO Exchange — and persisted for the
+    session."""
+    toks = spark.table(f"{name}_toks")
+    tok_arrs = (
+        toks.groupBy("id")
+        .agg(F.collect_list("token").alias("arr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return MinHashIndex(
         band_sigs=spark.table(f"{name}_sigs"),
-        toks=spark.table(f"{name}_toks"),
+        toks=toks,
+        tok_arrs=tok_arrs,
         tokenizer=tokenizer or WhitespaceTokzr(),
         num_hashes=int(num_hashes),
         bands=int(bands),
@@ -346,7 +370,17 @@ def minhash_match(
     band differs is missed. Self-matches (same id on both sides when
     the query overlaps the corpus) are not filtered — callers that
     re-check an already-indexed document should drop
-    ``q_id == c_id``."""
+    ``q_id == c_id``.
+
+    Scale: every per-call aggregation touches only the QUERY batch —
+    corpus signatures and token arrays come precomputed from the
+    index, and verification is ``size(array_intersect(qa, ca))`` on
+    the candidate pairs (compiled array intrinsics, exact on distinct
+    token sets). A bitset plan would be query-dependent (token-id
+    assignment spans the union vocabulary), forcing a full-corpus
+    re-aggregation per micro-batch — exactly what an index must not
+    do.
+    """
     q_toks = _token_sets(query_df, id_col, text_col, index.tokenizer)
     q_sigs = _minhash_band_sigs(
         q_toks, index.num_hashes, index.bands, index.seed
@@ -362,7 +396,28 @@ def minhash_match(
         .select(F.col("Q.id").alias("lid"), F.col("C.id").alias("rid"))
         .distinct()
     )
-    return _verify_jaccard(cands, q_toks, threshold, r_toks=index.toks).select(
+    q_arrs = q_toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
+    ov = (
+        cands.join(
+            q_arrs.select(F.col("id").alias("lid"), F.col("arr").alias("la")),
+            "lid",
+        )
+        .join(
+            index.tok_arrs.select(
+                F.col("id").alias("rid"), F.col("arr").alias("ra")
+            ),
+            "rid",
+        )
+        .select(
+            "lid",
+            "rid",
+            F.size(F.array_intersect("la", "ra")).alias("ov"),
+            F.size("la").alias("lsz"),
+            F.size("ra").alias("rsz"),
+        )
+        .filter(F.col("ov") >= 1)
+    )
+    return _jaccard_threshold_filter(ov, threshold).select(
         F.col("lid").alias("q_id"), F.col("rid").alias("c_id"), "jaccard"
     )
 
