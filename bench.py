@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram",
+    "decontaminate",
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
     "dedup_embed_cosine_lsh_banded",
@@ -39,6 +40,8 @@ BENCH_QUERIES = [
     "text_token_counts",
     "text_stats",
     "text_lang_id",
+    "text_redact_pii",
+    "text_repetition",
     "text_bm25_topk",
     "events_hourly",
     "events_sessionize",
