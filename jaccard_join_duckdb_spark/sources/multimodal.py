@@ -140,10 +140,16 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int, int]:
 def _real_dims(payload: bytes) -> tuple[int, int, int]:
     """Stdlib-only header parse for the formats whose dimensions are
     recoverable without a codec — PNG (IHDR), BMP (BITMAPINFOHEADER),
-    and JPEG (SOF marker walk, :func:`_jpeg_dims`). Video/audio need
-    real codecs and still raise ``NotImplementedError``."""
+    GIF (logical screen descriptor), and JPEG (SOF marker walk,
+    :func:`_jpeg_dims`). Video/audio need real codecs and still raise
+    ``NotImplementedError``."""
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
         return _jpeg_dims(payload)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: uint16 LE width at 6, height at 8.
+        # GIF pixels are palette indices that decode to RGB → 3.
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), 3
     if len(payload) >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         # 8-byte signature, 4-byte chunk length, b"IHDR", then
         # width/height as big-endian uint32 + bit-depth/color bytes.
@@ -160,8 +166,8 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
         bpp = struct.unpack("<H", payload[28:30])[0]
         return int(w), abs(int(h)), max(1, bpp // 8)
     raise NotImplementedError(
-        "real decode implemented for PNG/BMP/JPEG headers only; other "
-        "formats require PIL/ffmpeg (not in container)"
+        "real decode implemented for PNG/BMP/GIF/JPEG headers only; "
+        "other formats require PIL/ffmpeg (not in container)"
     )
 
 

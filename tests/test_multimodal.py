@@ -170,3 +170,23 @@ def test_real_decode_png_bmp_headers(spark):
         r = got[aid]
         assert (r.width, r.height, r.channels) == (w, h, c)
         assert r.n_bytes == len(dict(payloads)[aid])
+
+
+def test_real_decode_gif_header(spark):
+    """GIF logical-screen-descriptor parse: width/height as uint16 LE
+    at offsets 6/8, palettized pixels report 3 channels."""
+    import struct as _s
+
+    def gif(w, h, ver=b"89a"):
+        return b"GIF" + ver + _s.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", gif(320, 200), None),
+            (2, "image", gif(1, 65535, ver=b"87a"), None),
+        ],
+        ASSET_SCHEMA,
+    )
+    got = {r.asset_id: r for r in decode_image_meta(df, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (320, 200, 3)
+    assert (got[2].width, got[2].height, got[2].channels) == (1, 65535, 3)

@@ -316,3 +316,44 @@ def test_lexicographic_lid_quirk_parity(_spark):
     )
     assert brute - filt == {(4, 9)}
     assert filt <= brute
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=_corpus,
+    t=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_containment_prefix_filter_lossless(_spark, texts, t):
+    """containment_join's pigeonhole prefix filter must be lossless on
+    arbitrary corpora: output == the brute all-token-sharing-pairs
+    DuckDB computation for every threshold (including t=1.0, where the
+    prefix is a single token)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import containment_join
+    from jaccard_join_duckdb_spark.plans.oracle_ext import containment_sql
+
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        (r.l_id, r.r_id, r.containment)
+        for r in containment_join(df, "id", "text", t).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(texts))
+        + ") v(id, text)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            containment_sql("documents", "id", "text", t)
+        ).fetchall()
+    }
+    assert got == want
