@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass
+from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
@@ -37,6 +38,7 @@ from .jaccard import (
     _overlap_cond,
     _positional_cond,
     _probing_prefix_cond,
+    _t_fraction,
 )
 
 __all__ = [
@@ -320,24 +322,62 @@ def write_minhash_index(
     write_bucketed(
         index.toks.repartition(nb, "id"), f"{name}_toks", ["id"], nb
     )
+    # Persist the build parameters: signatures are deterministic in
+    # them, so loading with DIFFERENT parameters silently yields
+    # ~zero matches — the meta row lets read_minhash_index default to
+    # the truth and hard-fail on a mismatch instead.
+    spark = index.band_sigs.sparkSession
+    spark.createDataFrame(
+        [(
+            int(index.num_hashes), int(index.bands), int(index.seed),
+            type(index.tokenizer).__name__,
+        )],
+        "num_hashes int, bands int, seed int, tokenizer string",
+    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
     return name
+
+
+def _meta_param(given, meta_val, default, label: str) -> int:
+    """Resolve an index parameter: explicit value must match the
+    persisted build-time value (silent mismatch = silent recall 0);
+    otherwise the meta value, else the legacy default."""
+    if given is not None:
+        if meta_val is not None and int(given) != int(meta_val):
+            raise ValueError(
+                f"{label}={given} does not match the index's build-time "
+                f"{label}={meta_val} — matching with mismatched parameters "
+                "produces no candidates"
+            )
+        return int(given)
+    return int(meta_val) if meta_val is not None else int(default)
 
 
 def read_minhash_index(
     spark,
     name: str,
     tokenizer: Tokenizer | None = None,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
 ) -> MinHashIndex:
-    """Load an index persisted by :func:`write_minhash_index`. Pass
-    the SAME tokenizer/num_hashes/bands/seed the index was built with
-    (signatures are deterministic in them, so query-side signatures
-    computed later bucket-join correctly). Token arrays are rebuilt
-    from the id-bucketed token table — a ``groupBy("id")`` that the
-    bucketed scan satisfies with NO Exchange — and persisted for the
-    session."""
+    """Load an index persisted by :func:`write_minhash_index`.
+    Parameters default to the persisted build-time values
+    (``{name}_meta``); explicitly passed values are validated against
+    them (a mismatch raises — it would silently produce ~zero
+    matches). The tokenizer is validated by class name only (its
+    constructor arguments are the caller's to reproduce). Token
+    arrays are rebuilt from the id-bucketed token table — a
+    ``groupBy("id")`` that the bucketed scan satisfies with NO
+    Exchange — and persisted for the session."""
+    meta = None
+    if spark.catalog.tableExists(f"{name}_meta"):
+        meta = spark.table(f"{name}_meta").collect()[0]
+    tokenizer = tokenizer or WhitespaceTokzr()
+    if meta is not None and type(tokenizer).__name__ != meta.tokenizer:
+        raise ValueError(
+            f"tokenizer {type(tokenizer).__name__} does not match the "
+            f"index's build-time tokenizer {meta.tokenizer}"
+        )
     toks = spark.table(f"{name}_toks")
     tok_arrs = (
         toks.groupBy("id")
@@ -348,10 +388,12 @@ def read_minhash_index(
         band_sigs=spark.table(f"{name}_sigs"),
         toks=toks,
         tok_arrs=tok_arrs,
-        tokenizer=tokenizer or WhitespaceTokzr(),
-        num_hashes=int(num_hashes),
-        bands=int(bands),
-        seed=int(seed),
+        tokenizer=tokenizer,
+        num_hashes=_meta_param(
+            num_hashes, meta and meta.num_hashes, 32, "num_hashes"
+        ),
+        bands=_meta_param(bands, meta and meta.bands, 8, "bands"),
+        seed=_meta_param(seed, meta and meta.seed, 42, "seed"),
     )
 
 
@@ -926,44 +968,95 @@ def containment_join(
     (:func:`_token_sets`).
 
     Scale: prefix-filtered candidates, not all token-sharing pairs.
-    If ``ov >= ceil(t·|L|)`` then by pigeonhole ANY ``|L| -
-    ceil(t·|L|) + 1`` tokens of L include an overlap token, so only
-    L's that many rarest tokens (global (df, token) ascending order —
-    rarity minimizes fanout; soundness needs no order at all) are
-    indexed against the full token table; candidates are verified
-    exactly (:func:`_verify_overlap` — bitset/array plans, no
-    pairs×tokens explosion), so the prefix filter is lossless and the
-    output equals the brute all-sharing-pairs result. Only the left
-    side prunes: containment bounds involve ``|L|`` alone, so the
-    probing side legitimately keeps every token.
+    If ``ov >= m`` then by pigeonhole ANY ``|L| - m + 1`` tokens of L
+    include an overlap token, so only L's that many rarest tokens
+    (global (df, token) ascending order — rarity minimizes fanout;
+    soundness needs no order at all) are indexed against the full
+    token table, with ``m`` derived from the round-aware effective
+    threshold (:func:`_containment_prefix_cond` — tie-exact, and
+    sound against the round-to-6 verification); candidates are
+    verified exactly (:func:`_verify_overlap` — bitset/array plans,
+    no pairs×tokens explosion), so the prefix filter is lossless and
+    the output equals the brute all-sharing-pairs result (pinned by
+    hypothesis fuzz). Only the left side prunes: containment bounds
+    involve ``|L|`` alone, so the probing side legitimately keeps
+    every token.
     """
     tokenizer = tokenizer or WhitespaceTokzr()
     toks = _token_sets(df, id_col, text_col, tokenizer).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return _containment_core(toks, toks, threshold, self_mode=True).select(
+        F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "containment"
+    )
+
+
+def _containment_prefix_cond(length: Column, pos: Column, t: float) -> Column:
+    """Keep a (pos-th rarest token, document of ``length`` tokens) row
+    in the pigeonhole prefix for containment >= t UNDER THE ROUND-TO-6
+    VERIFICATION: a pair passes verification iff
+    ``round(ov/len, 6) >= t``, which admits ov as low as
+    ``(t - 5e-7) * len`` — so the prefix bound must use the effective
+    threshold ``t' = t - 1e-6`` (strictly below every true containment
+    that can round up to t), or a pair sitting in that rounding window
+    would verify in the brute oracle but never become a candidate.
+    The bound ``len - pos + 1 >= t' * len`` is evaluated tie-exactly
+    by integer cross-multiplication (same discipline as
+    :func:`..jaccard._probing_prefix_cond`); thresholds whose decimal
+    expansion is too wide fall back to the double form with the same
+    1e-6 slack."""
+    fr = _t_fraction(t)
+    if fr is not None:
+        fr_eff = fr - Fraction(1, 10**6)
+        if fr_eff <= 0:
+            return F.lit(True)
+        return (length - pos + 1) * F.lit(fr_eff.denominator) >= (
+            length * F.lit(fr_eff.numerator)
+        )
+    return (length - pos + 1).cast("double") >= length.cast("double") * (
+        F.lit(float(t)) - F.lit(1e-6)
+    )
+
+
+def _containment_core(
+    q_toks: DataFrame,
+    c_toks: DataFrame,
+    threshold: float,
+    self_mode: bool,
+) -> DataFrame:
+    """Shared containment pipeline: corpus-df-ordered pigeonhole
+    prefix on the query side (:func:`_containment_prefix_cond` —
+    lossless against the rounded verification), candidate equi-join
+    against the full corpus token table, exact overlap
+    (:func:`_verify_overlap`), ``containment = round(ov / |Q|, 6)``
+    threshold filter. ``self_mode`` drops same-id pairs and verifies
+    one-sided (single vocabulary → bitset fast path eligible).
+    Returns ``(lid, rid, containment)``."""
+    sizes = q_toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     pos_w = Window.partitionBy("id").orderBy("df", "token")
     prefix = (
-        toks.join(dfreq, "token")
+        # left join: query tokens the corpus never contains have df 0
+        # and sort FIRST — maximal pruning (self mode: df never null)
+        q_toks.join(dfreq, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("pos", F.row_number().over(pos_w))
         .join(sizes, "id")
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
-        )
+        .filter(_containment_prefix_cond(F.col("sz"), F.col("pos"), threshold))
         .select(F.col("id").alias("lid"), "token")
     )
-    cands = (
-        prefix.join(
-            toks.select(F.col("id").alias("rid"), "token"), "token"
-        )
-        .filter(F.col("lid") != F.col("rid"))
-        .select("lid", "rid")
-        .distinct()
+    cands = prefix.join(
+        c_toks.select(F.col("id").alias("rid"), "token"), "token"
     )
-    ov = _verify_overlap(cands, toks.select("id", "token"))
-    out = (
+    if self_mode:
+        cands = cands.filter(F.col("lid") != F.col("rid"))
+    cands = cands.select("lid", "rid").distinct()
+    ov = _verify_overlap(
+        cands,
+        q_toks.select("id", "token"),
+        r_toks=None if self_mode else c_toks.select("id", "token"),
+    )
+    return (
         ov.withColumn(
             "containment",
             F.round(
@@ -971,13 +1064,8 @@ def containment_join(
             ),
         )
         .filter(F.col("containment") >= F.lit(float(threshold)))
-        .select(
-            F.col("lid").alias("l_id"),
-            F.col("rid").alias("r_id"),
-            "containment",
-        )
+        .select("lid", "rid", "containment")
     )
-    return out
 
 
 def containment_match(
@@ -1014,43 +1102,8 @@ def containment_match(
     c_toks = _token_sets(corpus_df, id_col, text_col, tokenizer).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = q_toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    c_dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    pos_w = Window.partitionBy("id").orderBy("df", "token")
-    prefix = (
-        q_toks.join(c_dfreq, "token", "left")
-        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
-        .withColumn("pos", F.row_number().over(pos_w))
-        .join(sizes, "id")
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
-        )
-        .select(F.col("id").alias("lid"), "token")
-    )
-    cands = (
-        prefix.join(
-            c_toks.select(F.col("id").alias("rid"), "token"), "token"
-        )
-        .select("lid", "rid")
-        .distinct()
-    )
-    ov = _verify_overlap(
-        cands, q_toks.select("id", "token"), r_toks=c_toks.select("id", "token")
-    )
-    return (
-        ov.withColumn(
-            "containment",
-            F.round(
-                F.col("ov").cast("double") / F.col("lsz").cast("double"), 6
-            ),
-        )
-        .filter(F.col("containment") >= F.lit(float(threshold)))
-        .select(
-            F.col("lid").alias("q_id"),
-            F.col("rid").alias("c_id"),
-            "containment",
-        )
+    return _containment_core(q_toks, c_toks, threshold, self_mode=False).select(
+        F.col("lid").alias("q_id"), F.col("rid").alias("c_id"), "containment"
     )
 
 

@@ -745,23 +745,43 @@ def write_embedding_lsh_index(
     write_bucketed(
         index.vecs.repartition(nb, "id"), f"{name}_vecs", ["id"], nb
     )
+    # Persist the build parameters: the hyperplanes are deterministic
+    # in them, so loading with DIFFERENT parameters silently yields
+    # ~zero matches — the meta row lets read_embedding_lsh_index
+    # default to the truth and hard-fail on a mismatch instead.
+    spark = index.sigs.sparkSession
+    spark.createDataFrame(
+        [(len(index.planes[0]), int(index.n_bands), int(index.n_planes))],
+        "dim int, n_bands int, n_planes int",
+    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
     return name
 
 
 def read_embedding_lsh_index(
     spark,
     name: str,
-    dim: int = 64,
-    n_bands: int = 4,
-    n_planes: int = 4,
+    dim: int | None = None,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> EmbeddingLshIndex:
     """Load an index persisted by :func:`write_embedding_lsh_index`.
-    The hyperplanes are deterministic from ``(dim, n_bands, n_planes,
-    seed)`` — pass the SAME parameters the index was built with
-    (:func:`hyperplanes` is a seeded stream, so the regenerated planes
-    are bit-identical to the build-time set)."""
-    n_bands, n_planes = int(n_bands), int(n_planes)
+    ``dim``/``n_bands``/``n_planes`` default to the persisted
+    build-time values (``{name}_meta``); explicitly passed values are
+    validated against them (a mismatch raises — the regenerated
+    hyperplanes would silently never collide with the stored
+    signatures). ``seed`` must match the build seed (not persisted —
+    non-default seeds are the caller's to reproduce; the seeded
+    :func:`hyperplanes` stream then regenerates the bit-identical
+    plane set)."""
+    from .dedup import _meta_param
+
+    meta = None
+    if spark.catalog.tableExists(f"{name}_meta"):
+        meta = spark.table(f"{name}_meta").collect()[0]
+    dim = _meta_param(dim, meta and meta.dim, 64, "dim")
+    n_bands = _meta_param(n_bands, meta and meta.n_bands, 4, "n_bands")
+    n_planes = _meta_param(n_planes, meta and meta.n_planes, 4, "n_planes")
     return EmbeddingLshIndex(
         sigs=spark.table(f"{name}_sigs"),
         vecs=spark.table(f"{name}_vecs"),

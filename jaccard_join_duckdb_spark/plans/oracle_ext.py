@@ -801,6 +801,12 @@ def hash_split_sql(
     identical cumulative CASE chain on double literals."""
     if weights is None:
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if len(weights) == 1:
+        # a CASE needs >= 1 WHEN; the single-label split is a constant
+        # (mirrors the Spark side's F.lit fallback)
+        return (
+            f"select *, '{weights[0][0]}' as {split_col} from {table}"
+        )
     hx = f"md5(CAST({key} AS VARCHAR) || ':' || '{int(seed)}')"
     b = [_hexbyte_sql(hx, str(i)) for i in (1, 2, 3, 4)]
     u = (

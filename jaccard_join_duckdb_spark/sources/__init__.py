@@ -138,6 +138,9 @@ def hash_split(
     2^32), so the same arithmetic reproduces bit-for-bit in the
     DuckDB oracle. Weight order matters (cumulative CASE chain);
     weights must sum to ~1 (the last label catches the remainder).
+    NULL ids hash to NULL (``F.concat`` propagates NULL, matching the
+    oracle's ``||``), so every WHEN is false and NULL rows land
+    deterministically in the LAST label — in both engines.
     """
     if weights is None:
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
@@ -145,8 +148,10 @@ def hash_split(
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.lit(str(int(seed))),
                     )
                 ),
                 1,

@@ -204,9 +204,16 @@ def test_minhash_index_bucketed_roundtrip(spark, dup_df):
             for r in minhash_match(queries, idx2, "id", "text", 0.5).collect()
         }
         assert got == want and want  # non-trivial match set
+        # parameter mismatch must fail loud (it would silently
+        # produce ~zero matches), and meta supplies the defaults
+        with pytest.raises(ValueError, match="build-time"):
+            read_minhash_index(spark, "mh_idx_rt", num_hashes=64)
+        assert idx2.num_hashes == idx.num_hashes
+        assert idx2.bands == idx.bands
     finally:
         spark.sql("drop table if exists mh_idx_rt_sigs")
         spark.sql("drop table if exists mh_idx_rt_toks")
+        spark.sql("drop table if exists mh_idx_rt_meta")
         idx.unpersist()
 
 

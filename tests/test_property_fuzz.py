@@ -357,3 +357,57 @@ def test_containment_prefix_filter_lossless(_spark, texts, t):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    q_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    c_texts=_corpus,
+    t=st.sampled_from([0.4, 0.7, 1.0]),
+)
+def test_containment_match_prefix_filter_lossless(_spark, q_texts, c_texts, t):
+    """Two-table (decontamination) variant of the containment fuzz:
+    the corpus-df-ordered query-side prefix must stay lossless — in
+    particular for query tokens the corpus never contains (df 0,
+    sorted first in the prefix)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import containment_match
+    from jaccard_join_duckdb_spark.plans.oracle_ext import containment_match_sql
+
+    qdf = _spark.createDataFrame(
+        list(enumerate(q_texts)), "id long, text string"
+    )
+    cdf = _spark.createDataFrame(
+        [(100 + i, x) for i, x in enumerate(c_texts)], "id long, text string"
+    )
+    got = {
+        (r.q_id, r.c_id, r.containment)
+        for r in containment_match(qdf, cdf, "id", "text", t).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view qt as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(q_texts))
+        + ") v(id, text)"
+    )
+    con.execute(
+        "create view ct as select * from (values "
+        + ", ".join(f"({100 + i}, '{x}')" for i, x in enumerate(c_texts))
+        + ") v(id, text)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            containment_match_sql("qt", "ct", "id", "text", t)
+        ).fetchall()
+    }
+    assert got == want

@@ -244,7 +244,13 @@ def test_embedding_lsh_index_bucketed_roundtrip(spark, embeddings):
             ).collect()
         }
         assert got == want and want  # non-trivial match set
+        # parameter mismatch must fail loud (regenerated planes would
+        # silently never collide with the stored signatures)
+        with pytest.raises(ValueError, match="build-time"):
+            read_embedding_lsh_index(spark, "emb_idx_rt", n_planes=8)
+        assert (idx2.n_bands, idx2.n_planes) == (idx.n_bands, idx.n_planes)
     finally:
         spark.sql("drop table if exists emb_idx_rt_sigs")
         spark.sql("drop table if exists emb_idx_rt_vecs")
+        spark.sql("drop table if exists emb_idx_rt_meta")
         idx.unpersist()

@@ -89,7 +89,7 @@ def main() -> int:
     spark.catalog.setCurrentDatabase(DB)
     wh = spark.conf.get("spark.sql.warehouse.dir")
     wh = wh[len("file:"):] if wh.startswith("file:") else wh
-    for t in ("emb_idx_sigs", "emb_idx_vecs"):
+    for t in ("emb_idx_sigs", "emb_idx_vecs", "emb_idx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, f"{DB}.db", t), ignore_errors=True)
 
