@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "decontaminate_stream",
     "dedup_stream",
     "embed_near_dedup_stream",
     "hourly_event_stats",
@@ -350,6 +351,52 @@ def embed_near_dedup_stream(
         )
 
     writer = stream_vecs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontaminate_stream(
+    stream_docs: DataFrame,
+    benchmark_df: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    trigger_available_now: bool = True,
+):
+    """Streaming decontamination of an unbounded training-data ingest
+    against a static benchmark/eval set: each micro-batch plays the
+    corpus side of :func:`..operators.dedup.containment_match`
+    (``containment = |T(benchmark item) ∩ T(doc)| / |T(item)|``) — a
+    hit means an incoming training document contains (most of) a
+    benchmark item and must be quarantined before it poisons an eval.
+
+    Uses ``foreachBatch`` like the other match streams (the prefix/
+    verify pipeline is a multi-aggregation batch shape) and reuses
+    ``containment_match`` verbatim, so the batch twin IS the per-batch
+    computation; matches are per-document, so micro-batch boundaries
+    cannot change results. Per-batch cost is O(batch + benchmark):
+    the benchmark side is small by nature (eval suites), and the
+    batch-side token frequencies that order the pigeonhole prefix are
+    batch-sized — no unbounded state, no growing corpus re-scan.
+
+    ``benchmark_df`` is the static QUERY side (cache it);
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(q_id, c_id, containment)`` where ``q_id`` is the benchmark
+    item. Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from ..operators.dedup import containment_match
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            containment_match(
+                benchmark_df, batch_df, id_col, text_col, threshold
+            ),
+            epoch_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

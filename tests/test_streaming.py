@@ -259,3 +259,40 @@ def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
         assert sorted(got) == want
     finally:
         idx.unpersist()
+
+
+def test_decontaminate_stream_equals_batch_match(spark, tmp_path):
+    """Streaming decontamination against a static benchmark set: the
+    union of per-micro-batch matches must equal the one-shot batch
+    containment_match on the same training docs (matches are
+    per-document, so micro-batch boundaries cannot change results)."""
+    from jaccard_join_duckdb_spark.operators.dedup import containment_match
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import decontaminate_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0).cache()
+    training = docs.filter(F.col("doc_id") % 50 != 0)
+    want = _rows(
+        containment_match(benchmark, training, "doc_id", "text", 0.9)
+    )
+    assert len(want) > 0
+
+    stream_dir = str(tmp_path / "training_stream")
+    training.repartition(3).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    got = []
+    q = decontaminate_stream(
+        stream,
+        benchmark,
+        sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+        threshold=0.9,
+    )
+    q.awaitTermination()
+    assert sorted(got) == want
