@@ -56,6 +56,10 @@ __all__ = [
     "ngram_jaccard_near_duplicates",
     "containment_join",
     "containment_match",
+    "ContainmentIndex",
+    "containment_index",
+    "containment_match_indexed",
+    "ngram_decontaminate",
     "connected_components",
 ]
 
@@ -1104,6 +1108,170 @@ def containment_match(
     )
     return _containment_core(q_toks, c_toks, threshold, self_mode=False).select(
         F.col("lid").alias("q_id"), F.col("rid").alias("c_id"), "containment"
+    )
+
+
+@dataclass
+class ContainmentIndex:
+    """Pre-tokenized static QUERY (benchmark/eval) side of
+    decontamination matching: the distinct ``(id, token)`` rows,
+    persisted once. Build with :func:`containment_index`, then match
+    any number of corpus batches (e.g. streaming micro-batches) with
+    :func:`containment_match_indexed` — the benchmark set is never
+    re-tokenized or re-persisted per batch (the per-epoch cache leak
+    the plain :func:`containment_match` shape would accumulate on a
+    long-running ingest). The containment twin of
+    :class:`MinHashIndex` / :class:`..similarity.EmbeddingLshIndex`.
+    """
+
+    toks: DataFrame
+    tokenizer: Tokenizer
+
+    def unpersist(self) -> None:
+        self.toks.unpersist()
+
+
+def containment_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+) -> ContainmentIndex:
+    """Tokenize + persist the static benchmark side once. The prefix
+    ORDER of :func:`_containment_core` depends on CORPUS token
+    frequencies (per batch), so only the token sets — not positions —
+    are precomputable; that is exactly the expensive, repeated part."""
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return ContainmentIndex(toks=toks, tokenizer=tokenizer)
+
+
+def containment_match_indexed(
+    index: ContainmentIndex,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`containment_match` against a prebuilt
+    :class:`ContainmentIndex`: returns ``(matches, batch_toks)``
+    where ``matches`` is ``(q_id, c_id, containment)`` (identical
+    semantics/plan shape to the unindexed form) and ``batch_toks`` is
+    the PERSISTED corpus-batch token table the pipeline reads three
+    times (df ordering, candidate probe, verification). The caller
+    must ``batch_toks.unpersist()`` after materializing ``matches``
+    (the streaming wrapper does this per epoch in a ``finally``) —
+    that contract is what keeps a long-running stream's cache
+    footprint flat instead of leaking two InMemoryRelations per
+    micro-batch."""
+    c_toks = _token_sets(corpus_df, id_col, text_col, index.tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    matches = _containment_core(
+        index.toks, c_toks, threshold, self_mode=False
+    ).select(
+        F.col("lid").alias("q_id"), F.col("rid").alias("c_id"), "containment"
+    )
+    return matches, c_toks
+
+
+def ngram_decontaminate(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM-style check):
+    flag a training document when any word-level ``n``-gram of a
+    benchmark item appears VERBATIM in it. Catches the case set
+    containment (:func:`containment_match`) structurally misses — a
+    13-token benchmark quote embedded in a 10k-token training
+    document dilutes whole-item containment toward 0, but its n-grams
+    still match exactly.
+
+    Pipeline (all narrow-key equi-joins — never pairs × tokens):
+    whitespace-lowercase both sides, slide a length-``n`` window
+    (``transform`` over ``sequence`` — JVM array intrinsics, no
+    UDFs), hash each shingle to an 8-byte ``xxhash64`` key (the
+    :func:`ngram_jaccard_near_duplicates` compression trick — a
+    shuffle ~5× narrower than raw shingle strings; a 64-bit collision
+    adds one spurious hit at the ~2^-64 noise floor), distinct per
+    document, equi-join benchmark-shingle-hashes against
+    corpus-shingle-hashes, and aggregate per (benchmark item,
+    training doc):
+
+    - ``n_hits``: distinct shared n-grams;
+    - ``q_ngrams``: the benchmark item's distinct n-gram count;
+    - ``hit_frac``: ``round(n_hits / q_ngrams, 6)`` — 1.0 means every
+      benchmark n-gram appears in the doc.
+
+    Docs shorter than ``n`` tokens produce no shingles on either
+    side (standard n-gram-decon behavior: items shorter than the
+    window cannot be flagged — lower ``n`` or fall back to
+    :func:`containment_match` for those). ``min_hits`` filters the
+    output (``>= min_hits``); the default 1 flags ANY verbatim
+    n-gram, the standard conservative setting.
+
+    Scale: corpus-side cost is one scan + explode (shingles ≈ token
+    count) + map-side-partial distinct; the join is hash-key equi —
+    benchmark sides are small by nature, so AQE broadcasts them. No
+    corpus-wide state, no driver materialization.
+    Output: ``(q_id, c_id, n_hits, q_ngrams, hit_frac)``.
+    """
+    n = int(n)
+    if n < 2:
+        raise ValueError("ngram_decontaminate needs n >= 2")
+
+    def shingle_hashes(df: DataFrame, side: str) -> DataFrame:
+        # Same whitespace-class split + drop-blank as WhitespaceTokzr
+        # (and the oracle's str_split_regex twin) — but ORDER
+        # PRESERVED: shingles are windows over the token sequence,
+        # not over the token set.
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[ \t\r\n]", -1),
+            lambda x: F.trim(x) != F.lit(""),
+        )
+        grams = F.when(
+            F.size("ts") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return (
+            df.select(F.col(id_col).alias(side), toks.alias("ts"))
+            .select(side, F.explode(grams).alias("g"))
+            .distinct()
+        )
+
+    q = shingle_hashes(query_df, "q_id")
+    c = shingle_hashes(corpus_df, "c_id")
+    q_sizes = q.groupBy("q_id").agg(F.count(F.lit(1)).alias("q_ngrams"))
+    hits = (
+        q.join(c, "g")
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(q_sizes, "q_id")
+        .filter(F.col("n_hits") >= F.lit(int(min_hits)))
+        .select(
+            "q_id",
+            "c_id",
+            "n_hits",
+            "q_ngrams",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("q_ngrams").cast("double"),
+                6,
+            ).alias("hit_frac"),
+        )
     )
 
 

@@ -684,6 +684,7 @@ class EmbeddingLshIndex:
     planes: list[list[float]]
     n_bands: int
     n_planes: int
+    seed: int = 42
 
     def unpersist(self) -> None:
         self.sigs.unpersist()
@@ -717,7 +718,8 @@ def embedding_lsh_index(
         StorageLevel.MEMORY_AND_DISK
     )
     return EmbeddingLshIndex(
-        sigs=sigs, vecs=vecs, planes=planes, n_bands=n_bands, n_planes=n_planes
+        sigs=sigs, vecs=vecs, planes=planes, n_bands=n_bands,
+        n_planes=n_planes, seed=int(seed),
     )
 
 
@@ -751,8 +753,11 @@ def write_embedding_lsh_index(
     # default to the truth and hard-fail on a mismatch instead.
     spark = index.sigs.sparkSession
     spark.createDataFrame(
-        [(len(index.planes[0]), int(index.n_bands), int(index.n_planes))],
-        "dim int, n_bands int, n_planes int",
+        [(
+            len(index.planes[0]), int(index.n_bands), int(index.n_planes),
+            int(index.seed),
+        )],
+        "dim int, n_bands int, n_planes int, seed int",
     ).write.mode("overwrite").saveAsTable(f"{name}_meta")
     return name
 
@@ -763,17 +768,16 @@ def read_embedding_lsh_index(
     dim: int | None = None,
     n_bands: int | None = None,
     n_planes: int | None = None,
-    seed: int = 42,
+    seed: int | None = None,
 ) -> EmbeddingLshIndex:
     """Load an index persisted by :func:`write_embedding_lsh_index`.
-    ``dim``/``n_bands``/``n_planes`` default to the persisted
+    ``dim``/``n_bands``/``n_planes``/``seed`` default to the persisted
     build-time values (``{name}_meta``); explicitly passed values are
     validated against them (a mismatch raises — the regenerated
     hyperplanes would silently never collide with the stored
-    signatures). ``seed`` must match the build seed (not persisted —
-    non-default seeds are the caller's to reproduce; the seeded
-    :func:`hyperplanes` stream then regenerates the bit-identical
-    plane set)."""
+    signatures). Indexes written before seed was persisted fall back
+    to the legacy default 42. The seeded :func:`hyperplanes` stream
+    then regenerates the bit-identical plane set."""
     from .dedup import _meta_param
 
     meta = None
@@ -782,12 +786,15 @@ def read_embedding_lsh_index(
     dim = _meta_param(dim, meta and meta.dim, 64, "dim")
     n_bands = _meta_param(n_bands, meta and meta.n_bands, 4, "n_bands")
     n_planes = _meta_param(n_planes, meta and meta.n_planes, 4, "n_planes")
+    # Older meta tables predate the seed column — getattr, not row key.
+    seed = _meta_param(seed, meta and getattr(meta, "seed", None), 42, "seed")
     return EmbeddingLshIndex(
         sigs=spark.table(f"{name}_sigs"),
         vecs=spark.table(f"{name}_vecs"),
         planes=hyperplanes(dim, n_bands * n_planes, seed),
         n_bands=n_bands,
         n_planes=n_planes,
+        seed=seed,
     )
 
 

@@ -22,6 +22,8 @@ __all__ = [
     "ngram_jaccard_neardup_sql",
     "containment_sql",
     "containment_match_sql",
+    "ngram_shingles_sql",
+    "ngram_decontaminate_sql",
     "connected_components_sql",
     "simhash_fingerprints_sql",
     "simhash_neardup_sql",
@@ -192,6 +194,43 @@ select ov.lid as l_id, ov.rid as r_id,
 from ov join sizes sl on sl.id = ov.lid join sizes sr on sr.id = ov.rid
 where round(CAST(ov AS DOUBLE) / CAST(sl.sz + sr.sz - ov AS DOUBLE), 6)
       >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+
+
+def ngram_shingles_sql(table: str, key: str, val: str, n: int) -> str:
+    """Distinct ordered word-level n-gram strings — mirrors the
+    shingle builder in dedup.ngram_decontaminate (same whitespace
+    class + drop-blank filter as ws_tokens_sql, but ORDER PRESERVED;
+    the Spark side compares xxhash64(gram) keys, which is
+    count-equivalent modulo the accepted 2^-64 collision floor)."""
+    return (
+        f"select distinct {key} as id, g from ("
+        f"select {key}, unnest(list_transform("
+        f"generate_series(1, len(ts) - {int(n)} + 1), "
+        f"x -> array_to_string(list_slice(ts, x, x + {int(n)} - 1), ' '))) as g "
+        f"from (select {key}, list_filter(str_split_regex(lower({val}), "
+        f"'{_WS_CLASS}'), t -> trim(t) != '') as ts from {table}))"
+    )
+
+
+def ngram_decontaminate_sql(
+    q_table: str, c_table: str, key: str, val: str, n: int, min_hits: int = 1
+) -> str:
+    """Mirror of dedup.ngram_decontaminate: distinct shared word-level
+    n-grams per (benchmark item, training doc), with the benchmark
+    item's distinct n-gram count and hit fraction."""
+    return f"""
+with q_grams as ({ngram_shingles_sql(q_table, key, val, n)}),
+c_grams as ({ngram_shingles_sql(c_table, key, val, n)}),
+q_sizes as (select id, count(*) as q_ngrams from q_grams group by id),
+hits as (select q.id as qid, c.id as cid, count(*) as n_hits
+         from q_grams q join c_grams c on q.g = c.g group by 1, 2)
+select h.qid as q_id, h.cid as c_id, CAST(h.n_hits AS BIGINT) as n_hits,
+       CAST(s.q_ngrams AS BIGINT) as q_ngrams,
+       round(CAST(h.n_hits AS DOUBLE) / CAST(s.q_ngrams AS DOUBLE), 6)
+         as hit_frac
+from hits h join q_sizes s on s.id = h.qid
+where h.n_hits >= {int(min_hits)}
 """
 
 

@@ -144,6 +144,20 @@ def hash_split(
     """
     if weights is None:
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if not weights:
+        raise ValueError("hash_split needs at least one (label, weight)")
+    for label, w in weights:
+        if not (float(w) > 0):
+            raise ValueError(
+                f"hash_split weight for {label!r} must be positive, got {w}"
+            )
+    head = sum(float(w) for _, w in weights[:-1])
+    if head >= 1.0:
+        raise ValueError(
+            "hash_split weights before the last label sum to "
+            f"{head}, which reaches/exceeds 1 — the last label "
+            f"({weights[-1][0]!r}) would be unreachable"
+        )
     u = (
         F.conv(
             F.substring(

@@ -373,28 +373,43 @@ def decontaminate_stream(
     benchmark item and must be quarantined before it poisons an eval.
 
     Uses ``foreachBatch`` like the other match streams (the prefix/
-    verify pipeline is a multi-aggregation batch shape) and reuses
-    ``containment_match`` verbatim, so the batch twin IS the per-batch
-    computation; matches are per-document, so micro-batch boundaries
-    cannot change results. Per-batch cost is O(batch + benchmark):
-    the benchmark side is small by nature (eval suites), and the
-    batch-side token frequencies that order the pigeonhole prefix are
-    batch-sized — no unbounded state, no growing corpus re-scan.
+    verify pipeline is a multi-aggregation batch shape). The
+    benchmark side is tokenized and persisted ONCE up front
+    (:func:`..operators.dedup.containment_index` — the containment
+    twin of ``MinHashIndex``), and each micro-batch's token table is
+    unpersisted after the sink returns — so cache footprint stays
+    FLAT across epochs instead of leaking two InMemoryRelations per
+    batch (test-pinned in ``tests/test_streaming.py``). The per-batch
+    computation is :func:`..operators.dedup.containment_match_indexed`,
+    which shares ``_containment_core`` with the batch twin — matches
+    are per-document, so micro-batch boundaries cannot change
+    results (stream==batch is test-pinned). Per-batch cost is
+    O(batch + benchmark): the benchmark side is small by nature
+    (eval suites), and the batch-side token frequencies that order
+    the pigeonhole prefix are batch-sized — no unbounded state, no
+    growing corpus re-scan.
 
-    ``benchmark_df`` is the static QUERY side (cache it);
+    ``benchmark_df`` is the static QUERY side;
     ``sink(matches_df, epoch_id)`` receives each batch's
     ``(q_id, c_id, containment)`` where ``q_id`` is the benchmark
-    item. Returns the started StreamingQuery (caller awaits/stops).
+    item. The sink must MATERIALIZE its result (write/collect/count)
+    before returning — batch tokens are unpersisted right after.
+    Returns the started StreamingQuery (caller awaits/stops; the
+    benchmark index is unpersisted when the writer's batches stop
+    arriving is the caller's call via the returned query's stop).
     """
-    from ..operators.dedup import containment_match
+    from ..operators.dedup import containment_index, containment_match_indexed
+
+    index = containment_index(benchmark_df, id_col, text_col)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        sink(
-            containment_match(
-                benchmark_df, batch_df, id_col, text_col, threshold
-            ),
-            epoch_id,
+        matches, batch_toks = containment_match_indexed(
+            index, batch_df, id_col, text_col, threshold
         )
+        try:
+            sink(matches, epoch_id)
+        finally:
+            batch_toks.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:

@@ -299,3 +299,120 @@ def test_containment_match_two_tables(spark):
         for r in containment_match(bench, corpus, "id", "text", 0.6).collect()
     }
     assert loose == {(100, 1): 1.0, (100, 2): round(2 / 3, 6)}
+
+
+def test_ngram_decontaminate_catches_embedded_quote(spark):
+    """The case set containment structurally misses: a short benchmark
+    quote embedded VERBATIM in a huge training document. Whole-item
+    containment of the benchmark set still fires here (quote is a
+    subset), so the discriminating case is a benchmark item only
+    PARTIALLY present — half its tokens appear scattered (set
+    containment ~0.5 < 0.9 threshold → miss) while one 8-gram run is
+    verbatim (n-gram decon → hit)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        containment_match,
+        ngram_decontaminate,
+    )
+
+    quote = "to be or not to be that is the question"  # 10 tokens, 8 distinct
+    bench = spark.createDataFrame(
+        [(1, quote + " whether tis nobler in the mind to suffer "
+          "the slings and arrows of outrageous fortune")],
+        "id long, text string",
+    )
+    filler = " ".join(f"w{i}" for i in range(300))
+    corpus = spark.createDataFrame(
+        [(7, filler + " " + quote + " " + filler)],
+        "id long, text string",
+    )
+    set_hits = containment_match(bench, corpus, "id", "text", 0.9).collect()
+    assert set_hits == []  # diluted: only ~half the item's tokens present
+    ng = ngram_decontaminate(bench, corpus, "id", "text", n=8).collect()
+    assert [(r.q_id, r.c_id) for r in ng] == [(1, 7)]
+    assert ng[0].n_hits == 3  # the 3 sliding 8-grams inside the 10-token quote
+    assert ng[0].q_ngrams == 25 - 8 + 1  # 25-token item, all grams distinct
+
+
+def test_ngram_decontaminate_short_items_produce_no_shingles(spark):
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "too short"), (2, None), (3, "exactly four tokens here")],
+        "id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(9, "too short exactly four tokens here and more")],
+        "id long, text string",
+    )
+    out = ngram_decontaminate(bench, corpus, "id", "text", n=4).collect()
+    assert [(r.q_id, r.c_id, r.n_hits, r.q_ngrams, r.hit_frac) for r in out] \
+        == [(3, 9, 1, 1, 1.0)]
+
+
+def test_ngram_decontaminate_matches_duckdb_oracle(spark, documents):
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        ngram_decontaminate_sql,
+    )
+    from tests.conftest import SF_SMALL
+
+    bench = documents.filter(F.col("doc_id") % 40 == 0)
+    corpus = documents.filter(F.col("doc_id") % 40 != 0)
+    got = {
+        tuple(r)
+        for r in ngram_decontaminate(
+            bench, corpus, "doc_id", "text", n=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{SF_SMALL}/documents.parquet'"
+    )
+    sql = ngram_decontaminate_sql(
+        "(select * from documents where doc_id % 40 = 0)",
+        "(select * from documents where doc_id % 40 != 0)",
+        "doc_id", "text", 8,
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want and want
+
+
+def test_containment_match_indexed_equals_plain(spark):
+    """containment_match_indexed(index, batch) == containment_match
+    on the same frames, and the returned batch token handle is the
+    persisted DataFrame the caller unpersists."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        containment_index,
+        containment_match,
+        containment_match_indexed,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (200, "mu nu xi omicron pi")],
+        "id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "mu nu xi omicron pi rho sigma tau"),
+            (3, "nothing shared at all"),
+        ],
+        "id long, text string",
+    )
+    want = sorted(
+        map(tuple, containment_match(bench, corpus, "id", "text", 0.9).collect())
+    )
+    idx = containment_index(bench, "id", "text")
+    try:
+        matches, batch_toks = containment_match_indexed(
+            idx, corpus, "id", "text", 0.9
+        )
+        got = sorted(map(tuple, matches.collect()))
+        assert got == want and want
+        assert batch_toks.storageLevel.useMemory
+        batch_toks.unpersist()
+    finally:
+        idx.unpersist()

@@ -296,3 +296,54 @@ def test_decontaminate_stream_equals_batch_match(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got) == want
+
+
+def test_decontaminate_stream_cache_stays_flat(spark, tmp_path):
+    """Per-epoch persist hygiene: the benchmark side is tokenized and
+    persisted ONCE (ContainmentIndex) and each micro-batch's token
+    table is unpersisted after the sink returns — so the number of
+    persisted RDDs measured INSIDE the sink is identical for every
+    epoch (index + the one in-flight batch), and after the stream
+    drains only the index remains above the baseline. Before round 5
+    each epoch leaked two InMemoryRelations (benchmark re-persist +
+    batch tokens, never unpersisted)."""
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import decontaminate_stream
+    from tests.conftest import SF_SMALL
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # Start from a clean slate: earlier tests leave cached frames
+    # whose asynchronous ContextCleaner reaping would make absolute
+    # counts drift mid-test.
+    spark.catalog.clearCache()
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    training = docs.filter(F.col("doc_id") % 50 != 0)
+
+    stream_dir = str(tmp_path / "training_stream_flat")
+    training.repartition(4).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    baseline = n_persisted()
+    per_epoch = []
+
+    def sink(df, epoch):
+        df.count()  # materialize while the batch tokens are cached
+        per_epoch.append(n_persisted())
+
+    q = decontaminate_stream(stream, benchmark, sink=sink, threshold=0.9)
+    q.awaitTermination()
+
+    assert len(per_epoch) >= 3
+    # Every epoch sees the same footprint: index + in-flight batch.
+    assert len(set(per_epoch)) == 1, per_epoch
+    # After draining, only the one-time benchmark index remains.
+    assert n_persisted() == baseline + 1
