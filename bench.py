@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram",
     "decontaminate",
+    "decontaminate_ngram",
+    "mix_corpora",
+    "pack_stats",
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
     "dedup_embed_cosine_lsh_banded",
@@ -69,7 +72,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry.queries()
+    # Demoted gate variants (extra_queries) stay benched for timing
+    # continuity across rounds.
+    qs = {**entry.queries(), **getattr(entry, "extra_queries", dict)()}
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "bm25_top_terms",
     "corpus_profile",
+    "packing_stats",
     "ws_token_array",
     "poly_hash",
     "redact_pii",
@@ -285,29 +286,130 @@ def corpus_profile(
     )
 
 
-# PII patterns — Java-regex AND RE2 compatible (no lookaround, no \b),
-# so the SAME strings drive Spark regexp_replace/extract_all and the
-# DuckDB oracle. Redaction order is URL → email → phone: an email can
-# sit inside a URL (credited to the URL), never vice versa, and the
-# placeholder tokens contain no digits so phone matching on the
-# already-redacted text cannot double-count.
+def packing_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    context_len: int = 2048,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Sequence-packing yield estimate — the number a pipeline
+    planner actually asks for ("how many ``context_len``-token
+    sequences does this corpus pack into, at what fill rate?").
+
+    Exact greedy packing is inherently sequential (bin packing over a
+    total order) — driver-hostile at corpus scale. This is the
+    scalable bucketed approximation: round each document's token
+    count UP to a ``bucket_width`` boundary (docs longer than
+    ``context_len`` are truncated to exactly one full sequence —
+    standard pretraining behavior), then pack each bucket
+    independently: a bucket of length-``b`` slots fits
+    ``floor(context_len / b)`` documents per sequence. Rounding up
+    and never packing across buckets makes the estimate CONSERVATIVE
+    (real greedy packing can only do better by mixing lengths).
+
+    All integer arithmetic except the fill ratios (rounded to 6) —
+    bit-reproducible in the DuckDB oracle
+    (``plans.oracle_ext.packing_stats_sql``). Empty documents (0
+    tokens) are excluded (nothing to pack). One shuffle: a
+    ``groupBy`` on O(context_len / bucket_width) bucket keys with
+    map-side partial aggregation — hot keys impossible at any corpus
+    size because the key space is tiny and the agg is commutative.
+
+    Output, one row per occupied bucket:
+    ``(bucket_len, n_docs, sum_tokens, docs_per_seq, n_sequences,
+    fill_ratio)`` where ``fill_ratio = sum_tokens /
+    (n_sequences * context_len)``.
+    """
+    context_len, bucket_width = int(context_len), int(bucket_width)
+    if context_len <= 0 or bucket_width <= 0:
+        raise ValueError("context_len and bucket_width must be positive")
+    if bucket_width > context_len:
+        raise ValueError("bucket_width must be <= context_len")
+    nt = F.size(ws_token_array(F.col(text_col)))
+    nt_eff = F.least(nt, F.lit(context_len))
+    bucket = F.least(
+        F.ceil(nt_eff.cast("double") / F.lit(float(bucket_width))).cast("long")
+        * F.lit(bucket_width),
+        F.lit(context_len).cast("long"),
+    )
+    per_doc = df.select(
+        nt_eff.cast("long").alias("nt"), bucket.alias("bucket_len")
+    ).filter(F.col("nt") > 0)
+    agg = per_doc.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
+    )
+    docs_per_seq = F.floor(
+        F.lit(float(context_len)) / F.col("bucket_len").cast("double")
+    ).cast("long")
+    n_seqs = F.ceil(
+        F.col("n_docs").cast("double") / docs_per_seq.cast("double")
+    ).cast("long")
+    return agg.select(
+        "bucket_len",
+        "n_docs",
+        "sum_tokens",
+        docs_per_seq.alias("docs_per_seq"),
+        n_seqs.alias("n_sequences"),
+        F.round(
+            F.col("sum_tokens").cast("double")
+            / (n_seqs.cast("double") * F.lit(float(context_len))),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+# PII patterns — Java-regex AND RE2 compatible (no lookaround, no \b;
+# non-capturing groups and bounded repeats are fine in both), so the
+# SAME strings drive Spark regexp_replace/extract_all and the DuckDB
+# oracle. Redaction order is URL → email → IP → phone: an email can
+# sit inside a URL (credited to the URL), an IP inside a URL or an
+# email's domain (credited upstream), and the placeholder tokens
+# contain no digits so later patterns on the already-redacted text
+# cannot double-count.
+#
+# The phone pattern requires FORMAT, not just digit mass (the round-4
+# pattern redacted any 8+ digit run — timestamps, order ids, ISBNs):
+#   +15551234567            international, bare: + and 7-15 digits
+#   +1 555-123-4567         international, separated: +cc then 3
+#                           groups of 2-4 digits
+#   (555) 123-4567          parenthesized US
+#   555-123-4567            US 3-3-4 with separators
+#   0800 111 222            4-3-3 with separators
+# Deliberately NOT matched: bare digit runs without '+' ("123456789",
+# ids/timestamps), date-shaped 4-2-2 runs ("2026-08-14"), ISBNs
+# (group shapes differ). IPv4 is the standard scrubbing target;
+# dotted version strings ("1.2.3.4") are accepted false positives.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("url", r"https?://[^ \t\r\n]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9\- ]{6,}[0-9]", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (
+        "phone",
+        r"\+[0-9]{7,15}"
+        r"|\+[0-9]{1,3}[ -][0-9]{2,4}(?:[ -]?[0-9]{2,4}){2}"
+        r"|\([0-9]{3}\)[ -]?[0-9]{3}[ -]?[0-9]{4}"
+        r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+        r"|[0-9]{4}[ -][0-9]{3}[ -][0-9]{3}",
+        "<PHONE>",
+    ),
 ]
 
 
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """PII scrubbing for a pre-training corpus: URLs, emails, and
-    phone-like digit runs replaced by placeholder tokens, with
-    per-document match counts — pure column expressions (JVM regex,
-    whole-stage codegen; a 100 TB scan-shaped stage, no shuffle).
+    """PII scrubbing for a pre-training corpus: URLs, emails, IPv4
+    addresses, and format-shaped phone numbers replaced by
+    placeholder tokens, with per-document match counts — pure column
+    expressions (JVM regex, whole-stage codegen; a 100 TB scan-shaped
+    stage, no shuffle). See ``PII_PATTERNS`` for exactly what the
+    phone pattern does and does not match (format required — bare
+    digit runs/ids/timestamps survive).
 
     Counts are taken progressively on the text as redacted so far
     (URL matches first claim their span), so ``n_*`` partition the
     redacted spans rather than double-counting an email inside a URL.
-    Output: ``(id, clean_text, n_urls, n_emails, n_phones)``.
+    Output: ``(id, clean_text, n_urls, n_emails, n_ips, n_phones)``.
     """
     stage = F.col(text_col)
     counts = []

@@ -39,6 +39,8 @@ __all__ = [
     "lsh_topk_sql",
     "text_stats_sql",
     "hash_split_sql",
+    "mix_corpora_sql",
+    "packing_stats_sql",
     "lang_id_sql",
     "redact_pii_sql",
     "repetition_stats_sql",
@@ -861,6 +863,73 @@ def hash_split_sql(
         f"select *, case {chain} else '{weights[-1][0]}' end as {split_col} "
         f"from {table}"
     )
+
+
+def packing_stats_sql(
+    table: str, key: str, val: str,
+    context_len: int = 2048, bucket_width: int = 64,
+) -> str:
+    """Mirror of functions.text.packing_stats: identical truncation,
+    bucket rounding, per-bucket integer packing, and double-rounded
+    fill ratio."""
+    c, w = int(context_len), int(bucket_width)
+    return f"""
+with per_doc as (
+  select least(CAST(len({_ws_bag_sql(val)}) AS BIGINT), {c}) as nt
+  from {table}),
+b as (
+  select nt,
+         least(CAST(ceil(CAST(nt AS DOUBLE) / {float(w)!r}) AS BIGINT) * {w},
+               CAST({c} AS BIGINT)) as bucket_len
+  from per_doc where nt > 0),
+agg as (
+  select bucket_len, count(*) as n_docs,
+         CAST(sum(nt) AS BIGINT) as sum_tokens
+  from b group by bucket_len),
+dps as (
+  select *, CAST(floor(CAST({c} AS DOUBLE) / CAST(bucket_len AS DOUBLE))
+                 AS BIGINT) as docs_per_seq
+  from agg),
+ns as (
+  select *, CAST(ceil(CAST(n_docs AS DOUBLE) / CAST(docs_per_seq AS DOUBLE))
+                 AS BIGINT) as n_sequences
+  from dps)
+select bucket_len, n_docs, sum_tokens, docs_per_seq, n_sequences,
+       round(CAST(sum_tokens AS DOUBLE)
+             / (CAST(n_sequences AS DOUBLE) * {float(c)!r}), 6) as fill_ratio
+from ns
+"""
+
+
+def _stable_u_sql(key: str, salt: str) -> str:
+    """DuckDB mirror of sources._stable_u: uint32 of the first 8 md5
+    hex chars of ``key ':' salt``, divided by 2^32 (exact in
+    double)."""
+    hx = f"md5(CAST({key} AS VARCHAR) || ':{salt}')"
+    b = [_hexbyte_sql(hx, str(i)) for i in (1, 2, 3, 4)]
+    return (
+        f"(CAST((({b[0]} * 256 + {b[1]}) * 256 + {b[2]}) * 256 + {b[3]} "
+        "AS DOUBLE) / 4294967296.0)"
+    )
+
+
+def mix_corpora_sql(
+    tables: list[tuple[str, float]],
+    key: str,
+    cols: str = "*",
+    seed: int = 42,
+    source_col: str = "source",
+) -> str:
+    """Mirror of sources.mix_corpora: per-source deterministic keep
+    (u(id:seed:idx) < rate), union all with the source index."""
+    parts = []
+    for idx, (table, rate) in enumerate(tables):
+        u = _stable_u_sql(key, f"{int(seed)}:{idx}")
+        parts.append(
+            f"select {cols}, CAST({idx} AS INTEGER) as {source_col} "
+            f"from {table} where {u} < CAST({float(rate)!r} AS DOUBLE)"
+        )
+    return " union all ".join(parts)
 
 
 def _hexbyte_sql(hexcol: str, pos: str) -> str:

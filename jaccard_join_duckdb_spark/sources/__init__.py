@@ -26,6 +26,7 @@ __all__ = [
     "union_distinct",
     "sample_fixed",
     "hash_split",
+    "mix_corpora",
     "write_bucketed",
     "read_table",
 ]
@@ -118,6 +119,74 @@ def sample_fixed(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(int(n))
 
 
+def _stable_u(id_col, salt: str):
+    """``u(id) = uint32(md5(id ':' salt)[:8 hex]) / 2^32`` — the
+    engine-portable per-row uniform shared by :func:`hash_split` and
+    :func:`mix_corpora`. Exact in double (integer < 2^32 / 2^32), so
+    DuckDB reproduces it bit-for-bit; NULL ids propagate to NULL u
+    (every comparison false)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixing — the data-mixing step that pairs with
+    :func:`hash_split`: each source DataFrame is deterministically
+    downsampled at its rate (keep row iff
+    ``u(id ':' seed ':' source_index) < rate``) and the survivors are
+    unioned with a ``source_col`` index column. Rates are
+    per-source KEEP PROBABILITIES in (0, 1] (a Pile/Dolma-style
+    mixture re-weights corpora by sampling, e.g. books at 1.0, crawl
+    at 0.3), not split proportions.
+
+    The sample is a pure function of (row id, seed, source index) —
+    stable across runs, engines, repartitions, and corpus growth, and
+    INDEPENDENT across sources (the source index salts the hash, so a
+    row id shared by two sources draws twice). NULL ids hash to NULL
+    and are dropped from every source — same in the DuckDB oracle
+    (NULL < rate is NULL). Scan-shaped (filter + union), no shuffle;
+    100 TB-safe by construction.
+
+    For a TOKEN-budget mixture, convert each budget to a rate first
+    (``rate = min(1, budget_tokens / source_tokens)`` via
+    :func:`..functions.text.corpus_profile`'s ``total_tokens``) —
+    uniform row sampling preserves expected token shares without a
+    corpus-wide sort, which is the scalable way to hit a budget.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (df, rate)")
+    out = None
+    for idx, (df, rate) in enumerate(sources):
+        if not (0.0 < float(rate) <= 1.0):
+            raise ValueError(
+                f"mix_corpora rate for source {idx} must be in (0, 1], "
+                f"got {rate}"
+            )
+        u = _stable_u(F.col(id_col), f"{int(seed)}:{idx}")
+        part = (
+            df.filter(u < F.lit(float(rate)))
+            .withColumn(source_col, F.lit(idx).cast("int"))
+        )
+        out = part if out is None else out.union(part)
+    return out
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -158,25 +227,7 @@ def hash_split(
             f"{head}, which reaches/exceeds 1 — the last label "
             f"({weights[-1][0]!r}) would be unreachable"
         )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(id_col).cast("string"),
-                        F.lit(":"),
-                        F.lit(str(int(seed))),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = _stable_u(F.col(id_col), str(int(seed)))
     acc = 0.0
     expr = None
     for label, w in weights[:-1]:

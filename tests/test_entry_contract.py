@@ -15,10 +15,35 @@ def test_every_query_has_an_oracle():
     assert not extra, f"oracle_sql without queries: {extra}"
 
 
+def test_every_extra_query_has_an_oracle():
+    import __spark_entry__ as e
+
+    qs, oracles = e.extra_queries(), e.extra_oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    extra = sorted(set(oracles) - set(qs))
+    assert not missing, f"extra_queries without extra_oracle_sql: {missing}"
+    assert not extra, f"extra_oracle_sql without extra_queries: {extra}"
+    overlap = sorted(set(qs) & set(e.queries()))
+    assert not overlap, f"queries present in both dicts: {overlap}"
+
+
+def test_graded_inventory_fits_driver_window():
+    """The driver grades only the FIRST 50 queries() entries; at 53
+    (round 4) three declared queries silently fell off the gate. Pin
+    the graded dict inside the window so every declared query gets a
+    CORRECTNESS row."""
+    import __spark_entry__ as e
+
+    assert len(e.queries()) <= 50, (
+        "queries() exceeds the driver's 50-row grading window — demote "
+        "redundant variants to extra_queries()"
+    )
+
+
 def test_query_callables_signature():
     import __spark_entry__ as e
 
-    for name, fn in e.queries().items():
+    for name, fn in {**e.queries(), **e.extra_queries()}.items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
 
@@ -26,5 +51,5 @@ def test_query_callables_signature():
 def test_oracle_sql_is_nonempty_text():
     import __spark_entry__ as e
 
-    for name, sql in e.oracle_sql().items():
+    for name, sql in {**e.oracle_sql(), **e.extra_oracle_sql()}.items():
         assert isinstance(sql, str) and sql.strip(), name

@@ -157,3 +157,57 @@ def test_hash_split_custom_weights_order(spark):
     counts = {r.split: r["count"] for r in out}
     assert set(counts) == {"a", "b"}
     assert abs(counts["a"] - 1000) < 120  # md5-uniform
+
+
+def test_hash_split_rejects_bad_weights(spark, documents):
+    import pytest as _pytest
+
+    from jaccard_join_duckdb_spark.sources import hash_split
+
+    with _pytest.raises(ValueError, match="positive"):
+        hash_split(documents, "doc_id", [("a", 0.5), ("b", 0.0)])
+    with _pytest.raises(ValueError, match="positive"):
+        hash_split(documents, "doc_id", [("a", -0.1), ("b", 1.1)])
+    with _pytest.raises(ValueError, match="unreachable"):
+        hash_split(documents, "doc_id", [("a", 0.7), ("b", 0.3), ("c", 0.1)])
+    with _pytest.raises(ValueError, match="at least one"):
+        hash_split(documents, "doc_id", [])
+
+
+def test_mix_corpora_deterministic_and_independent(spark, documents):
+    """Each source samples at its rate as a pure function of
+    (id, seed, source index): re-running gives the identical set,
+    shared ids draw independently per source, and NULL ids are
+    dropped from every source."""
+    from jaccard_join_duckdb_spark.sources import mix_corpora
+
+    mixed = mix_corpora(
+        [(documents, 0.5), (documents, 0.5)], "doc_id"
+    ).select("doc_id", "source")
+    a = sorted(map(tuple, mixed.collect()))
+    b = sorted(map(tuple, mixed.collect()))
+    assert a == b
+    n_docs = documents.count()
+    s0 = {d for d, s in a if s == 0}
+    s1 = {d for d, s in a if s == 1}
+    # ~rate each, and NOT the same subset (independent draws)
+    assert 0.3 * n_docs < len(s0) < 0.7 * n_docs
+    assert 0.3 * n_docs < len(s1) < 0.7 * n_docs
+    assert s0 != s1
+    # seed changes the sample
+    c = sorted(map(tuple, mix_corpora(
+        [(documents, 0.5), (documents, 0.5)], "doc_id", seed=7
+    ).select("doc_id", "source").collect()))
+    assert c != a
+
+    null_df = spark.createDataFrame(
+        [(None, "x"), (1, "y")], "doc_id long, text string"
+    )
+    kept = mix_corpora([(null_df, 1.0)], "doc_id").collect()
+    assert [r.doc_id for r in kept] == [1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rate"):
+        mix_corpora([(documents, 0.0)], "doc_id")
+    with _pytest.raises(ValueError, match="rate"):
+        mix_corpora([(documents, 1.5)], "doc_id")

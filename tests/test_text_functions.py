@@ -143,3 +143,128 @@ def test_repetition_stats_known_docs(spark):
     assert got[3].dup_bigram_ratio == 1.0
     assert got[4].n_tokens == 0 and got[4].dup_token_ratio == 0.0
     assert got[5].n_tokens == 1 and got[5].dup_bigram_ratio == 0.0
+
+
+def test_redact_pii_phone_format_required(spark):
+    """Round-5 hardening: phones need FORMAT, not digit mass — ids,
+    timestamps, and ISBNs survive; formatted phones and IPv4s are
+    redacted (PII_PATTERNS docstring)."""
+    from jaccard_join_duckdb_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "order 123456789012 shipped on 2026-08-14"),
+        (2, "ISBN 978-0-306-40615-7 in stock"),
+        (3, "call (555) 123-4567 or +15551234567"),
+        (4, "dial 0800 111 222 now"),
+        (5, "server at 192.168.1.254 responded"),
+        (6, "release v1.22.33.4 is out"),  # documented IP false positive
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in redact_pii(df, "id", "text").collect()}
+    assert got[1].n_phones == 0 and got[1].n_ips == 0
+    assert got[1].clean_text == rows[0][1]
+    assert got[2].n_phones == 0 and got[2].clean_text == rows[1][1]
+    assert got[3].n_phones == 2 and "<PHONE>" in got[3].clean_text
+    assert got[4].n_phones == 1
+    assert got[5].n_ips == 1 and "192.168.1.254" not in got[5].clean_text
+    assert got[6].n_ips == 1  # version-string FP, accepted and documented
+
+
+def test_redact_pii_matches_duckdb_oracle(spark):
+    """Pattern strings are shared with the oracle generator — any
+    hardening must keep both engines in lockstep on crafted cases."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.functions.text import redact_pii
+    from jaccard_join_duckdb_spark.plans.oracle_ext import redact_pii_sql
+
+    rows = [
+        (1, "mail a@b.co see https://x.io/1.2.3.4 call +1 555-123-4567"),
+        (2, "order 1234567890 at 10.20.30.40 on 2026-08-14"),
+        (3, "(555) 123-4567 and user@192.168.0.1 and bare 5551234567"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(map(tuple, redact_pii(df, "id", "text").collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select * from (values "
+        + ", ".join(
+            f"({i}, " + ("NULL" if s is None else f"'{s}'") + ")"
+            for i, s in rows
+        )
+        + ") v(id, text)"
+    )
+    want = sorted(map(tuple, con.execute(
+        redact_pii_sql("t", "id", "text")
+    ).fetchall()))
+    assert got == want
+
+
+def test_corpus_profile_approx_path_bounded_delta(spark, documents):
+    """The exact=False branch (t-digest approx_percentile — the
+    documented >1e9-doc path) is otherwise only docstring-covered:
+    counts/sums must be IDENTICAL to the exact path (they don't go
+    through the sketch), and the sketched percentiles must sit within
+    the corpus's observed length range and close to exact (t-digest
+    on a few hundred values is near-exact; bound generously so the
+    pin survives data regeneration)."""
+    from jaccard_join_duckdb_spark.functions.text import corpus_profile
+
+    exact = corpus_profile(documents, "doc_id", "text", exact=True).collect()[0]
+    approx = corpus_profile(documents, "doc_id", "text", exact=False).collect()[0]
+    assert approx.n_docs == exact.n_docs
+    assert approx.n_empty_docs == exact.n_empty_docs
+    assert approx.total_tokens == exact.total_tokens
+    assert approx.avg_tokens == exact.avg_tokens
+    assert approx.max_tokens == exact.max_tokens
+    for col in ("p50_tokens", "p90_tokens", "p99_tokens"):
+        e, a = float(getattr(exact, col)), float(getattr(approx, col))
+        assert abs(a - e) <= max(2.0, 0.05 * e), (col, e, a)
+    assert approx.p50_tokens <= approx.p90_tokens <= approx.p99_tokens
+    assert approx.p99_tokens <= approx.max_tokens
+
+
+def test_packing_stats_known_geometry(spark):
+    """Hand-checkable packing: context 100, width 10. Docs of 5, 10,
+    95, and 250 tokens → buckets 10 (two docs, 10 per seq), 100 (one
+    doc, 1 per seq), and the long doc truncated to one full
+    sequence."""
+    from jaccard_join_duckdb_spark.functions.text import packing_stats
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),
+        (2, " ".join(f"t{i}" for i in range(10))),
+        (3, " ".join(f"t{i}" for i in range(95))),
+        (4, " ".join(f"t{i}" for i in range(250))),
+        (5, ""),  # empty: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.bucket_len: r
+        for r in packing_stats(
+            df, "id", "text", context_len=100, bucket_width=10
+        ).collect()
+    }
+    assert set(got) == {10, 100}
+    b10 = got[10]
+    assert (b10.n_docs, b10.sum_tokens, b10.docs_per_seq, b10.n_sequences) \
+        == (2, 15, 10, 1)
+    assert b10.fill_ratio == 0.15
+    b100 = got[100]  # the 95-token doc and the truncated 250-token doc
+    assert (b100.n_docs, b100.sum_tokens, b100.docs_per_seq,
+            b100.n_sequences) == (2, 195, 1, 2)
+    assert b100.fill_ratio == 0.975
+
+
+def test_packing_stats_validation(spark, documents):
+    import pytest as _pytest
+
+    from jaccard_join_duckdb_spark.functions.text import packing_stats
+
+    with _pytest.raises(ValueError):
+        packing_stats(documents, "doc_id", "text", context_len=0)
+    with _pytest.raises(ValueError):
+        packing_stats(
+            documents, "doc_id", "text", context_len=64, bucket_width=128
+        )

@@ -69,7 +69,10 @@ def main() -> int:
             f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    # The driver grades queries(); the demoted variants in
+    # extra_queries() keep full hash coverage HERE (plus pytest).
+    qs = {**e.queries(), **getattr(e, "extra_queries", dict)()}
+    oracles = {**e.oracle_sql(), **getattr(e, "extra_oracle_sql", dict)()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
