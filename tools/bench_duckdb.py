@@ -57,7 +57,10 @@ def main() -> int:
     import __spark_entry__ as entry
     from bench import BENCH_QUERIES
 
-    oracles = entry.oracle_sql()
+    oracles = {
+        **entry.oracle_sql(),
+        **getattr(entry, "extra_oracle_sql", dict)(),
+    }
     timings: dict[str, float | str] = {}
     ctx = mp.get_context("spawn")
     for name in BENCH_QUERIES:
