@@ -60,6 +60,9 @@ __all__ = [
     "containment_index",
     "containment_match_indexed",
     "ngram_decontaminate",
+    "NgramIndex",
+    "ngram_index",
+    "ngram_decontaminate_indexed",
     "connected_components",
 ]
 
@@ -1222,37 +1225,47 @@ def ngram_decontaminate(
     corpus-wide state, no driver materialization.
     Output: ``(q_id, c_id, n_hits, q_ngrams, hit_frac)``.
     """
-    n = int(n)
-    if n < 2:
-        raise ValueError("ngram_decontaminate needs n >= 2")
-
-    def shingle_hashes(df: DataFrame, side: str) -> DataFrame:
-        # Same whitespace-class split + drop-blank as WhitespaceTokzr
-        # (and the oracle's str_split_regex twin) — but ORDER
-        # PRESERVED: shingles are windows over the token sequence,
-        # not over the token set.
-        toks = F.filter(
-            F.split(F.lower(F.col(text_col)), "[ \t\r\n]", -1),
-            lambda x: F.trim(x) != F.lit(""),
-        )
-        grams = F.when(
-            F.size("ts") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - n),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n))
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        return (
-            df.select(F.col(id_col).alias(side), toks.alias("ts"))
-            .select(side, F.explode(grams).alias("g"))
-            .distinct()
-        )
-
-    q = shingle_hashes(query_df, "q_id")
-    c = shingle_hashes(corpus_df, "c_id")
+    q = _shingle_hashes(query_df, id_col, text_col, int(n), "q_id")
     q_sizes = q.groupBy("q_id").agg(F.count(F.lit(1)).alias("q_ngrams"))
+    c = _shingle_hashes(corpus_df, id_col, text_col, int(n), "c_id")
+    return _ngram_match_core(q, q_sizes, c, int(min_hits))
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, side: str
+) -> DataFrame:
+    """Distinct word-level n-gram xxhash64 keys per document. Same
+    whitespace-class split + drop-blank as WhitespaceTokzr (and the
+    oracle's str_split_regex twin) — but ORDER PRESERVED: shingles
+    are windows over the token sequence, not over the token set."""
+    if n < 2:
+        raise ValueError("ngram decontamination needs n >= 2")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\r\n]", -1),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    grams = F.when(
+        F.size("ts") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - n),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("ts"), i + 1, n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(F.col(id_col).alias(side), toks.alias("ts"))
+        .select(side, F.explode(grams).alias("g"))
+        .distinct()
+    )
+
+
+def _ngram_match_core(
+    q: DataFrame, q_sizes: DataFrame, c: DataFrame, min_hits: int
+) -> DataFrame:
+    """Shared n-gram decontamination tail: equi-join on shingle hash,
+    per-(benchmark, doc) distinct-hit aggregation, size join, hit
+    fraction."""
     hits = (
         q.join(c, "g")
         .groupBy("q_id", "c_id")
@@ -1273,6 +1286,58 @@ def ngram_decontaminate(
             ).alias("hit_frac"),
         )
     )
+
+
+@dataclass
+class NgramIndex:
+    """Pre-shingled static benchmark side of n-gram decontamination:
+    distinct shingle hashes and per-item shingle counts, persisted
+    once. Build with :func:`ngram_index`, match corpus batches with
+    :func:`ngram_decontaminate_indexed` — the n-gram twin of
+    :class:`ContainmentIndex`. Streaming is even cleaner than the
+    containment shape: the batch side is read exactly ONCE per
+    micro-batch (one equi-join), so no per-epoch persist/unpersist is
+    needed at all."""
+
+    grams: DataFrame
+    sizes: DataFrame
+    n: int
+
+    def unpersist(self) -> None:
+        self.grams.unpersist()
+        self.sizes.unpersist()
+
+
+def ngram_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> NgramIndex:
+    """Shingle + persist the benchmark side once (eval suites are
+    small by nature — both frames are broadcast-sized)."""
+    n = int(n)
+    grams = _shingle_hashes(df, id_col, text_col, n, "q_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = (
+        grams.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("q_ngrams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return NgramIndex(grams=grams, sizes=sizes, n=n)
+
+
+def ngram_decontaminate_indexed(
+    index: NgramIndex,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_hits: int = 1,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` against a prebuilt
+    :class:`NgramIndex` — identical output; the benchmark side is
+    never re-shingled. The corpus batch feeds ONE equi-join, so no
+    batch-side persistence exists to leak."""
+    c = _shingle_hashes(corpus_df, id_col, text_col, index.n, "c_id")
+    return _ngram_match_core(index.grams, index.sizes, c, int(min_hits))
 
 
 # --------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "decontaminate_stream",
+    "decontaminate_ngram_stream",
     "dedup_stream",
     "embed_near_dedup_stream",
     "hourly_event_stats",
@@ -410,6 +411,54 @@ def decontaminate_stream(
             sink(matches, epoch_id)
         finally:
             batch_toks.unpersist()
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontaminate_ngram_stream(
+    stream_docs: DataFrame,
+    benchmark_df: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Streaming n-gram decontamination: each micro-batch of the
+    training ingest is checked for VERBATIM word-level ``n``-grams of
+    any benchmark item (:func:`..operators.dedup.ngram_decontaminate`
+    semantics) — the GPT-3/PaLM-style check that catches embedded
+    quotes whole-item set containment dilutes
+    (:func:`decontaminate_stream`'s complement; run both on a real
+    ingest).
+
+    The benchmark side is shingled and persisted ONCE up front
+    (:func:`..operators.dedup.ngram_index`); per batch the corpus
+    side feeds exactly one equi-join, so there is no per-epoch
+    persist/unpersist to manage and cache footprint is flat by
+    construction. Matches are per-document → micro-batch boundaries
+    cannot change results (stream==batch is test-pinned).
+
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(q_id, c_id, n_hits, q_ngrams, hit_frac)``. Returns the started
+    StreamingQuery (caller awaits/stops; call ``index.unpersist()``
+    semantics via the benchmark frame's own lifecycle if needed).
+    """
+    from ..operators.dedup import ngram_decontaminate_indexed, ngram_index
+
+    index = ngram_index(benchmark_df, id_col, text_col, n)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            ngram_decontaminate_indexed(
+                index, batch_df, id_col, text_col, min_hits
+            ),
+            epoch_id,
+        )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:

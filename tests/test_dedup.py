@@ -416,3 +416,25 @@ def test_containment_match_indexed_equals_plain(spark):
         batch_toks.unpersist()
     finally:
         idx.unpersist()
+
+
+def test_ngram_decontaminate_indexed_equals_plain(spark, documents):
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        ngram_decontaminate,
+        ngram_decontaminate_indexed,
+        ngram_index,
+    )
+
+    bench = documents.filter(F.col("doc_id") % 40 == 0)
+    corpus = documents.filter(F.col("doc_id") % 40 != 0)
+    want = sorted(map(tuple, ngram_decontaminate(
+        bench, corpus, "doc_id", "text", n=8
+    ).collect()))
+    idx = ngram_index(bench, "doc_id", "text", n=8)
+    try:
+        got = sorted(map(tuple, ngram_decontaminate_indexed(
+            idx, corpus, "doc_id", "text"
+        ).collect()))
+        assert got == want and want
+    finally:
+        idx.unpersist()

@@ -347,3 +347,48 @@ def test_decontaminate_stream_cache_stays_flat(spark, tmp_path):
     assert len(set(per_epoch)) == 1, per_epoch
     # After draining, only the one-time benchmark index remains.
     assert n_persisted() == baseline + 1
+
+
+def test_decontaminate_ngram_stream_equals_batch(spark, tmp_path):
+    """Union of per-micro-batch n-gram decon matches == the one-shot
+    batch result (matches are per-document), and — with the benchmark
+    shingled once and the batch side feeding a single equi-join — the
+    persisted-RDD footprint is flat across epochs (index only)."""
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import decontaminate_ngram_stream
+    from tests.conftest import SF_SMALL
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 40 == 0)
+    training = docs.filter(F.col("doc_id") % 40 != 0)
+    want = sorted(map(tuple, ngram_decontaminate(
+        benchmark, training, "doc_id", "text", n=8
+    ).collect()))
+    assert want
+
+    stream_dir = str(tmp_path / "training_stream_ng")
+    training.repartition(3).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    baseline = n_persisted()
+    got, per_epoch = [], []
+
+    def sink(df, epoch):
+        got.extend(map(tuple, df.collect()))
+        per_epoch.append(n_persisted())
+
+    q = decontaminate_ngram_stream(stream, benchmark, sink=sink, n=8)
+    q.awaitTermination()
+    assert sorted(got) == want
+    assert len(per_epoch) >= 3 and len(set(per_epoch)) == 1, per_epoch
+    # only the 2 one-time index frames (grams + sizes) above baseline
+    assert n_persisted() == baseline + 2
