@@ -27,6 +27,7 @@ __all__ = [
     "sample_fixed",
     "hash_split",
     "mix_corpora",
+    "mix_corpora_by_budget",
     "write_bucketed",
     "read_table",
 ]
@@ -185,6 +186,46 @@ def mix_corpora(
         )
         out = part if out is None else out.union(part)
     return out
+
+
+def mix_corpora_by_budget(
+    sources: list[tuple[DataFrame, int]],
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """:func:`mix_corpora` with per-source TOKEN BUDGETS instead of
+    rates — the form a pipeline plan states ("300B tokens of crawl,
+    50B of books"). Each source's whitespace-token total is measured
+    with one aggregate (a single scalar to the driver per source —
+    the only driver-side values, same class as the reference's widow
+    counts), the budget converts to ``rate = min(1, budget / total)``,
+    and the uniform row sample preserves the expected token share
+    without any corpus-wide sort or shuffle. Sources with an empty
+    token total keep rate 1 (nothing to trim). The result carries the
+    same determinism contract as :func:`mix_corpora`; realized tokens
+    land within sampling noise of the budget (law of large numbers
+    over documents), which is the accepted industry trade for a
+    scan-shaped plan.
+    """
+    if not sources:
+        raise ValueError("mix_corpora_by_budget needs at least one source")
+    rated: list[tuple[DataFrame, float]] = []
+    for idx, (df, budget) in enumerate(sources):
+        if int(budget) <= 0:
+            raise ValueError(
+                f"token budget for source {idx} must be positive, "
+                f"got {budget}"
+            )
+        from ..functions.text import ws_token_array
+
+        total = df.select(
+            F.sum(F.size(ws_token_array(F.col(text_col)))).alias("t")
+        ).collect()[0][0] or 0
+        rate = 1.0 if total <= int(budget) else int(budget) / float(total)
+        rated.append((df, rate))
+    return mix_corpora(rated, id_col, seed=seed, source_col=source_col)
 
 
 def hash_split(

@@ -411,3 +411,61 @@ def test_containment_match_prefix_filter_lossless(_spark, q_texts, c_texts, t):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    q_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    c_texts=_corpus,
+    n=st.sampled_from([2, 3]),
+)
+def test_ngram_decontaminate_matches_oracle_on_random_corpora(
+    _spark, q_texts, c_texts, n
+):
+    """The xxhash64-compressed shingle pipeline must agree with the
+    raw-string DuckDB twin on arbitrary weird corpora — blank runs,
+    case variants, and docs shorter than the window (which must emit
+    nothing on either side)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        ngram_decontaminate_sql,
+    )
+
+    qdf = _spark.createDataFrame(
+        list(enumerate(q_texts)), "id long, text string"
+    )
+    cdf = _spark.createDataFrame(
+        [(100 + i, x) for i, x in enumerate(c_texts)], "id long, text string"
+    )
+    got = {
+        tuple(r)
+        for r in ngram_decontaminate(qdf, cdf, "id", "text", n=n).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view qt as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(q_texts))
+        + ") v(id, text)"
+    )
+    con.execute(
+        "create view ct as select * from (values "
+        + ", ".join(f"({100 + i}, '{x}')" for i, x in enumerate(c_texts))
+        + ") v(id, text)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            ngram_decontaminate_sql("qt", "ct", "id", "text", n)
+        ).fetchall()
+    }
+    assert got == want

@@ -211,3 +211,37 @@ def test_mix_corpora_deterministic_and_independent(spark, documents):
         mix_corpora([(documents, 0.0)], "doc_id")
     with _pytest.raises(ValueError, match="rate"):
         mix_corpora([(documents, 1.5)], "doc_id")
+
+
+def test_mix_corpora_by_budget(spark, documents):
+    """Budgets convert to keep-rates: an oversized budget keeps the
+    whole source; a half budget keeps ~half the tokens (uniform row
+    sampling preserves expected token share); result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from jaccard_join_duckdb_spark.functions.text import ws_token_array
+    from jaccard_join_duckdb_spark.sources import mix_corpora_by_budget
+
+    total = documents.select(
+        F.sum(F.size(ws_token_array(F.col("text"))))
+    ).collect()[0][0]
+
+    keep_all = mix_corpora_by_budget(
+        [(documents, total * 10)], "doc_id", "text"
+    )
+    assert keep_all.count() == documents.count()
+
+    half = mix_corpora_by_budget(
+        [(documents, total // 2)], "doc_id", "text"
+    )
+    kept_tokens = half.select(
+        F.sum(F.size(ws_token_array(F.col("text"))))
+    ).collect()[0][0]
+    assert 0.3 * total < kept_tokens < 0.7 * total
+    a = sorted(r.doc_id for r in half.select("doc_id").collect())
+    b = sorted(r.doc_id for r in half.select("doc_id").collect())
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        mix_corpora_by_budget([(documents, 0)], "doc_id", "text")
