@@ -388,6 +388,30 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic quota sampling (sources.
+    stratified_sample): language-shaped corpus reweighting — keep 50%
+    of English, all German, 25% of everything else; stratum salts the
+    hash so samples are independent across strata."""
+    from jaccard_join_duckdb_spark.sources import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 0.5, "de": 1.0}, default_rate=0.25,
+    ).select("doc_id", "lang")
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic shuffle (sources.deterministic_shuffle):
+    the reproducible input-randomization permutation before training
+    shard writes — rank over the stable md5 uniform."""
+    from jaccard_join_duckdb_spark.sources import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (data mixing): split is
     a pure function of the row id (md5-derived uniform), stable across
@@ -892,10 +916,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Same contract as :func:`queries`, NOT driver-graded (keeps the
-    graded dict <= the driver's 50-row window). Each entry's logic is
-    already graded through a composite gated query; these variants
-    stay hash-checked via ``tools/check_entry.py`` (which merges both
-    dicts) and pytest:
+    graded dict <= the driver's 50-row window). Two kinds of entries
+    live here, all hash-checked via ``tools/check_entry.py`` (which
+    merges both dicts) and pytest:
+
+    Post-window additions (the graded dict is full at 50):
+
+    - stratified_sample: per-stratum deterministic quota sampling.
+    - deterministic_shuffle: reproducible global permutation + rank.
+
+    Variants whose logic is already graded through a composite gated
+    query:
 
     - jaccard_inner_ws_scored: inner join graded by jaccard_inner_ws,
       score arithmetic by jaccard_self_ws_scored.
@@ -909,6 +940,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       results (rank-projection identical; score tolerance in pytest).
     """
     return {
+        "stratified_sample": q_stratified_sample,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1203,6 +1236,13 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for :func:`extra_queries` — identical contract to
     :func:`oracle_sql`, consumed by ``tools/check_entry.py``."""
     return {
+        "stratified_sample": oracle_ext.stratified_sample_sql(
+            "(select doc_id, lang from documents)", "doc_id", "lang",
+            {"en": 0.5, "de": 1.0}, default_rate=0.25,
+        ),
+        "deterministic_shuffle": oracle_ext.deterministic_shuffle_sql(
+            "documents", "doc_id", cols="doc_id"
+        ),
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,

@@ -41,6 +41,8 @@ __all__ = [
     "hash_split_sql",
     "mix_corpora_sql",
     "packing_stats_sql",
+    "stratified_sample_sql",
+    "deterministic_shuffle_sql",
     "lang_id_sql",
     "redact_pii_sql",
     "repetition_stats_sql",
@@ -930,6 +932,42 @@ def mix_corpora_sql(
             f"from {table} where {u} < CAST({float(rate)!r} AS DOUBLE)"
         )
     return " union all ".join(parts)
+
+
+def stratified_sample_sql(
+    table: str,
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> str:
+    """Mirror of sources.stratified_sample: per-row u salted by the
+    stratum value, CASE-resolved keep rate."""
+    whens = " ".join(
+        f"when {strata} = '{k}' then CAST({float(v)!r} AS DOUBLE)"
+        for k, v in rates.items()
+    )
+    rate = f"case {whens} else CAST({float(default_rate)!r} AS DOUBLE) end"
+    hx = f"md5(CAST({key} AS VARCHAR) || ':{int(seed)}:' || {strata})"
+    b = [_hexbyte_sql(hx, str(i)) for i in (1, 2, 3, 4)]
+    u = (
+        f"(CAST((({b[0]} * 256 + {b[1]}) * 256 + {b[2]}) * 256 + {b[3]} "
+        "AS DOUBLE) / 4294967296.0)"
+    )
+    return f"select * from {table} where {u} < {rate}"
+
+
+def deterministic_shuffle_sql(
+    table: str, key: str, cols: str = "*", seed: int = 42,
+    rank_col: str = "shuffle_rank",
+) -> str:
+    """Mirror of sources.deterministic_shuffle: rank over (u, id)."""
+    u = _stable_u_sql(key, str(int(seed)))
+    return (
+        f"select {cols}, CAST(row_number() over (order by {u}, {key}) "
+        f"AS INTEGER) as {rank_col} from {table}"
+    )
 
 
 def _hexbyte_sql(hexcol: str, pos: str) -> str:

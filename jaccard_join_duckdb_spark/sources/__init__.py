@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "read_csv",
@@ -28,6 +29,8 @@ __all__ = [
     "hash_split",
     "mix_corpora",
     "mix_corpora_by_budget",
+    "stratified_sample",
+    "deterministic_shuffle",
     "write_bucketed",
     "read_table",
 ]
@@ -120,16 +123,21 @@ def sample_fixed(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(int(n))
 
 
-def _stable_u(id_col, salt: str):
+def _stable_u(id_col, salt):
     """``u(id) = uint32(md5(id ':' salt)[:8 hex]) / 2^32`` — the
-    engine-portable per-row uniform shared by :func:`hash_split` and
-    :func:`mix_corpora`. Exact in double (integer < 2^32 / 2^32), so
-    DuckDB reproduces it bit-for-bit; NULL ids propagate to NULL u
-    (every comparison false)."""
+    engine-portable per-row uniform shared by :func:`hash_split`,
+    :func:`mix_corpora`, :func:`stratified_sample`, and
+    :func:`deterministic_shuffle`. ``salt`` is a string or a Column
+    (per-row salts: stratum values). Exact in double (integer < 2^32
+    / 2^32), so DuckDB reproduces it bit-for-bit; NULL ids (or NULL
+    column salts) propagate to NULL u (every comparison false)."""
+    salt_col = F.lit(salt) if isinstance(salt, str) else salt.cast("string")
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt))),
+                F.md5(
+                    F.concat(id_col.cast("string"), F.lit(":"), salt_col)
+                ),
                 1,
                 8,
             ),
@@ -226,6 +234,63 @@ def mix_corpora_by_budget(
         rate = 1.0 if total <= int(budget) else int(budget) / float(total)
         rated.append((df, rate))
     return mix_corpora(rated, id_col, seed=seed, source_col=source_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the quota step of corpus
+    shaping ("keep 30% of crawl English, all German, drop the rest"):
+    keep a row iff ``u(id ':' seed ':' stratum) < rate(stratum)``.
+    Rates are keep probabilities in [0, 1] (0 drops the stratum
+    outright); strata absent from ``rates`` use ``default_rate``.
+    Stratum value participates in the hash, so samples are
+    independent across strata; same determinism contract as
+    :func:`mix_corpora` (stable across runs, engines, repartitions,
+    corpus growth). Rows with NULL id or NULL stratum hash to NULL u
+    and are dropped. Scan-shaped (one filter), no shuffle."""
+    for k, v in rates.items():
+        if not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1]")
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(
+            rate
+        )
+    u = _stable_u(
+        F.col(id_col),
+        F.concat(F.lit(str(int(seed)) + ":"), F.col(strata_col)),
+    )
+    return df.filter(u < rate)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42, rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Global deterministic shuffle — the input-randomization step
+    before training-shard writes: orders rows by the stable per-row
+    uniform (tie-broken by id, so the permutation is total and
+    reproducible) and attaches the 1-based ``rank_col``. Unlike
+    ``orderBy(rand(seed))`` (partition-seeded, layout-dependent) the
+    permutation is a pure function of (row id, seed).
+
+    Scale: Spark plans the orderBy as a range-partitioned total sort
+    (sample → range exchange → per-partition sort) — the standard
+    distributed shuffle for 100 TB training data; the rank window
+    over the same global order adds no extra exchange beyond the
+    sort's. For shard writing, follow with
+    ``.repartitionByRange(n_shards, rank_col)`` or write partitioned
+    on ``floor(rank / shard_size)``."""
+    u = _stable_u(F.col(id_col), str(int(seed)))
+    w = Window.orderBy(u, F.col(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w))
 
 
 def hash_split(

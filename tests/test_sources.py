@@ -245,3 +245,54 @@ def test_mix_corpora_by_budget(spark, documents):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budget"):
         mix_corpora_by_budget([(documents, 0)], "doc_id", "text")
+
+
+def test_stratified_sample_rates_and_determinism(spark, documents):
+    from jaccard_join_duckdb_spark.sources import stratified_sample
+
+    out = stratified_sample(
+        documents, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.0},
+        default_rate=0.25,
+    )
+    rows = out.select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    totals = {
+        r.lang: r.n
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(by_lang.get("de", ())) == totals["de"]   # rate 1: all kept
+    assert "fr" not in by_lang                           # rate 0: dropped
+    n_en = len(by_lang["en"])
+    assert 0.3 * totals["en"] < n_en < 0.7 * totals["en"]
+    again = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(
+            documents, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.0},
+            default_rate=0.25,
+        ).select("doc_id", "lang").collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in rows}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_sample(documents, "doc_id", "lang", {"en": 1.5})
+
+
+def test_deterministic_shuffle_total_reproducible_permutation(spark, documents):
+    from jaccard_join_duckdb_spark.sources import deterministic_shuffle
+
+    n = documents.count()
+    a = deterministic_shuffle(documents, "doc_id").select(
+        "doc_id", "shuffle_rank"
+    ).collect()
+    assert sorted(r.shuffle_rank for r in a) == list(range(1, n + 1))
+    b = deterministic_shuffle(
+        documents.repartition(7), "doc_id"
+    ).select("doc_id", "shuffle_rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-invariant
+    c = deterministic_shuffle(documents, "doc_id", seed=7).select(
+        "doc_id", "shuffle_rank"
+    ).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
