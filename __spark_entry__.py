@@ -637,6 +637,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # --------------------------------------------------------------------------
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asset table (modality=audio) → Arrow-batched audio decode →
+    (asset_id, channels, sample_rate, bits_per_sample, n_samples,
+    duration_s, n_bytes); the real path parses WAV RIFF headers
+    stdlib-only (tested on crafted payloads in test_multimodal)."""
+    from jaccard_join_duckdb_spark.sources.multimodal import (
+        decode_audio_meta,
+        make_asset_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_audio_meta(
+        make_asset_table(docs, "doc_id", "text", modality="audio")
+    )
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
         "doc_id", "id"
@@ -924,6 +940,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - stratified_sample: per-stratum deterministic quota sampling.
     - deterministic_shuffle: reproducible global permutation + rank.
+    - multimodal_audio: Arrow-batched audio decode (real WAV header
+      path tested on crafted payloads in test_multimodal).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -942,6 +960,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
+        "multimodal_audio": q_multimodal_audio,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1242,6 +1261,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "deterministic_shuffle": oracle_ext.deterministic_shuffle_sql(
             "documents", "doc_id", cols="doc_id"
+        ),
+        "multimodal_audio": oracle_ext.multimodal_audio_sql(
+            "documents", "doc_id", "text"
         ),
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",

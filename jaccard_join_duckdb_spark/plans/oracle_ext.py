@@ -48,6 +48,7 @@ __all__ = [
     "repetition_stats_sql",
     "token_counts_sql",
     "multimodal_decode_sql",
+    "multimodal_audio_sql",
     "multimodal_features_sql",
     "bm25_top_terms_sql",
     "corpus_profile_sql",
@@ -996,6 +997,34 @@ select asset_id,
        CAST(1 + {_hexbyte_sql('hx', '3')} % 4 AS INTEGER) as channels,
        CAST(nb AS BIGINT) as n_bytes
 from h
+"""
+
+
+def multimodal_audio_sql(table: str, key: str, val: str) -> str:
+    """Mirror of sources.multimodal.decode_audio_meta(fake=True) over
+    make_asset_table(payload = utf-8 text): every field from the same
+    md5 digest bytes; duration is the RAW double quotient (identical
+    to the kernel's Python division — no rounding on either side)."""
+    rate = (
+        f"case ({_hexbyte_sql('hx', '2')} % 4) when 0 then 8000 "
+        "when 1 then 16000 when 2 then 22050 else 44100 end"
+    )
+    ns = f"(1000 + ({_hexbyte_sql('hx', '4')} * 256 + {_hexbyte_sql('hx', '5')}) % 100000)"
+    return f"""
+with h as (select {key} as asset_id, md5({val}) as hx,
+                  octet_length(encode({val})) as nb
+           from {table}),
+p as (select asset_id, nb,
+       CAST(1 + {_hexbyte_sql('hx', '1')} % 2 AS INTEGER) as channels,
+       CAST({rate} AS INTEGER) as sample_rate,
+       CAST(8 * (1 + {_hexbyte_sql('hx', '3')} % 2) AS INTEGER)
+         as bits_per_sample,
+       CAST({ns} AS BIGINT) as n_samples
+      from h)
+select asset_id, channels, sample_rate, bits_per_sample, n_samples,
+       CAST(n_samples AS DOUBLE) / CAST(sample_rate AS DOUBLE) as duration_s,
+       CAST(nb AS BIGINT) as n_bytes
+from p
 """
 
 

@@ -2,13 +2,17 @@
 metadata, with Arrow-batched (``mapInPandas``) decode / feature /
 frame-sample stages.
 
-Beyond-reference surface. Real image/audio/video codecs are NOT in
-this container, so the decode kernels are STUBBED: with
-``fake=True`` they produce deterministic pseudo-decodes derived from
-the payload bytes (so the Spark-side plumbing — schema, batching,
-partitioning — is fully real and testable); with ``fake=False`` they
-raise ``NotImplementedError`` where a codec (PIL/ffmpeg/soundfile)
-would be called.
+Beyond-reference surface. Real image/audio/video codec LIBRARIES
+are NOT in this container, so the decode kernels default to STUBBED:
+with ``fake=True`` they produce deterministic pseudo-decodes derived
+from the payload bytes (so the Spark-side plumbing — schema,
+batching, partitioning — is fully real and testable). The
+``fake=False`` paths are REAL wherever a header parse suffices
+without a codec — PNG/BMP/GIF/JPEG image dimensions
+(:func:`_real_dims`) and WAV (RIFF) audio layout
+(:func:`_wav_audio`) — and raise ``NotImplementedError`` only where
+an actual codec (PIL/ffmpeg/soundfile) would be required
+(compressed audio, video frames).
 
 Scale notes: payloads stay in executors as Arrow batches end-to-end;
 never collect binary columns. Batch size is governed by
@@ -27,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -40,6 +45,7 @@ __all__ = [
     "ASSET_SCHEMA",
     "make_asset_table",
     "decode_image_meta",
+    "decode_audio_meta",
     "extract_features",
     "sample_frames",
 ]
@@ -196,6 +202,100 @@ def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+_FAKE_RATES = (8000, 16000, 22050, 44100)
+
+
+def _fake_audio(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Deterministic pseudo-decode (md5-derived, engine-reproducible
+    — the DuckDB twin reproduces every field from the same digest
+    bytes)."""
+    d = hashlib.md5(payload).digest()
+    channels = 1 + d[0] % 2
+    rate = _FAKE_RATES[d[1] % 4]
+    bits = 8 * (1 + d[2] % 2)
+    n_samples = 1000 + (d[3] * 256 + d[4]) % 100000
+    # duration is the RAW double quotient — bit-identical to the
+    # oracle's DOUBLE division (a rounded value would expose Python
+    # banker's-rounding vs SQL half-away ties).
+    return channels, rate, bits, n_samples, n_samples / rate
+
+
+def _wav_audio(payload: bytes) -> tuple[int, int, int, int, float]:
+    """REAL WAV (RIFF) header parse — stdlib-only, no codec needed
+    (unlike compressed audio): walk the chunk list for ``fmt `` (PCM
+    layout: channels, sample rate, block align, bits per sample) and
+    ``data`` (payload size → sample count). Compressed formats
+    (MP3/OGG/FLAC/AAC) genuinely need a codec library and raise
+    ``NotImplementedError``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real audio decode implemented for WAV (RIFF) headers only; "
+            "compressed formats require soundfile/ffmpeg (not in container)"
+        )
+    i, n = 12, len(payload)
+    channels = rate = bits = block_align = None
+    data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+            block_align, bits = struct.unpack("<HH", payload[i + 20 : i + 24])
+        elif cid == b"data":
+            data_size = size
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size & 1)
+    if not channels or not rate or not block_align or data_size is None:
+        raise NotImplementedError("WAV without fmt/data chunks")
+    n_samples = data_size // block_align
+    return int(channels), int(rate), int(bits), int(n_samples), n_samples / rate
+
+
+def decode_audio_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio decode stage → (asset_id, channels,
+    sample_rate, bits_per_sample, n_samples, duration_s, n_bytes).
+    The ``fake`` kernel is the deterministic oracle-graded path;
+    ``fake=False`` parses REAL WAV (RIFF) headers stdlib-only
+    (:func:`_wav_audio` — PCM layout needs no codec) and raises for
+    compressed formats that do."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_audio if fake else _wav_audio
+        for pdf in batches:
+            metas = [
+                decode(p) if p is not None else (None,) * 5
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "channels": [m[0] for m in metas],
+                    "sample_rate": [m[1] for m in metas],
+                    "bits_per_sample": [m[2] for m in metas],
+                    "n_samples": [m[3] for m in metas],
+                    "duration_s": [m[4] for m in metas],
+                    "n_bytes": [
+                        len(p) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(kernel, _AUDIO_SCHEMA)
 
 
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:

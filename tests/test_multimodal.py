@@ -190,3 +190,84 @@ def test_real_decode_gif_header(spark):
     got = {r.asset_id: r for r in decode_image_meta(df, fake=False).collect()}
     assert (got[1].width, got[1].height, got[1].channels) == (320, 200, 3)
     assert (got[2].width, got[2].height, got[2].channels) == (1, 65535, 3)
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16, n_samples=1000, extra_chunk=False):
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk with odd size → exercises pad-byte walk
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_meta_real_wav(spark):
+    """The real audio path parses WAV RIFF headers stdlib-only (PCM
+    layout needs no codec); compressed formats raise."""
+    from jaccard_join_duckdb_spark.sources.multimodal import (
+        ASSET_SCHEMA,
+        decode_audio_meta,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(2, 44100, 16, 44100)), {}),
+        (2, "audio", bytearray(_wav_bytes(1, 8000, 8, 4000, extra_chunk=True)), {}),
+        (3, "audio", None, {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r for r in decode_audio_meta(assets, fake=False).collect()}
+    a = got[1]
+    assert (a.channels, a.sample_rate, a.bits_per_sample, a.n_samples) == (
+        2, 44100, 16, 44100,
+    )
+    assert a.duration_s == 1.0
+    b = got[2]
+    assert (b.channels, b.sample_rate, b.bits_per_sample, b.n_samples) == (
+        1, 8000, 8, 4000,
+    )
+    assert b.duration_s == 0.5
+    assert got[3].channels is None and got[3].n_bytes is None
+
+
+def test_decode_audio_real_rejects_compressed(spark):
+    import pytest as _pytest
+
+    from jaccard_join_duckdb_spark.sources.multimodal import _wav_audio
+
+    with _pytest.raises(NotImplementedError, match="WAV"):
+        _wav_audio(b"\xff\xfb\x90\x00 mp3 frame header-ish")
+
+
+def test_decode_audio_meta_fake_matches_oracle(spark):
+    """Fake kernel vs the DuckDB twin on a handful of docs — the
+    same discipline as the image decode (full-table parity runs in
+    check_entry's multimodal_audio row)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.plans.oracle_ext import multimodal_audio_sql
+    from jaccard_join_duckdb_spark.sources.multimodal import (
+        decode_audio_meta,
+        make_asset_table,
+    )
+
+    rows = [(1, "hello world"), (2, "a"), (3, "ü ü ü")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(map(tuple, decode_audio_meta(
+        make_asset_table(df, "id", "text", modality="audio")
+    ).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create view t as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in rows)
+        + ") v(id, text)"
+    )
+    want = sorted(map(tuple, con.execute(
+        multimodal_audio_sql("t", "id", "text")
+    ).fetchall()))
+    assert got == want
