@@ -392,3 +392,49 @@ def test_decontaminate_ngram_stream_equals_batch(spark, tmp_path):
     assert len(per_epoch) >= 3 and len(set(per_epoch)) == 1, per_epoch
     # only the 2 one-time index frames (grams + sizes) above baseline
     assert n_persisted() == baseline + 2
+
+
+def test_stateless_sampling_ops_work_on_streams(spark, tmp_path):
+    """mix-shape row filters are STATELESS column expressions, so the
+    same operators apply unchanged to a streaming DataFrame — and,
+    because the keep decision is a pure function of (id, seed,
+    stratum/source), the streamed sample equals the batch sample
+    regardless of micro-batching."""
+    from jaccard_join_duckdb_spark.sources import (
+        hash_split,
+        load_table,
+        stratified_sample,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    want_strat = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.3
+        ).collect()
+    )
+    want_split = sorted(
+        (r.doc_id, r.split) for r in hash_split(docs, "doc_id").collect()
+    )
+
+    stream_dir = str(tmp_path / "docs_sampling_stream")
+    docs.repartition(3).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = stratified_sample(sdf, "doc_id", "lang", {"en": 0.5}, default_rate=0.3)
+    assert out.isStreaming
+    run_stream_to_memory(
+        out.select("doc_id"), "strat_mem", output_mode="append"
+    )
+    got_strat = sorted(r.doc_id for r in spark.table("strat_mem").collect())
+    assert got_strat == want_strat
+
+    out2 = hash_split(sdf, "doc_id").select("doc_id", "split")
+    run_stream_to_memory(out2, "split_mem", output_mode="append")
+    got_split = sorted(map(tuple, spark.table("split_mem").collect()))
+    assert got_split == want_split
