@@ -653,6 +653,67 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate gate input: the synthetic corpus is single-line, so the
+# gate wraps each document into 8-token lines and appends a footer
+# line shared by every document (+ a second footer on even doc_ids) —
+# engine-identical string arithmetic, mirroring the PII injection.
+_BOILER_FOOTER = "follow us on example social media"
+_BOILER_FOOTER2 = "subscribe to the example newsletter"
+_BOILER_WRAP_SQL = (
+    "array_to_string(list_transform("
+    "generate_series(1, CAST(ceil(len(ts) / 8.0) AS BIGINT)), "
+    "x -> array_to_string(list_slice(ts, (x-1)*8 + 1, (x-1)*8 + 8), ' ')), "
+    "chr(10))"
+)
+_BOILER_TEXT_SQL = (
+    "(select doc_id, "
+    f"{_BOILER_WRAP_SQL} || chr(10) || '{_BOILER_FOOTER}' || "
+    f"case when doc_id % 2 = 0 then chr(10) || '{_BOILER_FOOTER2}' "
+    "else '' end as text from (select doc_id, "
+    "list_filter(str_split_regex(lower(text), '[ \t\r\n]'), "
+    "t -> trim(t) != '') as ts from documents))"
+)
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (functions.text.
+    remove_boilerplate_lines): the CCNet/Dolma pass — lines shared by
+    >= max(2, 5% of docs) distinct documents are dropped from every
+    document (injected footers; see _BOILER_TEXT_SQL)."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\r\n]", -1),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("ts").cast("double") / F.lit(8.0)).cast("int"),
+            ),
+            lambda x: F.array_join(
+                F.slice(F.col("ts"), (x - 1) * 8 + 1, 8), " "
+            ),
+        ),
+        "\n",
+    )
+    with_lines = docs.select("doc_id", toks.alias("ts")).select(
+        "doc_id",
+        F.concat(
+            wrapped,
+            F.lit("\n" + _BOILER_FOOTER),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n" + _BOILER_FOOTER2)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(with_lines, "doc_id", "text")
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
         "doc_id", "id"
@@ -942,6 +1003,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - deterministic_shuffle: reproducible global permutation + rank.
     - multimodal_audio: Arrow-batched audio decode (real WAV header
       path tested on crafted payloads in test_multimodal).
+    - boilerplate_lines: line-level boilerplate removal (shared
+      footer lines dropped corpus-wide, ordered reassembly).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -961,6 +1024,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
         "multimodal_audio": q_multimodal_audio,
+        "boilerplate_lines": q_boilerplate_lines,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1264,6 +1328,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "multimodal_audio": oracle_ext.multimodal_audio_sql(
             "documents", "doc_id", "text"
+        ),
+        "boilerplate_lines": oracle_ext.remove_boilerplate_sql(
+            _BOILER_TEXT_SQL, "doc_id", "text"
         ),
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",

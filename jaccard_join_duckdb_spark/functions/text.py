@@ -20,6 +20,7 @@ __all__ = [
     "bm25_top_terms",
     "corpus_profile",
     "packing_stats",
+    "remove_boilerplate_lines",
     "ws_token_array",
     "poly_hash",
     "redact_pii",
@@ -284,6 +285,89 @@ def corpus_profile(
         F.element_at(qs, 3).alias("p99_tokens"),
         F.max("nt").cast("long").alias("max_tokens"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """LINE-level boilerplate removal (the CCNet/Dolma-style pass
+    document-level dedup can't do): a line whose normalized form
+    (trim, lowercase, whitespace-collapse) appears in at least
+    ``max(min_docs, ceil(max_doc_frac * n_docs))`` DISTINCT documents
+    is dropped from every document — navigation chrome, cookie
+    banners, license footers. Blank lines are never counted or
+    dropped (they carry formatting, not content). Documents keep
+    their row even if every line drops (``clean_text = ''``).
+
+    Scale shape: explode lines → distinct (fingerprint, doc) count
+    (two-phase agg; state bounded by distinct line-doc pairs) →
+    fingerprint equi-join back → per-doc ordered reassembly
+    (``array_sort`` on collected (pos, line) structs — one groupBy).
+    The corpus-size scalar rides a 1-row broadcast crossJoin (the
+    bm25 pattern — declarative, no driver collect).
+    Output: ``(id, clean_text, n_lines, n_dropped)``.
+    """
+    if not (0.0 < float(max_doc_frac) <= 1.0):
+        raise ValueError("max_doc_frac must be in (0, 1]")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("line")), r"[ \t\r]+", " ")
+    )
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+            ).alias("pos", "line"),
+        )
+        .withColumn("nrm", norm)
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    # doc frequency per normalized non-blank line
+    line_df = (
+        lines.filter(F.col("nrm") != "")
+        .select("nrm", "id")
+        .distinct()
+        .groupBy("nrm")
+        .agg(F.count(F.lit(1)).alias("line_docs"))
+    )
+    thresh = F.greatest(
+        F.lit(int(min_docs)).cast("long"),
+        F.ceil(F.col("n_docs").cast("double") * F.lit(float(max_doc_frac)))
+        .cast("long"),
+    )
+    flagged = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("line_docs") >= thresh)
+        .select("nrm", F.lit(True).alias("is_boiler"))
+    )
+    kept = (
+        lines.join(flagged, "nrm", "left")
+        .withColumn("drop", F.coalesce(F.col("is_boiler"), F.lit(False)))
+    )
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0))
+        .cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return agg.select("id", "clean_text", "n_lines", "n_dropped")
 
 
 def packing_stats(

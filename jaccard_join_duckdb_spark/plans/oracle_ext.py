@@ -43,6 +43,7 @@ __all__ = [
     "packing_stats_sql",
     "stratified_sample_sql",
     "deterministic_shuffle_sql",
+    "remove_boilerplate_sql",
     "lang_id_sql",
     "redact_pii_sql",
     "repetition_stats_sql",
@@ -866,6 +867,44 @@ def hash_split_sql(
         f"select *, case {chain} else '{weights[-1][0]}' end as {split_col} "
         f"from {table}"
     )
+
+
+def remove_boilerplate_sql(
+    table: str, key: str, val: str,
+    max_doc_frac: float = 0.05, min_docs: int = 2,
+) -> str:
+    """Mirror of functions.text.remove_boilerplate_lines: identical
+    normalization, distinct-doc threshold, and ordered reassembly."""
+    return f"""
+with docs as (select {key} as id, coalesce({val}, '') as t from {table}),
+nd as (select count(*) as n_docs from docs),
+lines as (
+  select id, ls.pos - 1 as pos, ls.line,
+         trim(regexp_replace(lower(ls.line), '[ \t\r]+', ' ', 'g')) as nrm
+  from docs,
+       lateral (select unnest(string_split(t, chr(10))) as line,
+                       unnest(generate_series(
+                           1, len(string_split(t, chr(10))))) as pos)
+       ls),
+ldf as (
+  select nrm, count(*) as line_docs
+  from (select distinct nrm, id from lines where nrm != '') group by nrm),
+flagged as (
+  select nrm from ldf, nd
+  where line_docs >= greatest(CAST({int(min_docs)} AS BIGINT),
+        CAST(ceil(CAST(n_docs AS DOUBLE)
+                  * CAST({float(max_doc_frac)!r} AS DOUBLE)) AS BIGINT))),
+kept as (
+  select l.id, l.pos, l.line,
+         (f.nrm is not null) as dropped
+  from lines l left join flagged f on l.nrm = f.nrm)
+select id,
+       coalesce(string_agg(case when not dropped then line end, chr(10)
+                           order by pos), '') as clean_text,
+       count(*) as n_lines,
+       CAST(sum(case when dropped then 1 else 0 end) AS BIGINT) as n_dropped
+from kept group by id
+"""
 
 
 def packing_stats_sql(

@@ -268,3 +268,41 @@ def test_packing_stats_validation(spark, documents):
         packing_stats(
             documents, "doc_id", "text", context_len=64, bucket_width=128
         )
+
+
+def test_remove_boilerplate_lines_crafted(spark):
+    """Footer lines shared by >= threshold docs drop everywhere
+    (normalization catches case/whitespace variants); unique content
+    stays in order; blank lines are never dropped; a doc whose every
+    line is boilerplate keeps its row with empty text."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    footer = "Follow us on example social"
+    rows = [
+        (1, "alpha unique one\n" + footer + "\n\nbeta keeps order"),
+        (2, "gamma other text\n" + footer.lower()),
+        (3, "delta third doc\n  follow us   on example social  "),
+        (4, footer),  # all-boilerplate doc
+        (5, "no footer here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r
+        for r in remove_boilerplate_lines(
+            df, "id", "text", max_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert len(got) == 5
+    assert got[1].clean_text == "alpha unique one\n\nbeta keeps order"
+    assert (got[1].n_lines, got[1].n_dropped) == (4, 1)
+    assert got[2].clean_text == "gamma other text"
+    assert got[3].clean_text == "delta third doc"
+    assert got[4].clean_text == "" and got[4].n_dropped == 1
+    assert got[5].clean_text == "no footer here at all"
+    assert got[5].n_dropped == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        remove_boilerplate_lines(df, "id", "text", max_doc_frac=0.0)
