@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "mix_corpora",
     "pack_stats",
+    "stratified_sample",
+    "deterministic_shuffle",
+    "boilerplate_lines",
+    "multimodal_audio",
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
     "dedup_embed_cosine_lsh_banded",
