@@ -675,6 +675,28 @@ _BOILER_TEXT_SQL = (
 )
 
 
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics (functions.text.url_domain_stats)
+    over documents with two injected URLs each — one per-doc-varying
+    domain, one shared tracker domain — the blocklist planning view."""
+    from jaccard_join_duckdb_spark.functions.text import url_domain_stats
+
+    docs = _docs(spark, sf_dir)
+    withurls = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://tracker.example/pix?d="),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return url_domain_stats(withurls, "doc_id", "text")
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (functions.text.
     remove_boilerplate_lines): the CCNet/Dolma pass — lines shared by
@@ -1005,6 +1027,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       path tested on crafted payloads in test_multimodal).
     - boilerplate_lines: line-level boilerplate removal (shared
       footer lines dropped corpus-wide, ordered reassembly).
+    - url_domains: per-domain URL stats (blocklist planning view;
+      the filter twin is pytest-covered filter_blocked_domains).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1025,6 +1049,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_shuffle": q_deterministic_shuffle,
         "multimodal_audio": q_multimodal_audio,
         "boilerplate_lines": q_boilerplate_lines,
+        "url_domains": q_url_domains,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1331,6 +1356,14 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_lines": oracle_ext.remove_boilerplate_sql(
             _BOILER_TEXT_SQL, "doc_id", "text"
+        ),
+        "url_domains": oracle_ext.url_domain_stats_sql(
+            "(select doc_id, text || ' see https://site' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || "
+            "CAST(doc_id AS VARCHAR) || "
+            "' and http://tracker.example/pix?d=' || "
+            "CAST(doc_id AS VARCHAR) as text from documents)",
+            "doc_id", "text",
         ),
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",

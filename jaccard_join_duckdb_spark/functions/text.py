@@ -21,6 +21,9 @@ __all__ = [
     "corpus_profile",
     "packing_stats",
     "remove_boilerplate_lines",
+    "url_domain_stats",
+    "filter_blocked_domains",
+    "URL_DOMAIN_PATTERN",
     "ws_token_array",
     "poly_hash",
     "redact_pii",
@@ -284,6 +287,74 @@ def corpus_profile(
         F.element_at(qs, 2).alias("p90_tokens"),
         F.element_at(qs, 3).alias("p99_tokens"),
         F.max("nt").cast("long").alias("max_tokens"),
+    )
+
+
+# Authority (host[:port]) of a URL — group 1; stops at path/query/
+# fragment/whitespace. Shared by the stats and the filter so the two
+# can never disagree on what "the domain" is.
+URL_DOMAIN_PATTERN = r"https?://([^/?# \t\r\n]+)"
+
+
+def url_domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-domain URL statistics over a text corpus — the view that
+    drives blocklist/allowlist curation decisions: extract every URL
+    (the shared ``PII_PATTERNS`` url regex), parse its authority,
+    aggregate occurrences and distinct documents per domain
+    (lowercased; ports kept — ``example.com:8080`` is a distinct
+    origin on purpose).
+
+    Scale: explode ≈ URL count (scan-shaped), then one groupBy on
+    domains with map-side partial aggregation; ``n_docs`` is a
+    distinct count implemented as the standard two-phase
+    (domain, id)-distinct aggregate. Hot domains (every crawl has a
+    youtube.com) are bounded by the partial aggs, not by fanout.
+    Output: ``(domain, n_urls, n_docs)``.
+    """
+    url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(url_pat), F.lit(0))
+        ).alias("url"),
+    )
+    dom = F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1))
+    per = urls.select("id", dom.alias("domain")).filter(F.col("domain") != "")
+    return per.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame, id_col: str, text_col: str, blocked: list[str]
+) -> DataFrame:
+    """Drop documents containing a URL whose domain (or a parent
+    domain — ``ads.example.com`` matches a blocked ``example.com``)
+    is on the blocklist; URL-free documents pass. The curation
+    companion to :func:`url_domain_stats`. Implemented as an
+    anti-join against the per-doc extracted domains — scan + one
+    narrow-key anti-join, no corpus-wide state."""
+    if not blocked:
+        return df
+    url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
+    doms = df.select(
+        F.col(id_col).alias("_fid"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(url_pat), F.lit(0))
+        ).alias("url"),
+    ).select(
+        "_fid",
+        F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1)).alias("domain"),
+    )
+    norm = [b.lower().lstrip(".") for b in blocked]
+    cond = None
+    for b in norm:
+        hit = (F.col("domain") == b) | F.col("domain").endswith("." + b)
+        cond = hit if cond is None else (cond | hit)
+    bad_ids = doms.filter(cond).select("_fid").distinct()
+    return df.join(
+        bad_ids, df[id_col] == bad_ids["_fid"], "left_anti"
     )
 
 

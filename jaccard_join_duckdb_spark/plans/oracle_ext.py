@@ -44,6 +44,7 @@ __all__ = [
     "stratified_sample_sql",
     "deterministic_shuffle_sql",
     "remove_boilerplate_sql",
+    "url_domain_stats_sql",
     "lang_id_sql",
     "redact_pii_sql",
     "repetition_stats_sql",
@@ -867,6 +868,24 @@ def hash_split_sql(
         f"select *, case {chain} else '{weights[-1][0]}' end as {split_col} "
         f"from {table}"
     )
+
+
+def url_domain_stats_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.text.url_domain_stats: same shared URL
+    pattern, same authority regex, lowercased, per-domain counts."""
+    url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
+    return f"""
+with urls as (
+  select {key} as id, unnest(regexp_extract_all({val}, '{url_pat}')) as url
+  from {table}),
+doms as (
+  select id, lower(regexp_extract(url, 'https?://([^/?#: \t\r\n]+)', 1))
+           as domain
+  from urls)
+select domain, count(*) as n_urls,
+       CAST(count(distinct id) AS BIGINT) as n_docs
+from doms where domain != '' group by domain
+"""
 
 
 def remove_boilerplate_sql(

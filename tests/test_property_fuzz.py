@@ -469,3 +469,54 @@ def test_ngram_decontaminate_matches_oracle_on_random_corpora(
         ).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b B", "", " ", "x\ty", "Shared Line"]),
+            min_size=0,
+            max_size=5,
+        ).map("\n".join),
+        min_size=2,
+        max_size=8,
+    ),
+    frac=st.sampled_from([0.3, 0.6, 1.0]),
+)
+def test_remove_boilerplate_matches_oracle_on_random_corpora(
+    _spark, texts, frac
+):
+    """Ordered reassembly, blank-line preservation, and the distinct-
+    doc threshold must agree with the DuckDB twin on arbitrary
+    newline-bearing corpora (empty lines, whitespace-only lines,
+    tab/case normalization collisions, trailing newlines)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        remove_boilerplate_sql,
+    )
+
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = sorted(map(tuple, remove_boilerplate_lines(
+        df, "id", "text", max_doc_frac=frac, min_docs=2
+    ).collect()))
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, '{}')".format(i, x.replace("\n", "' || chr(10) || '"))
+        for i, x in enumerate(texts)
+    )
+    con.execute(f"create view t as select * from (values {vals}) v(id, text)")
+    want = sorted(map(tuple, con.execute(
+        remove_boilerplate_sql("t", "id", "text", max_doc_frac=frac, min_docs=2)
+    ).fetchall()))
+    assert got == want

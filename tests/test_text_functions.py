@@ -306,3 +306,35 @@ def test_remove_boilerplate_lines_crafted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         remove_boilerplate_lines(df, "id", "text", max_doc_frac=0.0)
+
+
+def test_url_domain_stats_and_blocklist_filter(spark):
+    from jaccard_join_duckdb_spark.functions.text import (
+        filter_blocked_domains,
+        url_domain_stats,
+    )
+
+    rows = [
+        (1, "see https://Ads.Example.com/x and https://ads.example.com/y"),
+        (2, "visit http://news.site.org/a then https://sub.ads.example.com/b"),
+        (3, "no urls at all"),
+        (4, "plain http://site.org:8080/path here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.domain: (r.n_urls, r.n_docs) for r in url_domain_stats(df, "id", "text").collect()}
+    assert got["ads.example.com"] == (2, 1)       # lowercased, per-doc distinct
+    assert got["news.site.org"] == (1, 1)
+    assert got["sub.ads.example.com"] == (1, 1)
+    assert got["site.org:8080"] == (1, 1)          # port kept: distinct origin
+
+    kept = sorted(
+        r.id
+        for r in filter_blocked_domains(
+            df, "id", "text", ["ads.example.com"]
+        ).collect()
+    )
+    # doc 1 (direct) and doc 2 (subdomain of blocked) drop; 3 & 4 stay
+    assert kept == [3, 4]
+    assert sorted(
+        r.id for r in filter_blocked_domains(df, "id", "text", []).collect()
+    ) == [1, 2, 3, 4]
