@@ -675,6 +675,19 @@ _BOILER_TEXT_SQL = (
 )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete packing assignment (functions.text.pack_sequences):
+    every document gets a (seq_id, slot) under the bucketed packing
+    model that pack_stats estimates — the training-data writer's
+    materialization step."""
+    from jaccard_join_duckdb_spark.functions.text import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text",
+        context_len=2048, bucket_width=16,
+    )
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL statistics (functions.text.url_domain_stats)
     over documents with two injected URLs each — one per-doc-varying
@@ -1029,6 +1042,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       footer lines dropped corpus-wide, ordered reassembly).
     - url_domains: per-domain URL stats (blocklist planning view;
       the filter twin is pytest-covered filter_blocked_domains).
+    - pack_sequences: concrete (seq_id, slot) packing assignment
+      under the model pack_stats estimates (invariants pytest-pinned
+      against packing_stats).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1050,6 +1066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "boilerplate_lines": q_boilerplate_lines,
         "url_domains": q_url_domains,
+        "pack_sequences": q_pack_sequences,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1356,6 +1373,10 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_lines": oracle_ext.remove_boilerplate_sql(
             _BOILER_TEXT_SQL, "doc_id", "text"
+        ),
+        "pack_sequences": oracle_ext.pack_sequences_sql(
+            "documents", "doc_id", "text",
+            context_len=2048, bucket_width=16,
         ),
         "url_domains": oracle_ext.url_domain_stats_sql(
             "(select doc_id, text || ' see https://site' || "

@@ -20,6 +20,7 @@ __all__ = [
     "bm25_top_terms",
     "corpus_profile",
     "packing_stats",
+    "pack_sequences",
     "remove_boilerplate_lines",
     "url_domain_stats",
     "filter_blocked_domains",
@@ -512,6 +513,92 @@ def packing_stats(
             / (n_seqs.cast("double") * F.lit(float(context_len))),
             6,
         ).alias("fill_ratio"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    context_len: int = 2048,
+    bucket_width: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The ASSIGNMENT companion to :func:`packing_stats`: give every
+    document a concrete ``(seq_id, slot)`` under the same bucketed
+    packing model — what a training-data writer actually materializes.
+    Documents are bucketed by rounded-up length (long docs truncate to
+    one full sequence), deterministically ordered within their bucket
+    by the stable md5 uniform (id tie-break — reshuffle-the-corpus
+    determinism, the :func:`..sources.deterministic_shuffle` salt
+    machinery), and dealt ``docs_per_seq`` at a time into sequences.
+    Sequence ids are globally dense: buckets are laid out in
+    ascending ``bucket_len`` order, each bucket's base id = cumulative
+    sequence count of all smaller buckets (a window over the tiny
+    per-bucket aggregate — O(context/width) rows — broadcast back).
+
+    Output: ``(id, bucket_len, seq_id, slot)`` where ``slot`` is the
+    document's position within its sequence. Empty documents are
+    excluded (nothing to pack). Invariants (test-pinned): every seq
+    holds <= docs_per_seq docs of its bucket; seq_ids are dense
+    0..n_sequences-1; the assignment is a pure function of
+    (corpus ids, seed).
+
+    Scale: one shuffle to rank within buckets (partitionBy bucket —
+    at most context_len/bucket_width partitions, each holding that
+    bucket's doc ids only), one broadcast join of the per-bucket
+    bases. The window state per bucket is row-number only.
+    """
+    from ..sources import _stable_u
+
+    context_len, bucket_width = int(context_len), int(bucket_width)
+    if context_len <= 0 or bucket_width <= 0:
+        raise ValueError("context_len and bucket_width must be positive")
+    if bucket_width > context_len:
+        raise ValueError("bucket_width must be <= context_len")
+    nt = F.size(ws_token_array(F.col(text_col)))
+    nt_eff = F.least(nt, F.lit(context_len))
+    bucket = F.least(
+        F.ceil(nt_eff.cast("double") / F.lit(float(bucket_width))).cast("long")
+        * F.lit(bucket_width),
+        F.lit(context_len).cast("long"),
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        nt_eff.cast("long").alias("nt"),
+        bucket.alias("bucket_len"),
+    ).filter(F.col("nt") > 0)
+    dps = F.floor(
+        F.lit(float(context_len)) / F.col("bucket_len").cast("double")
+    ).cast("long")
+    w = Window.partitionBy("bucket_len").orderBy(
+        _stable_u(F.col("id"), str(int(seed))), F.col("id")
+    )
+    ranked = per_doc.withColumn("rk", F.row_number().over(w) - 1).select(
+        "id", "bucket_len",
+        (F.col("rk") % dps).alias("slot"),
+        F.floor(F.col("rk") / dps).cast("long").alias("seq_in_bucket"),
+    )
+    counts = ranked.groupBy("bucket_len").agg(
+        (F.max("seq_in_bucket") + 1).alias("n_seqs")
+    )
+    base_w = Window.orderBy("bucket_len").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "bucket_len",
+        F.coalesce(F.sum("n_seqs").over(base_w), F.lit(0)).alias("base"),
+    )
+    return (
+        ranked.join(F.broadcast(bases), "bucket_len")
+        .select(
+            "id",
+            "bucket_len",
+            (F.col("base") + F.col("seq_in_bucket")).cast("long").alias(
+                "seq_id"
+            ),
+            F.col("slot").cast("long").alias("slot"),
+        )
     )
 
 

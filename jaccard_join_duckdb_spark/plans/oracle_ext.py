@@ -41,6 +41,7 @@ __all__ = [
     "hash_split_sql",
     "mix_corpora_sql",
     "packing_stats_sql",
+    "pack_sequences_sql",
     "stratified_sample_sql",
     "deterministic_shuffle_sql",
     "remove_boilerplate_sql",
@@ -959,6 +960,54 @@ select bucket_len, n_docs, sum_tokens, docs_per_seq, n_sequences,
        round(CAST(sum_tokens AS DOUBLE)
              / (CAST(n_sequences AS DOUBLE) * {float(c)!r}), 6) as fill_ratio
 from ns
+"""
+
+
+def pack_sequences_sql(
+    table: str, key: str, val: str,
+    context_len: int = 2048, bucket_width: int = 64, seed: int = 42,
+) -> str:
+    """Mirror of functions.text.pack_sequences: identical bucketing,
+    stable-u in-bucket ordering, deal-by-docs_per_seq, and dense
+    cumulative sequence-id bases."""
+    c, w = int(context_len), int(bucket_width)
+    u = _stable_u_sql("id", str(int(seed)))
+    return f"""
+with per_doc as (
+  select {key} as id,
+         least(CAST(len({_ws_bag_sql(val)}) AS BIGINT), {c}) as nt
+  from {table}),
+b as (
+  select id,
+         least(CAST(ceil(CAST(nt AS DOUBLE) / {float(w)!r}) AS BIGINT) * {w},
+               CAST({c} AS BIGINT)) as bucket_len
+  from per_doc where nt > 0),
+r as (
+  select id, bucket_len,
+         row_number() over (partition by bucket_len
+                            order by {u}, id) - 1 as rk,
+         CAST(floor(CAST({c} AS DOUBLE) / CAST(bucket_len AS DOUBLE))
+              AS BIGINT) as dps
+  from b),
+ranked as (
+  select id, bucket_len,
+         CAST(rk % dps AS BIGINT) as slot,
+         CAST(floor(CAST(rk AS DOUBLE) / CAST(dps AS DOUBLE)) AS BIGINT)
+           as seq_in_bucket
+  from r),
+counts as (
+  select bucket_len, max(seq_in_bucket) + 1 as n_seqs
+  from ranked group by bucket_len),
+bases as (
+  select bucket_len,
+         coalesce(sum(n_seqs) over (order by bucket_len
+                  rows between unbounded preceding and 1 preceding), 0)
+           as base
+  from counts)
+select ranked.id, ranked.bucket_len,
+       CAST(bases.base + ranked.seq_in_bucket AS BIGINT) as seq_id,
+       slot
+from ranked join bases on ranked.bucket_len = bases.bucket_len
 """
 
 

@@ -338,3 +338,47 @@ def test_url_domain_stats_and_blocklist_filter(spark):
     assert sorted(
         r.id for r in filter_blocked_domains(df, "id", "text", []).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_pack_sequences_invariants(spark, documents):
+    """The assignment honors the model packing_stats estimates:
+    per-bucket capacity respected, seq_ids globally dense from 0,
+    slots dense within each sequence, deterministic in (ids, seed),
+    and the sequence count per bucket equals packing_stats'
+    n_sequences."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    ctx, w = 512, 16
+    out = pack_sequences(
+        documents, "doc_id", "text", context_len=ctx, bucket_width=w
+    ).collect()
+    assert out
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    seq_ids = sorted(seqs)
+    assert seq_ids == list(range(len(seq_ids)))  # dense from 0
+    stats = {
+        r.bucket_len: r
+        for r in packing_stats(
+            documents, "doc_id", "text", context_len=ctx, bucket_width=w
+        ).collect()
+    }
+    per_bucket_seqs = {}
+    for sid, rows in seqs.items():
+        blens = {r.bucket_len for r in rows}
+        assert len(blens) == 1  # a sequence never mixes buckets
+        b = blens.pop()
+        assert len(rows) <= ctx // b  # capacity
+        assert sorted(r.slot for r in rows) == list(range(len(rows)))
+        per_bucket_seqs[b] = per_bucket_seqs.get(b, 0) + 1
+    for b, n in per_bucket_seqs.items():
+        assert n == stats[b].n_sequences
+    again = pack_sequences(
+        documents.repartition(5), "doc_id", "text",
+        context_len=ctx, bucket_width=w,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
