@@ -333,30 +333,34 @@ def filter_blocked_domains(
     """Drop documents containing a URL whose domain (or a parent
     domain — ``ads.example.com`` matches a blocked ``example.com``)
     is on the blocklist; URL-free documents pass. The curation
-    companion to :func:`url_domain_stats`. Implemented as an
-    anti-join against the per-doc extracted domains — scan + one
-    narrow-key anti-join, no corpus-wide state."""
+    companion to :func:`url_domain_stats`.
+
+    Implemented as a PURE per-row expression (``exists`` over the
+    extracted URL array — no join, no shuffle, no corpus-wide
+    state), which makes it a zero-cost filter at 100 TB AND directly
+    applicable to a streaming ingest unchanged (stream == batch is
+    pinned in ``tests/test_streaming.py``). For blocklists too large
+    to inline as expressions (millions of domains), pre-broadcast a
+    lookup instead; this literal form is for the
+    hand-curated-blocklist case."""
     if not blocked:
         return df
     url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
-    doms = df.select(
-        F.col(id_col).alias("_fid"),
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(url_pat), F.lit(0))
-        ).alias("url"),
-    ).select(
-        "_fid",
-        F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1)).alias("domain"),
+
+    def hit(url: Column) -> Column:
+        dom = F.lower(F.regexp_extract(url, URL_DOMAIN_PATTERN, 1))
+        cond = None
+        for b in [x.lower().lstrip(".") for x in blocked]:
+            h = (dom == b) | dom.endswith("." + b)
+            cond = h if cond is None else (cond | h)
+        return cond
+
+    # NULL text has no URLs → passes (coalesce keeps the predicate
+    # non-NULL so the filter can't silently drop the row).
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(url_pat), F.lit(0)
     )
-    norm = [b.lower().lstrip(".") for b in blocked]
-    cond = None
-    for b in norm:
-        hit = (F.col("domain") == b) | F.col("domain").endswith("." + b)
-        cond = hit if cond is None else (cond | hit)
-    bad_ids = doms.filter(cond).select("_fid").distinct()
-    return df.join(
-        bad_ids, df[id_col] == bad_ids["_fid"], "left_anti"
-    )
+    return df.filter(~F.exists(urls, hit))
 
 
 def remove_boilerplate_lines(

@@ -438,3 +438,43 @@ def test_stateless_sampling_ops_work_on_streams(spark, tmp_path):
     run_stream_to_memory(out2, "split_mem", output_mode="append")
     got_split = sorted(map(tuple, spark.table("split_mem").collect()))
     assert got_split == want_split
+
+
+def test_filter_blocked_domains_stream_equals_batch(spark, tmp_path):
+    """filter_blocked_domains is a pure per-row expression, so it
+    applies to a streaming ingest unchanged and the streamed keep-set
+    equals the batch keep-set."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "see https://ads.example.com/x today"),
+        (2, "visit http://news.site.org/a now"),
+        (3, None),
+        (4, "sub http://a.ads.example.com/y too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(
+            df, "doc_id", "text", ["ads.example.com"]
+        ).collect()
+    )
+    assert want == [2, 3]  # NULL text passes (no URLs)
+
+    stream_dir = str(tmp_path / "docs_blocklist_stream")
+    df.repartition(2).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = filter_blocked_domains(sdf, "doc_id", "text", ["ads.example.com"])
+    assert out.isStreaming
+    run_stream_to_memory(
+        out.select("doc_id"), "blocklist_mem", output_mode="append"
+    )
+    got = sorted(r.doc_id for r in spark.table("blocklist_mem").collect())
+    assert got == want
