@@ -675,6 +675,19 @@ _BOILER_TEXT_SQL = (
 )
 
 
+def q_corpus_curate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline with the Gopher-style repetition gate
+    engaged (operators.curate.curate_corpus max_dup_token_ratio /
+    max_top_token_frac): degenerate/boilerplate docs the quality
+    score misses are cut before the dedup stages; hash-checked
+    end-to-end as ONE composed DuckDB statement."""
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_quality=0.3, min_tokens=20, neardup_threshold=T_MINHASH,
+        max_dup_token_ratio=0.72, max_top_token_frac=0.12,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concrete packing assignment (functions.text.pack_sequences):
     every document gets a (seq_id, slot) under the bucketed packing
@@ -1045,6 +1058,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - pack_sequences: concrete (seq_id, slot) packing assignment
       under the model pack_stats estimates (invariants pytest-pinned
       against packing_stats).
+    - corpus_curate_clean: the curation pipeline with the Gopher
+      repetition gate engaged (composed-oracle hash-checked).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1067,6 +1082,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "url_domains": q_url_domains,
         "pack_sequences": q_pack_sequences,
+        "corpus_curate_clean": q_corpus_curate_clean,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1373,6 +1389,12 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_lines": oracle_ext.remove_boilerplate_sql(
             _BOILER_TEXT_SQL, "doc_id", "text"
+        ),
+        "corpus_curate_clean": oracle_ext.curate_corpus_sql(
+            "documents", "doc_id", "text",
+            min_quality=0.3, min_tokens=20,
+            neardup_threshold=T_MINHASH,
+            max_dup_token_ratio=0.72, max_top_token_frac=0.12,
         ),
         "pack_sequences": oracle_ext.pack_sequences_sql(
             "documents", "doc_id", "text",

@@ -7,6 +7,9 @@ way a pre-training data run does —
                    + minimum token count),
 2. language gate  (optional — :func:`..functions.text.lang_id`
                    heuristic, keep ``allowed_langs`` only),
+2b. repetition gate (optional — :func:`..functions.text.
+                   repetition_stats` Gopher-style bounds on
+                   duplicate-token ratio / top-token fraction),
 3. exact dedup    (:func:`.dedup.drop_exact_duplicates`, min-id
                    survivor per identical text),
 4. near-dup dedup (:func:`.dedup.minhash_near_duplicates` pairs →
@@ -65,6 +68,8 @@ def curate_corpus(
     cc_algorithm: str = "hash_min",
     cc_max_iterations: int = 50,
     allowed_langs: list[str] | None = None,
+    max_dup_token_ratio: float | None = None,
+    max_top_token_frac: float | None = None,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
@@ -102,6 +107,25 @@ def curate_corpus(
             F.col("pred_lang").isin([str(x) for x in allowed_langs])
         )
         kept_ids = kept_ids.join(in_lang.select(id_col), id_col, "left_semi")
+    if max_dup_token_ratio is not None or max_top_token_frac is not None:
+        # Repetition gate (Gopher-style): drop degenerate/boilerplate
+        # documents the length/punct quality score misses. Scan-side
+        # filter like the other gates — runs before the expensive
+        # dedup stages.
+        from ..functions.text import repetition_stats
+
+        rep = repetition_stats(df, id_col, text_col)
+        cond = F.lit(True)
+        if max_dup_token_ratio is not None:
+            cond = cond & (
+                F.col("dup_token_ratio") <= F.lit(float(max_dup_token_ratio))
+            )
+        if max_top_token_frac is not None:
+            cond = cond & (
+                F.col("top_token_frac") <= F.lit(float(max_top_token_frac))
+            )
+        ok_rep = rep.filter(cond).select(F.col("id").alias(id_col))
+        kept_ids = kept_ids.join(ok_rep, id_col, "left_semi")
     kept = df.join(kept_ids, id_col, "left_semi")
     # Read twice (near-dup pair generation AND the final survivor
     # anti-join) — persist so the scan → gates → exact-dedup chain

@@ -1180,6 +1180,8 @@ def curate_corpus_sql(
     neardup_threshold: float = 0.9,
     num_hashes: int = 32, bands: int = 8, seed: int = 42,
     allowed_langs: list[str] | None = None,
+    max_dup_token_ratio: float | None = None,
+    max_top_token_frac: float | None = None,
     emb_table: str | None = None,
     emb_id: str = "vec_id", emb_vec: str = "embedding",
     emb_threshold: float = 0.95,
@@ -1218,10 +1220,26 @@ keep as (
   select id, n_tokens, quality from st
   where quality >= CAST({float(min_quality)!r} AS DOUBLE)
     and n_tokens >= {int(min_tokens)}),"""
+    rep_conds = []
+    if max_dup_token_ratio is not None:
+        rep_conds.append(
+            f"dup_token_ratio <= CAST({float(max_dup_token_ratio)!r} AS DOUBLE)"
+        )
+    if max_top_token_frac is not None:
+        rep_conds.append(
+            f"top_token_frac <= CAST({float(max_top_token_frac)!r} AS DOUBLE)"
+        )
+    if rep_conds:
+        keep_ctes += f"""
+rep as ({repetition_stats_sql(table, key, val)}),
+krep as (select id from rep where {' and '.join(rep_conds)}),"""
+        rep_join = f" join krep on d.{key} = krep.id"
+    else:
+        rep_join = ""
     head = f"""
 with recursive
 {keep_ctes}
-k as (select d.* from {table} d join keep on d.{key} = keep.id),
+k as (select d.* from {table} d join keep on d.{key} = keep.id{rep_join}),
 ex as (select min({key}) as id from k group by md5({val})),
 kd as (select k.* from k join ex on k.{key} = ex.id),
 pairs as ({pairs}),

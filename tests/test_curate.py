@@ -120,3 +120,46 @@ def test_curate_full_matches_duckdb(spark, docs):
     assert 9 not in kept_ids
     assert 6 in kept_ids and 8 not in kept_ids
     assert 1 in kept_ids
+
+
+def test_curate_repetition_gate_composes(spark, documents):
+    """The repetition gate is a strict additional filter: its
+    survivor set is a subset of the ungated pipeline's, and equals
+    manually pre-filtering by repetition_stats then running the
+    ungated pipeline on the result... with the caveat that dedup
+    clusters differ when members were cut — so assert the exact
+    semantics instead: survivors == curate(survivor-universe where
+    repetition ok)."""
+    from pyspark.sql import functions as F
+
+    from jaccard_join_duckdb_spark.functions.text import repetition_stats
+    from jaccard_join_duckdb_spark.operators.curate import curate_corpus
+
+    base = {
+        r.doc_id
+        for r in curate_corpus(
+            documents, "doc_id", "text",
+            min_quality=0.3, min_tokens=20, neardup_threshold=0.9,
+        ).collect()
+    }
+    gated = {
+        r.doc_id
+        for r in curate_corpus(
+            documents, "doc_id", "text",
+            min_quality=0.3, min_tokens=20, neardup_threshold=0.9,
+            max_dup_token_ratio=0.72, max_top_token_frac=0.12,
+        ).collect()
+    }
+    assert gated and gated != base
+
+    ok = repetition_stats(documents, "doc_id", "text").filter(
+        (F.col("dup_token_ratio") <= 0.72) & (F.col("top_token_frac") <= 0.12)
+    ).select(F.col("id").alias("doc_id"))
+    manual = {
+        r.doc_id
+        for r in curate_corpus(
+            documents.join(ok, "doc_id", "left_semi"), "doc_id", "text",
+            min_quality=0.3, min_tokens=20, neardup_threshold=0.9,
+        ).collect()
+    }
+    assert gated == manual
