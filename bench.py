@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "deterministic_shuffle",
     "boilerplate_lines",
     "multimodal_audio",
+    "url_domains",
+    "pack_sequences",
     "dedup_embed_cosine",
     "dedup_embed_cosine_lsh",
     "dedup_embed_cosine_lsh_banded",
