@@ -1,11 +1,18 @@
-"""Deduplication operators for training-data pipelines.
+"""Deduplication + decontamination operators for training-data
+pipelines.
 
 Beyond-reference surface (BASELINE.json north star): exact dedup,
-MinHash + LSH near-dup, SimHash near-dup, and n-gram Jaccard near-dup
-(the reference join re-used as a dedup primitive). All are pure
-DataFrame transforms; hashes are the engine-portable polynomial hash
-(:func:`..functions.text.poly_hash`) so every step can be replicated
-in DuckDB SQL for the correctness oracle.
+MinHash + LSH near-dup (with a persistent/bucketed query-vs-corpus
+index), SimHash near-dup, n-gram Jaccard near-dup (the reference join
+re-used as a dedup primitive), asymmetric containment joins
+(near-subset/excerpt detection), benchmark decontamination in both
+the set-containment and verbatim-n-gram-overlap forms (each with a
+prebuilt static-benchmark index for streaming ingests), and
+connected-components cluster assignment. All are pure DataFrame
+transforms; hashes are engine-portable (polynomial
+:func:`..functions.text.poly_hash`, or xxhash64 key compression whose
+outputs never surface in results) so every step can be replicated in
+DuckDB SQL for the correctness oracle.
 
 Scale design:
 - exact dedup: single hash-groupBy (map-side partial agg).
@@ -15,6 +22,8 @@ Scale design:
 - simhash: fingerprints via bit-vote aggregation; candidate blocking
   on 8-bit chunks (pigeonhole: hamming <= 3 over 31 bits guarantees a
   shared chunk), verification via bit_count(xor).
+- containment / n-gram joins: lossless pigeonhole prefix filters and
+  hashed-shingle equi-joins — never all-pairs, never pairs×tokens.
 """
 
 from __future__ import annotations

@@ -1070,10 +1070,15 @@ def deterministic_shuffle_sql(
     table: str, key: str, cols: str = "*", seed: int = 42,
     rank_col: str = "shuffle_rank",
 ) -> str:
-    """Mirror of sources.deterministic_shuffle: rank over (u, id)."""
+    """Mirror of sources.deterministic_shuffle: rank over (u, id).
+    The Spark side computes the identical rank two-level (bucketed —
+    no single-partition exchange); the flat window here IS the
+    semantic definition the bucketed form must equal. NULLS FIRST
+    pins DuckDB to Spark's ASC default for NULL ids."""
     u = _stable_u_sql(key, str(int(seed)))
     return (
-        f"select {cols}, CAST(row_number() over (order by {u}, {key}) "
+        f"select {cols}, CAST(row_number() over "
+        f"(order by {u} nulls first, {key} nulls first) "
         f"AS INTEGER) as {rank_col} from {table}"
     )
 

@@ -271,26 +271,57 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+_SHUFFLE_BUCKETS = 1024
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 42, rank_col: str = "shuffle_rank"
 ) -> DataFrame:
     """Global deterministic shuffle — the input-randomization step
-    before training-shard writes: orders rows by the stable per-row
+    before training-shard writes: ranks rows by the stable per-row
     uniform (tie-broken by id, so the permutation is total and
     reproducible) and attaches the 1-based ``rank_col``. Unlike
     ``orderBy(rand(seed))`` (partition-seeded, layout-dependent) the
     permutation is a pure function of (row id, seed).
 
-    Scale: Spark plans the orderBy as a range-partitioned total sort
-    (sample → range exchange → per-partition sort) — the standard
-    distributed shuffle for 100 TB training data; the rank window
-    over the same global order adds no extra exchange beyond the
-    sort's. For shard writing, follow with
-    ``.repartitionByRange(n_shards, rank_col)`` or write partitioned
-    on ``floor(rank / shard_size)``."""
+    Scale: a naive ``row_number() over (order by u)`` plans as
+    ``Exchange SinglePartition`` — every row through one task, the
+    textbook 100 TB killer. Instead the global rank is computed
+    two-level, the same trick as :func:`..functions.text.
+    pack_sequences`: ``bucket = floor(u * 1024)`` (deterministic
+    ranges — no sampled boundaries, so no cross-branch
+    nondeterminism), a parallel per-bucket ``row_number``, and dense
+    global offsets from the tiny per-bucket count aggregate
+    (cumulative-summed and broadcast back). floor is monotone in u,
+    so bucket-major + in-bucket order IS the global (u, id) order;
+    u is uniform, so buckets are balanced by construction. Plan:
+    one hash exchange on 1024 bucket keys + a broadcast join —
+    verified single-partition-free in ``tests/test_sources.py``.
+    NULL ids (NULL u) rank first, matching ASC NULLS FIRST. For
+    shard writing, follow with ``.repartitionByRange(n_shards,
+    rank_col)`` or write partitioned on ``floor(rank / shard_size)``.
+    """
     u = _stable_u(F.col(id_col), str(int(seed)))
-    w = Window.orderBy(u, F.col(id_col))
-    return df.withColumn(rank_col, F.row_number().over(w))
+    bucket = F.when(u.isNull(), F.lit(-1)).otherwise(
+        F.floor(u * F.lit(float(_SHUFFLE_BUCKETS))).cast("long")
+    )
+    tagged = df.withColumn("__u", u).withColumn("__b", bucket)
+    local_w = Window.partitionBy("__b").orderBy(
+        F.col("__u").asc_nulls_first(), F.col(id_col).asc_nulls_first()
+    )
+    ranked = tagged.withColumn("__rn", F.row_number().over(local_w))
+    counts = tagged.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    base_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(base_w), F.lit(0)).alias("__base")
+    )
+    return (
+        ranked.join(F.broadcast(bases), "__b")
+        .withColumn(rank_col, (F.col("__base") + F.col("__rn")).cast("int"))
+        .drop("__u", "__b", "__rn", "__base")
+    )
 
 
 def hash_split(

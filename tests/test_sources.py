@@ -296,3 +296,22 @@ def test_deterministic_shuffle_total_reproducible_permutation(spark, documents):
         "doc_id", "shuffle_rank"
     ).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
+
+
+def test_deterministic_shuffle_no_singlepartition_on_rows(spark, documents):
+    """The 100 TB guard: the row-bearing side must never pass through
+    Exchange SinglePartition (the naive global row_number plan). The
+    only single-partition stage allowed is the <= 1025-row per-bucket
+    count aggregate that produces the broadcast offsets."""
+    from jaccard_join_duckdb_spark.sources import deterministic_shuffle
+
+    df = deterministic_shuffle(documents, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Count SinglePartition exchanges feeding WIDE inputs: assert the
+    # full-corpus window runs partitioned by bucket, i.e. the main
+    # window's spec is partitioned (hashpartitioning on __b), and any
+    # SinglePartition exchange sits above the tiny count aggregate.
+    import re
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan  # only the tiny bases window
+    assert re.search(r"hashpartitioning\(__b", plan), plan
