@@ -12,6 +12,8 @@ double arithmetic with identical expression shape in the SQL oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -369,6 +371,7 @@ def remove_boilerplate_lines(
     text_col: str,
     max_doc_frac: float = 0.05,
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """LINE-level boilerplate removal (the CCNet/Dolma-style pass
     document-level dedup can't do): a line whose normalized form
@@ -378,6 +381,10 @@ def remove_boilerplate_lines(
     banners, license footers. Blank lines are never counted or
     dropped (they carry formatting, not content). Documents keep
     their row even if every line drops (``clean_text = ''``).
+    ``sep`` sets the unit: the default newline gives line-level
+    removal; pass ``"\\n\\n"`` for PARAGRAPH-level removal (the
+    other granularity real pipelines run; oracle twin takes the
+    matching ``sep_sql``).
 
     Scale shape: explode lines → distinct (fingerprint, doc) count
     (two-phase agg; state bounded by distinct line-doc pairs) →
@@ -396,7 +403,11 @@ def remove_boilerplate_lines(
         df.select(
             F.col(id_col).alias("id"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    re.escape(sep),  # literal separator, not a regex
+                    -1,
+                )
             ).alias("pos", "line"),
         )
         .withColumn("nrm", norm)
@@ -440,7 +451,7 @@ def remove_boilerplate_lines(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
+            sep,
         ).alias("clean_text"),
     )
     return agg.select("id", "clean_text", "n_lines", "n_dropped")

@@ -892,6 +892,7 @@ from doms where domain != '' group by domain
 def remove_boilerplate_sql(
     table: str, key: str, val: str,
     max_doc_frac: float = 0.05, min_docs: int = 2,
+    sep_sql: str = "chr(10)",
 ) -> str:
     """Mirror of functions.text.remove_boilerplate_lines: identical
     normalization, distinct-doc threshold, and ordered reassembly."""
@@ -902,9 +903,9 @@ lines as (
   select id, ls.pos - 1 as pos, ls.line,
          trim(regexp_replace(lower(ls.line), '[ \t\r]+', ' ', 'g')) as nrm
   from docs,
-       lateral (select unnest(string_split(t, chr(10))) as line,
+       lateral (select unnest(string_split(t, {sep_sql})) as line,
                        unnest(generate_series(
-                           1, len(string_split(t, chr(10))))) as pos)
+                           1, len(string_split(t, {sep_sql})))) as pos)
        ls),
 ldf as (
   select nrm, count(*) as line_docs
@@ -919,7 +920,7 @@ kept as (
          (f.nrm is not null) as dropped
   from lines l left join flagged f on l.nrm = f.nrm)
 select id,
-       coalesce(string_agg(case when not dropped then line end, chr(10)
+       coalesce(string_agg(case when not dropped then line end, {sep_sql}
                            order by pos), '') as clean_text,
        count(*) as n_lines,
        CAST(sum(case when dropped then 1 else 0 end) AS BIGINT) as n_dropped

@@ -31,6 +31,7 @@ __all__ = [
     "mix_corpora_by_budget",
     "stratified_sample",
     "deterministic_shuffle",
+    "write_training_shards",
     "write_bucketed",
     "read_table",
 ]
@@ -322,6 +323,48 @@ def deterministic_shuffle(
         .withColumn(rank_col, (F.col("__base") + F.col("__rn")).cast("int"))
         .drop("__u", "__b", "__rn", "__base")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    text_order: bool = False,
+    seed: int = 42,
+    file_format: str = "parquet",
+) -> str:
+    """Materialize the corpus as ``n_shards`` deterministic training
+    shards under ``path`` (``shard=K/`` partition directories): rows
+    get their :func:`deterministic_shuffle` rank, shards are dealt
+    round-robin on it (``(rank-1) % n_shards`` — balanced to ±1 row
+    by construction, and a pure function of (ids, seed), so a re-run
+    or a different cluster writes byte-identical shard MEMBERSHIP).
+    Readers that also want the within-shard order materialized should
+    pass ``text_order=True`` to sort each shard's files by rank
+    (one extra sort, no extra shuffle: rank order within a
+    round-robin shard class is already rank mod n_shards).
+
+    One shuffle to rank (bucketed — see
+    :func:`deterministic_shuffle`), one repartition on the shard key
+    so each shard is written by one task set. Returns ``path``.
+    """
+    n = int(n_shards)
+    if n <= 0:
+        raise ValueError("n_shards must be positive")
+    ranked = deterministic_shuffle(df, id_col, seed=seed)
+    sharded = ranked.withColumn(
+        "shard", ((F.col("shuffle_rank") - 1) % n).cast("int")
+    ).repartition(n, "shard")
+    if text_order:
+        sharded = sharded.sortWithinPartitions("shard", "shuffle_rank")
+    (
+        sharded.write.format(file_format)
+        .mode("overwrite")
+        .partitionBy("shard")
+        .save(path)
+    )
+    return path
 
 
 def hash_split(

@@ -315,3 +315,35 @@ def test_deterministic_shuffle_no_singlepartition_on_rows(spark, documents):
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 1, plan  # only the tiny bases window
     assert re.search(r"hashpartitioning\(__b", plan), plan
+
+
+def test_write_training_shards_balanced_and_deterministic(spark, documents, tmp_path):
+    from jaccard_join_duckdb_spark.sources import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    n = documents.count()
+    p1 = str(tmp_path / "shards1")
+    write_training_shards(documents, "doc_id", p1, n_shards=4)
+    back = spark.read.parquet(p1)
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # membership is the pure function of (ids, seed): shard of every
+    # doc equals (rank-1) % n_shards from deterministic_shuffle
+    want = {
+        r.doc_id: (r.shuffle_rank - 1) % 4
+        for r in deterministic_shuffle(documents, "doc_id").collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == want
+    # re-write from a different layout → identical membership
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(documents.repartition(7), "doc_id", p2, n_shards=4)
+    got2 = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(p2).select("doc_id", "shard").collect()
+    }
+    assert got2 == got

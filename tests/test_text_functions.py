@@ -382,3 +382,50 @@ def test_pack_sequences_invariants(spark, documents):
         context_len=ctx, bucket_width=w,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_remove_boilerplate_paragraph_granularity(spark):
+    """sep='\\n\\n' switches the unit to paragraphs: a repeated
+    multi-line footer paragraph drops whole, while its individual
+    lines inside unique paragraphs survive — and the DuckDB twin
+    agrees with the matching sep_sql."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        remove_boilerplate_sql,
+    )
+
+    footer = "follow us\non example social"
+    rows = [
+        (1, "unique alpha text\n\n" + footer),
+        (2, "unique beta text\n\n" + footer),
+        (3, "follow us\nbut in a unique paragraph context"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r
+        for r in remove_boilerplate_lines(
+            df, "id", "text", max_doc_frac=0.5, min_docs=2, sep="\n\n"
+        ).collect()
+    }
+    assert got[1].clean_text == "unique alpha text"
+    assert got[2].clean_text == "unique beta text"
+    assert got[3].clean_text == rows[2][1]  # lines inside ≠ paragraph match
+    assert got[1].n_dropped == 1 and got[3].n_dropped == 0
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, '{}')".format(i, x.replace("\n", "' || chr(10) || '"))
+        for i, x in rows
+    )
+    con.execute(f"create view t as select * from (values {vals}) v(id, text)")
+    want = sorted(map(tuple, con.execute(
+        remove_boilerplate_sql(
+            "t", "id", "text", max_doc_frac=0.5, min_docs=2,
+            sep_sql="chr(10) || chr(10)",
+        )
+    ).fetchall()))
+    assert sorted(map(tuple, (tuple(r) for r in got.values()))) == want
