@@ -835,6 +835,52 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase matched to the MOST
+    RECENT click by the same user within 1 hour, or NULLs
+    (operators.temporal.asof_join — single-shuffle union-and-carry,
+    never a range join; the oracle twin is DuckDB's native
+    ASOF LEFT JOIN, deduplicated to the same greatest-event_id
+    tie rule)."""
+    from jaccard_join_duckdb_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        right_cols=["event_id"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+        tie_col="event_id",
+    )
+
+
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein<=1 self-join over customer names — the record-
+    linkage predicate on the reference's own NCVR/Febrl turf
+    (operators.editdist; FastSS deletion-neighborhood candidates,
+    banded levenshtein verify; the q-gram Ed-Join path is fuzz- and
+    pytest-covered)."""
+    from jaccard_join_duckdb_spark.operators.editdist import (
+        edit_distance_self_join,
+    )
+
+    return edit_distance_self_join(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        max_dist=1,
+        method="deletes",
+    )
+
+
 # --------------------------------------------------------------------------
 # relational analytics over the TPC-H-ish tables (scan / broadcast
 # join / agg / window at the largest-table scale)
@@ -985,7 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_self_ws_brute": q_jaccard_self_ws_brute,
         "jaccard_self_qgram": q_jaccard_self_qgram,
         "jaccard_inner_ws": q_jaccard_inner_ws,
-        "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "jaccard_self_ws_scored": q_jaccard_self_ws_scored,
         "jaccard_topk_pairs": q_jaccard_topk_pairs,
         "evaluate_metrics": q_evaluate_metrics,
@@ -1002,8 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_clusters": q_dedup_clusters,
-        "corpus_curate": q_corpus_curate,
         "corpus_curate_full": q_corpus_curate_full,
+        "edit_distance_join": q_edit_distance_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_containment": q_dedup_containment,
@@ -1036,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_running_totals": q_events_running_totals,
         "events_interval_join": q_events_interval_join,
+        "events_asof_join": q_events_asof_join,
     }
 
 
@@ -1066,6 +1112,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - jaccard_inner_ws_scored: inner join graded by jaccard_inner_ws,
       score arithmetic by jaccard_self_ws_scored.
+    - jaccard_inner_ws_brute: J8/C4 brute semantics graded by
+      jaccard_self_ws_brute; the inner-specific widow/df-product
+      handling by jaccard_inner_ws.
+    - corpus_curate: stage subset of the gated corpus_curate_full.
     - jaccard_self_ws_bag_brute: grades only T1's bag flag on the
       already-gated brute join.
     - simhash_fingerprints: projection of dedup_simhash's input stage.
@@ -1084,6 +1134,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_curate_clean": q_corpus_curate_clean,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
+        "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
+        "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
@@ -1144,10 +1196,6 @@ def oracle_sql() -> dict[str, str]:
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id",
         ),
-        "jaccard_inner_ws_brute": ref_sql.inner_brute_sql(
-            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
-            _WS, T_INNER, "l_doc_id", "r_doc_id",
-        ),
         "jaccard_self_ws_scored": ref_sql.self_filtered_sql(
             "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id",
             "r_doc_id", score=True,
@@ -1174,11 +1222,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": oracle_ext.minhash_neardup_sql(
             "documents", "doc_id", "text", T_MINHASH
         ),
-        "corpus_curate": oracle_ext.curate_corpus_sql(
-            "documents", "doc_id", "text",
-            min_quality=0.3, min_tokens=20,
-            neardup_threshold=T_MINHASH,
-        ),
+        "edit_distance_join": """
+select l.c_custkey as l_id, r.c_custkey as r_id,
+       CAST(levenshtein(l.c_name, r.c_name) AS INTEGER) as dist
+from customer l join customer r
+  on l.c_custkey < r.c_custkey
+ and abs(length(l.c_name) - length(r.c_name)) <= 1
+where levenshtein(l.c_name, r.c_name) <= 1
+""",
         "corpus_curate_full": oracle_ext.curate_corpus_sql(
             "documents", "doc_id", "text",
             min_quality=0.3, min_tokens=20,
@@ -1326,6 +1377,26 @@ from events l join events r
  and r.ts >= l.ts and r.ts <= l.ts + interval 30 minute
 where l.event_type = 'click' and r.event_type = 'purchase'
 """,
+        # DuckDB's native ASOF LEFT JOIN, right side deduplicated to
+        # the operator's greatest-event_id tie rule (DuckDB keeps an
+        # ARBITRARY duplicate; the operator is deterministic), with
+        # the 1-hour tolerance as a null-out post-filter (the nearest
+        # row out of tolerance implies every other row is too).
+        "events_asof_join": """
+with l as (select event_id, user_id, ts from events
+           where event_type = 'purchase'),
+     r0 as (select event_id, user_id, ts from events
+            where event_type = 'click'),
+     r as (select * from r0
+           qualify row_number() over (partition by user_id, ts
+                                      order by event_id desc) = 1)
+select l.event_id, l.user_id, l.ts,
+       case when l.ts - r.ts <= interval 1 hour then r.ts end as r_ts,
+       case when l.ts - r.ts <= interval 1 hour then r.event_id end
+         as r_event_id
+from l asof left join r
+  on l.user_id = r.user_id and r.ts <= l.ts
+""",
         "lineitem_pricing": """
 select l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) as sum_qty,
@@ -1411,6 +1482,15 @@ def extra_oracle_sql() -> dict[str, str]:
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
+        ),
+        "jaccard_inner_ws_brute": ref_sql.inner_brute_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id",
+        ),
+        "corpus_curate": oracle_ext.curate_corpus_sql(
+            "documents", "doc_id", "text",
+            min_quality=0.3, min_tokens=20,
+            neardup_threshold=T_MINHASH,
         ),
         "jaccard_self_ws_bag_brute": ref_sql.self_brute_sql(
             "documents", "doc_id", "text",

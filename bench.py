@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_ngram",
     "decontaminate",
     "decontaminate_ngram",
+    "edit_distance_join",
     "mix_corpora",
     "pack_stats",
     "stratified_sample",
@@ -55,6 +56,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_running_totals",
+    "events_asof_join",
     "lineitem_pricing",
     "orders_revenue_by_nation",
     "top_orders_per_customer",

@@ -1,0 +1,134 @@
+"""Temporal joins Spark lacks as built-ins: the as-of join.
+
+Beyond-reference operator (the reference engine has no temporal
+surface; SURVEY.md §2.9): ``asof_join`` attaches to each left row
+the single nearest right row at-or-before (``direction="backward"``)
+or at-or-after (``"forward"``) its timestamp, per key — the
+point-in-time lookup used for feature attribution ("most recent
+click before this purchase"), slowly-changing-dimension resolution,
+and market-data alignment. Cross-checked against DuckDB's native
+``ASOF LEFT JOIN`` in the driver gate.
+
+Implementation: the classic union-and-carry rewrite, NOT a range
+join — right and left rows are unioned into one (key, ts)-ordered
+stream and the right payload is carried forward with
+``last(..., ignorenulls=True)`` over a running window; left rows
+ride the same union so the whole operator is ONE shuffle (the
+window's hash partition on ``key``) with zero join fan-out. A
+range-join formulation (``l.ts BETWEEN r.ts AND r.ts + tol`` then
+argmax) multiplies rows by the per-key event rate before pruning;
+this never does — cost is O((|L|+|R|) log) per key regardless of
+how many right rows precede each left row.
+
+Scale notes (100 TB): the single shuffle is the same cost as the
+equi-join any asof implementation needs. Hot keys are bounded by
+per-key event rates (time-series data is naturally spread); for a
+pathological single key, pre-split by coarse time bucket and stitch
+the last row of bucket N into bucket N+1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    direction: str = "backward",
+    tie_col: str | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the payload of the
+    nearest right row with the same ``key`` and ``r.ts <= l.ts``
+    (``backward``; ``>=`` for ``forward``), or NULLs when none
+    exists. Matches DuckDB ``ASOF LEFT JOIN`` semantics (timestamp
+    equality counts as a match).
+
+    ``right_cols``: right payload columns to attach (default: all
+    non-key, non-ts columns), emitted as ``{prefix}{col}`` plus
+    ``{prefix}{ts_col}`` for the matched timestamp.
+
+    ``tolerance``: optional interval Column (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``); matches farther than the
+    tolerance are nulled out. Nearest-first makes the post-filter
+    exact: if the nearest right row is out of tolerance, every other
+    right row is too.
+
+    ``tie_col``: when several right rows share the nearest
+    timestamp, the one with the greatest ``tie_col`` wins
+    (deterministic; DuckDB's ASOF picks an arbitrary duplicate, so
+    the oracle twin deduplicates the right side the same way).
+    Omitted => ties resolved arbitrarily (nondeterministic under
+    retries — fine for payload-identical duplicates only).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts_col)]
+
+    r_payload = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    l_payload = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    # side marker orders right rows BEFORE left rows at equal ts so
+    # ts-equality is a match (<=); __tie (right rows only) makes the
+    # carried duplicate deterministic (last in ascending order =
+    # greatest tie_col).
+    r_rows = right.select(
+        F.col(key).alias(key),
+        F.col(ts_col).alias("__ets"),
+        F.lit(0).alias("__side"),
+        (F.col(tie_col) if tie_col else F.lit(0)).alias("__tie"),
+        r_payload.alias("__r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in left.schema.fields
+            ) + ">"
+        ).alias("__l"),
+    )
+    l_rows = left.select(
+        F.col(key).alias(key),
+        F.col(ts_col).alias("__ets"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_rows.schema["__tie"].dataType).alias("__tie"),
+        F.lit(None).cast(r_rows.schema["__r"].dataType).alias("__r"),
+        l_payload.alias("__l"),
+    )
+    asc = direction == "backward"
+    order = [
+        F.col("__ets").asc() if asc else F.col("__ets").desc(),
+        F.col("__side").asc(),
+        F.col("__tie").asc_nulls_first(),
+    ]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r_rows.unionByName(l_rows)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        gap_ok = (
+            (F.col("__l")[ts_col] - F.col("__m.__ts") <= tolerance)
+            if asc
+            else (F.col("__m.__ts") - F.col("__l")[ts_col] <= tolerance)
+        )
+        out = out.withColumn("__m", F.when(gap_ok, F.col("__m")))
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__m.__ts").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )

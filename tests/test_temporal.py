@@ -1,0 +1,98 @@
+"""As-of join: crafted semantics cases (equality-inclusive match,
+ties, tolerance boundary, both directions, unmatched lefts) plus a
+randomized differential check against a driver-side oracle. DuckDB
+ASOF JOIN parity is enforced by the driver gate (events_asof_join);
+these tests pin the operator's own contract."""
+
+import datetime as dt
+import os
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jaccard_join_duckdb_spark.operators.temporal import asof_join
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return _T0 + dt.timedelta(minutes=minutes)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+def _left(spark, rows):
+    return _mk(spark, rows, ["lid", "user_id", "ts"])
+
+
+def _right(spark, rows):
+    return _mk(spark, rows, ["rid", "user_id", "ts"])
+
+
+def _run(left, right, **kw):
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["rid"], tie_col="rid", **kw)
+    return {
+        (r.lid, r.r_rid, r.r_ts and r.r_ts.replace(tzinfo=None))
+        for r in out.collect()
+    }
+
+
+def test_backward_basic_and_equality_inclusive(spark):
+    L = _left(spark, [(1, "u", _ts(10)), (2, "u", _ts(5)), (3, "v", _ts(10))])
+    R = _right(spark, [(100, "u", _ts(5)), (101, "u", _ts(8)), (102, "w", _ts(1))])
+    got = _run(L, R)
+    # lid=2 at t5 matches rid=100 at t5 exactly (<= is inclusive);
+    # lid=3 has no same-key right row -> NULLs
+    assert got == {(1, 101, _ts(8)), (2, 100, _ts(5)), (3, None, None)}
+
+
+def test_tie_breaks_to_greatest_tie_col(spark):
+    L = _left(spark, [(1, "u", _ts(10))])
+    R = _right(spark, [(100, "u", _ts(5)), (105, "u", _ts(5)), (90, "u", _ts(5))])
+    assert _run(L, R) == {(1, 105, _ts(5))}
+
+
+def test_tolerance_boundary_inclusive_then_null(spark):
+    L = _left(spark, [(1, "u", _ts(60)), (2, "u", _ts(61))])
+    R = _right(spark, [(100, "u", _ts(0))])
+    got = _run(L, R, tolerance=F.expr("INTERVAL 1 HOUR"))
+    # exactly 60 min: kept; 61 min: nulled (tolerance is inclusive)
+    assert got == {(1, 100, _ts(0)), (2, None, None)}
+
+
+def test_forward_direction(spark):
+    L = _left(spark, [(1, "u", _ts(10))])
+    R = _right(spark, [(100, "u", _ts(5)), (101, "u", _ts(12)), (102, "u", _ts(20))])
+    assert _run(L, R, direction="forward") == {(1, 101, _ts(12))}
+
+
+def test_every_left_row_survives(spark):
+    L = _left(spark, [(i, f"u{i % 3}", _ts(i)) for i in range(20)])
+    R = _right(spark, [(100, "u0", _ts(3))])
+    out = asof_join(L, R, key="user_id", ts_col="ts", right_cols=["rid"])
+    assert out.count() == 20
+    assert set(out.columns) == {"lid", "user_id", "ts", "r_ts", "r_rid"}
+
+
+def test_randomized_vs_driver_oracle(spark):
+    rng = random.Random(7)
+    L = [(i, f"u{rng.randrange(4)}", _ts(rng.randrange(100))) for i in range(60)]
+    R = [(1000 + i, f"u{rng.randrange(4)}", _ts(rng.randrange(100)))
+         for i in range(60)]
+    got = _run(_left(spark, L), _right(spark, R),
+               tolerance=F.expr("INTERVAL 30 MINUTES"))
+    expect = set()
+    for lid, lu, lt in L:
+        cands = [(rid, rt) for rid, ru, rt in R if ru == lu and rt <= lt]
+        if cands:
+            best_t = max(rt for _, rt in cands)
+            best = max(rid for rid, rt in cands if rt == best_t)
+            if (lt - best_t) <= dt.timedelta(minutes=30):
+                expect.add((lid, best, best_t))
+                continue
+        expect.add((lid, None, None))
+    assert got == expect
