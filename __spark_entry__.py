@@ -835,6 +835,27 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table Levenshtein<=1 linkage (even-key customers vs
+    odd-key customers — the NCVR snapshot-linkage shape;
+    operators.editdist.edit_distance_join, deletes method)."""
+    from jaccard_join_duckdb_spark.operators.editdist import (
+        edit_distance_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_join(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        "c_custkey",
+        "c_custkey",
+        "c_name",
+        "c_name",
+        max_dist=1,
+        method="deletes",
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase matched to the MOST
     RECENT click by the same user within 1 hour, or NULLs
@@ -1106,6 +1127,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       against packing_stats).
     - corpus_curate_clean: the curation pipeline with the Gopher
       repetition gate engaged (composed-oracle hash-checked).
+    - edit_distance_link: two-table Levenshtein linkage (the gated
+      edit_distance_join grades the shared candidate+verify core).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1134,6 +1157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_curate_clean": q_corpus_curate_clean,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
+        "edit_distance_link": q_edit_distance_link,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1483,6 +1507,14 @@ def extra_oracle_sql() -> dict[str, str]:
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
         ),
+        "edit_distance_link": """
+select l.c_custkey as l_id, r.c_custkey as r_id,
+       CAST(levenshtein(l.c_name, r.c_name) AS INTEGER) as dist
+from (select * from customer where c_custkey % 2 = 0) l
+join (select * from customer where c_custkey % 2 = 1) r
+  on abs(length(l.c_name) - length(r.c_name)) <= 1
+where levenshtein(l.c_name, r.c_name) <= 1
+""",
         "jaccard_inner_ws_brute": ref_sql.inner_brute_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id",

@@ -12,7 +12,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from jaccard_join_duckdb_spark.operators.editdist import edit_distance_self_join
+from jaccard_join_duckdb_spark.operators.editdist import (
+    edit_distance_join,
+    edit_distance_self_join,
+)
 
 _N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "10"))
 
@@ -135,3 +138,55 @@ def test_fuzz_qgram_vs_brute(spark, strings, d):
 @given(strings=_strings)
 def test_fuzz_deletes_vs_brute(spark, strings):
     assert _run(spark, strings, 1, method="deletes") == _brute(strings, 1)
+
+
+# ---- two-table (R-S) form ----
+
+
+def _brute_rs(lstrings, rstrings, d):
+    got = _brute(list(lstrings) + list(rstrings), d)
+    n = len(lstrings)
+    # spanning pairs of the concatenated corpus, re-indexed per side
+    return {(i, j - n, dist) for i, j, dist in got if i < n <= j}
+
+
+def _run_rs(spark, lstrings, rstrings, d, **kw):
+    ldf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lstrings)], ["lid", "ls"]
+    )
+    rdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rstrings)], ["rid", "rs"]
+    )
+    got = edit_distance_join(ldf, rdf, "lid", "rid", "ls", "rs", d, **kw)
+    return {(r.l_id, r.r_id, r.dist) for r in got.collect()}
+
+
+def test_rs_crafted(spark):
+    L = ["kitten", "abc", "zzz", "a"]
+    R = ["mitten", "kitten", "abcd", "b", "qqq"]
+    for kw in ({"method": "qgram"}, {"method": "deletes"}):
+        assert _run_rs(spark, L, R, 1, **kw) == _brute_rs(L, R, 1), kw
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lstrings=_strings, rstrings=_strings, d=st.integers(min_value=0, max_value=2))
+def test_fuzz_rs_qgram_vs_brute(spark, lstrings, rstrings, d):
+    assert _run_rs(spark, lstrings, rstrings, d, q=2) == _brute_rs(
+        lstrings, rstrings, d
+    )
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lstrings=_strings, rstrings=_strings)
+def test_fuzz_rs_deletes_vs_brute(spark, lstrings, rstrings):
+    assert _run_rs(spark, lstrings, rstrings, 1, method="deletes") == _brute_rs(
+        lstrings, rstrings, 1
+    )
