@@ -835,6 +835,15 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-frequency quality signals (perplexity
+    proxy with hash-stable integer/rational math;
+    functions.text.token_rarity_stats)."""
+    from jaccard_join_duckdb_spark.functions.text import token_rarity_stats
+
+    return token_rarity_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table Levenshtein<=1 linkage (even-key customers vs
     odd-key customers — the NCVR snapshot-linkage shape;
@@ -1129,6 +1138,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       repetition gate engaged (composed-oracle hash-checked).
     - edit_distance_link: two-table Levenshtein linkage (the gated
       edit_distance_join grades the shared candidate+verify core).
+    - text_rarity: corpus-relative token-frequency quality signals
+      (perplexity proxy; integer-exact so it hash-matches).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1158,6 +1169,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate_clean": q_corpus_curate_clean,
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "edit_distance_link": q_edit_distance_link,
+        "text_rarity": q_text_rarity,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1506,6 +1518,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "jaccard_inner_ws_scored": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
+        ),
+        "text_rarity": oracle_ext.token_rarity_sql(
+            "documents", "doc_id", "text"
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

@@ -776,3 +776,70 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(z).alias("dup_bigram_ratio"),
         )
     )
+
+
+def token_rarity_stats(
+    df: DataFrame, id_col: str, text_col: str, rare_max: int = 2
+) -> DataFrame:
+    """Corpus-relative token-frequency signals per document — the
+    perplexity-proxy quality axis the doc-local stats can't see:
+    a document whose tokens are corpus-rare is likely OCR noise /
+    gibberish / code in a prose corpus, while one of only
+    corpus-saturated tokens is boilerplate.
+
+    - ``n_tokens``: whitespace-bag token occurrences (0 for empty
+      docs; the frequency fields are then NULL);
+    - ``min_cf``: collection frequency (corpus-wide occurrence
+      count) of the document's rarest token;
+    - ``mean_cf``: average collection frequency over the document's
+      token OCCURRENCES — sum of exact integer counts in one double
+      division, so it is order-independent and hash-stable, unlike
+      an ``ln``-based log-prob whose last ulp is libm-dependent (the
+      same determinism trade as bm25_top_terms' rational idf;
+      geometric-mean perplexity over this signal is a monotone
+      reader-side transform);
+    - ``rare_ratio``: fraction of token occurrences whose collection
+      frequency is <= ``rare_max``.
+
+    Scale: one (id, token)-narrow explode; collection frequencies
+    via map-side-partial ``groupBy(token)`` joined back on ``token``
+    (AQE-splittable shuffle join — hot tokens don't straggle, see
+    bm25_top_terms); per-doc rollup is a partial-agg groupBy(id).
+    Empty docs rejoin via a broadcast-friendly left join on id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_token_array(F.col(text_col))).alias("token"),
+    )
+    cf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    per = (
+        toks.join(cf, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cf").alias("sum_cf"),
+            F.min("cf").alias("min_cf"),
+            F.sum(
+                F.when(F.col("cf") <= F.lit(int(rare_max)), 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.col("min_cf").cast("int").alias("min_cf"),
+            F.round(
+                F.col("sum_cf").cast("double")
+                / F.col("n_tok").cast("double"),
+                6,
+            ).alias("mean_cf"),
+            F.round(
+                F.col("n_rare").cast("double")
+                / F.col("n_tok").cast("double"),
+                6,
+            ).alias("rare_ratio"),
+        )
+    )

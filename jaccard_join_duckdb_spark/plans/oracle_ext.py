@@ -1297,3 +1297,32 @@ join keep on surv.id = keep.id
 left join elosers on surv.id = elosers.id
 where elosers.id is null
 """
+
+
+def token_rarity_sql(
+    table: str, key: str, val: str, rare_max: int = 2
+) -> str:
+    """functions.text.token_rarity_stats twin: exact integer
+    collection frequencies; the only float ops are the two final
+    round(int/int, 6) divisions."""
+    return f"""
+with toks as (
+  select {key} as id, unnest({_ws_bag_sql(val)}) as token from {table}),
+cf as (
+  select token, count(*) as cf from toks group by token),
+per as (
+  select id,
+         count(*) as n_tok,
+         sum(cf) as sum_cf,
+         min(cf) as min_cf,
+         sum(case when cf <= {int(rare_max)} then 1 else 0 end) as n_rare
+  from toks join cf using (token)
+  group by id)
+select b.id,
+       CAST(coalesce(n_tok, 0) AS INTEGER) as n_tokens,
+       CAST(min_cf AS INTEGER) as min_cf,
+       round(CAST(sum_cf AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) as mean_cf,
+       round(CAST(n_rare AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) as rare_ratio
+from (select {key} as id from {table}) b
+left join per on b.id = per.id
+"""

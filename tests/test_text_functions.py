@@ -429,3 +429,42 @@ def test_remove_boilerplate_paragraph_granularity(spark):
         )
     ).fetchall()))
     assert sorted(map(tuple, (tuple(r) for r in got.values()))) == want
+
+
+class TestTokenRarity:
+    def test_crafted(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import token_rarity_stats
+
+        df = spark.createDataFrame(
+            [
+                (0, "the the the cat"),   # 'the' cf=3, 'cat' cf=2
+                (1, "cat zyx"),           # 'zyx' cf=1
+                (2, ""),                  # empty
+                (3, "   "),               # whitespace only
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.id: r for r in token_rarity_stats(df, "doc_id", "text").collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        r0 = rows[0]
+        # cfs: the=3 (x3 occurrences), cat=2 -> sum 3+3+3+2=11, n=4
+        assert (r0.n_tokens, r0.min_cf) == (4, 2)
+        assert r0.mean_cf == round(11 / 4, 6)
+        assert r0.rare_ratio == 0.25  # only 'cat' (cf=2) <= rare_max=2
+        r1 = rows[1]
+        assert (r1.n_tokens, r1.min_cf) == (2, 1)
+        assert r1.rare_ratio == 1.0  # cat cf=2 and zyx cf=1 both <= 2
+        for empty in (rows[2], rows[3]):
+            assert empty.n_tokens == 0
+            assert empty.min_cf is None and empty.mean_cf is None
+
+    def test_rare_max_threshold(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import token_rarity_stats
+
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], ["doc_id", "text"]
+        )
+        # cf: a=2, b=2, c=1
+        strict = {r.id: r.rare_ratio
+                  for r in token_rarity_stats(df, "doc_id", "text", rare_max=1).collect()}
+        assert strict[0] == 0.0 and strict[1] == 0.5
