@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "decontaminate_ngram",
     "edit_distance_join",
+    "edit_distance_link",
     "mix_corpora",
     "pack_stats",
     "stratified_sample",
@@ -52,6 +53,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_redact_pii",
     "text_repetition",
+    "text_rarity",
     "text_bm25_topk",
     "events_hourly",
     "events_sessionize",
