@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "asof_join_stream",
     "decontaminate_stream",
     "decontaminate_ngram_stream",
     "dedup_stream",
@@ -461,6 +462,67 @@ def decontaminate_ngram_stream(
         )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def asof_join_stream(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    sink,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance=None,
+    direction: str = "backward",
+    tie_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming as-of enrichment: each micro-batch of the left
+    stream is as-of joined (:func:`..operators.temporal.asof_join`)
+    against a STATIC right table — the point-in-time feature /
+    dimension lookup shape (e.g. enrich a live purchase stream with
+    the most recent historical click per user).
+
+    Uses ``foreachBatch`` like the other match streams: the as-of
+    result for a left row depends ONLY on that row and the static
+    right side, so micro-batch boundaries cannot change results
+    (stream==batch is test-pinned in tests/test_streaming.py) and
+    there is no cross-batch state at all. Per-batch cost is one
+    union-and-carry window over (batch ∪ right); for a large static
+    right, pre-partition it by ``key`` (write_bucketed) so only the
+    batch side shuffles.
+
+    NOTE this is deliberately NOT a stream-vs-stream as-of: matching
+    "nearest at-or-before" against a right STREAM needs watermark-
+    delayed emission (a later right row can retroactively become the
+    nearest), which Structured Streaming's stream-stream joins don't
+    express — the honest building block is this static-right form
+    plus periodic right-side refreshes.
+
+    ``sink(enriched_df, epoch_id)`` receives each batch's left rows
+    plus ``{prefix}`` match columns. Returns the started
+    StreamingQuery.
+    """
+    from ..operators.temporal import asof_join
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            asof_join(
+                batch_df,
+                static_right,
+                key=key,
+                ts_col=ts_col,
+                right_cols=right_cols,
+                tolerance=tolerance,
+                direction=direction,
+                tie_col=tie_col,
+            ),
+            epoch_id,
+        )
+
+    writer = stream_left.writeStream.foreachBatch(_process)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -478,3 +478,45 @@ def test_filter_blocked_domains_stream_equals_batch(spark, tmp_path):
     )
     got = sorted(r.doc_id for r in spark.table("blocklist_mem").collect())
     assert got == want
+
+
+def test_asof_join_stream_equals_batch(spark, events, tmp_path):
+    """Streaming as-of enrichment against a static right side must
+    equal the batch asof_join on the same rows (per-row semantics —
+    micro-batch boundaries can't matter)."""
+    from jaccard_join_duckdb_spark.operators.temporal import asof_join
+    from jaccard_join_duckdb_spark.streaming import asof_join_stream
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    want = sorted(
+        map(
+            tuple,
+            asof_join(
+                purchases, clicks, key="user_id", ts_col="ts",
+                right_cols=["event_id"],
+                tolerance=F.expr("INTERVAL 1 HOUR"), tie_col="event_id",
+            ).collect(),
+        )
+    )
+
+    pdir = str(tmp_path / "purchases_stream")
+    purchases.repartition(3).write.parquet(pdir)
+    stream = read_event_stream(spark, pdir, schema=purchases.schema)
+
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(map(tuple, df.collect()))
+
+    q = asof_join_stream(
+        stream, clicks, sink=sink, key="user_id", ts_col="ts",
+        right_cols=["event_id"],
+        tolerance=F.expr("INTERVAL 1 HOUR"), tie_col="event_id",
+    )
+    q.awaitTermination()
+    assert sorted(got) == want and len(want) > 0
