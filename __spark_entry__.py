@@ -835,6 +835,26 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) fingerprint selection over word
+    4-shingles, window 4 — selection depends on hash ORDER, so both
+    engines run the portable poly_hash (operators.dedup.winnow_fingerprints)."""
+    from jaccard_join_duckdb_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage candidates: pairs sharing >= 2 winnowing
+    fingerprints after the max_df boilerplate/skew cap
+    (operators.dedup.winnow_duplicate_pairs)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+    )
+
+    return winnow_duplicate_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1140,6 +1160,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       edit_distance_join grades the shared candidate+verify core).
     - text_rarity: corpus-relative token-frequency quality signals
       (perplexity proxy; integer-exact so it hash-matches).
+    - winnow_fingerprints / winnow_pairs: SIGMOD'03 winnowing
+      fingerprint selection + shared-passage pair candidates.
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1170,6 +1192,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_inner_ws_scored": q_jaccard_inner_ws_scored,
         "edit_distance_link": q_edit_distance_link,
         "text_rarity": q_text_rarity,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1520,6 +1544,12 @@ def extra_oracle_sql() -> dict[str, str]:
             _WS, T_INNER, "l_doc_id", "r_doc_id", score=True,
         ),
         "text_rarity": oracle_ext.token_rarity_sql(
+            "documents", "doc_id", "text"
+        ),
+        "winnow_fingerprints": oracle_ext.winnow_fingerprints_sql(
+            "documents", "doc_id", "text"
+        ),
+        "winnow_pairs": oracle_ext.winnow_pairs_sql(
             "documents", "doc_id", "text"
         ),
         "edit_distance_link": """

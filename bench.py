@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "jaccard_self_qgram",
     "jaccard_inner_ws",
     "dedup_exact",
+    "winnow_pairs",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram",

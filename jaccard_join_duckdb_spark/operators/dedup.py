@@ -61,6 +61,8 @@ __all__ = [
     "read_minhash_index",
     "write_minhash_index",
     "simhash_fingerprints",
+    "winnow_fingerprints",
+    "winnow_duplicate_pairs",
     "simhash_near_duplicates",
     "ngram_jaccard_near_duplicates",
     "containment_join",
@@ -1530,3 +1532,146 @@ def _cc_two_phase(e: DataFrame, max_iterations: int) -> DataFrame:
         .select(F.col("u").alias("id"), F.col("u").alias("comp"))
     )
     return labels.union(singletons)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03) over word-level ``k``-gram shingles: slide a window of
+    ``w`` consecutive shingle hashes and keep each window's minimum
+    (rightmost on ties — the paper's robust-winnowing rule), so any
+    shared run of ``>= w + k - 1`` words between two documents is
+    GUARANTEED to surface a shared fingerprint. The substring-level
+    dup detector that complements minhash/simhash (whole-document
+    similarity) and n-gram decontamination (verbatim probes): it
+    localizes shared passages with a density guarantee (at least one
+    fingerprint per window) at ~2/(w+1) of the shingle count.
+
+    The selection step depends on hash ORDER, so the hash must be
+    bit-identical in the DuckDB oracle: uint32 of the first 8 md5
+    hex chars — the same engine-portable construction as
+    ``sources.hash_split``'s stable uniform, C-speed in both engines
+    (an interpreted per-char fold like poly_hash costs ~10x here).
+
+    Output: ``(id, pos, fp)`` — distinct selected (shingle index,
+    31-bit hash) pairs per document. Documents shorter than ``k``
+    words emit nothing; with fewer than ``w`` shingles the single
+    window spans them all (their full text is shorter than the
+    guarantee threshold, but they still fingerprint).
+
+    Scale: pure per-row expression work (no shuffle, no UDF) until
+    the final explode; fingerprint volume is ~2/(w+1) of corpus word
+    count.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from ..functions.text import ws_token_array
+
+    # Fingerprinting is pure per-row compute with no shuffle of its
+    # own, so its parallelism equals the SCAN's split count. A
+    # compacted corpus (single-row-group parquet — the testdata
+    # shape) scans as one task and serializes the whole hash+window
+    # pipeline; rebalance the narrow (id, text) projection first
+    # (6x at sf0.1). On a real multi-split layout the condition is
+    # false and no shuffle is added.
+    narrow = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    df = narrow
+
+    def _seq1(stop: Column) -> Column:
+        """sequence(1, stop), EMPTY when stop < 1 — bare sequence()
+        steps DOWNWARD for stop=0 and yields [1, 0]."""
+        return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    toks = ws_token_array(F.col(text_col))
+    shingles = F.transform(
+        _seq1(F.size(toks) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
+    )
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
+    )
+    m = F.size(F.col("hs"))
+    # window starts: 1..m-w+1, or the single window 1 when 0 < m < w
+    starts = _seq1(F.greatest(m - F.lit(w - 1), F.least(m, F.lit(1))))
+    win = lambda i: F.slice(F.col("hs"), i, F.least(F.lit(w), m - i + 1))
+    sel = F.transform(
+        starts,
+        lambda i: F.struct(
+            (
+                i
+                + F.size(win(i))
+                - F.array_position(
+                    F.reverse(win(i)), F.array_min(win(i))
+                ).cast("int")
+            ).alias("pos"),
+            F.array_min(win(i)).alias("fp"),
+        ),
+    )
+    return (
+        rows.select("id", F.explode(F.array_distinct(sel)).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing ``>= min_shared`` distinct winnowing
+    fingerprint hashes — shared-passage candidates with the
+    :func:`winnow_fingerprints` guarantee (a common run of
+    ``w + k - 1`` words always shares at least one fingerprint).
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before pairing — simultaneously the boilerplate filter
+    (a corpus-wide footer fingerprint carries no dup signal) and the
+    skew guard (the pair join fans out quadratically in per-
+    fingerprint document frequency; with the cap, join fan-out is
+    bounded by ``max_df²`` per fingerprint).
+
+    Output: ``(l_id, r_id, n_shared)`` with ``l_id < r_id``.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        "id", "fp"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") <= int(max_df))
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    L, R = fps.alias("L"), fps.alias("R")
+    return (
+        L.join(
+            R,
+            (F.col("L.fp") == F.col("R.fp")) & (F.col("L.id") < F.col("R.id")),
+        )
+        .groupBy(
+            F.col("L.id").alias("l_id"), F.col("R.id").alias("r_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -1326,3 +1326,81 @@ select b.id,
 from (select {key} as id from {table}) b
 left join per on b.id = per.id
 """
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """uint32 of the first 8 md5 hex chars of ``expr`` — mirrors the
+    Spark side's conv(substring(md5(s), 1, 8), 16, 10) (the
+    hash_split stable-u construction, without the /2^32)."""
+    hx = f"md5({expr})"
+    b = [_hexbyte_sql(hx, str(i)) for i in (1, 2, 3, 4)]
+    return (
+        f"CAST((({b[0]} * 256 + {b[1]}) * 256 + {b[2]}) * 256 + {b[3]} "
+        "AS BIGINT)"
+    )
+
+
+def _winnow_sel_sql(table: str, key: str, val: str, k: int, w: int) -> str:
+    """Shared winnowing CTE chain: (id, pos, fp) selected
+    fingerprints — operators.dedup.winnow_fingerprints twin (word
+    shingles, portable md5-uint32 hash, rightmost-min windows)."""
+    kk, ww = int(k), int(w)
+    win = f"list_slice(hs, i, least(i + {ww - 1}, len(hs)))"
+    return f"""
+base as (
+  select {key} as id, {_ws_bag_sql(val)} as toks from {table}),
+sh as (
+  select id, list_transform(
+           range(1, greatest(len(toks) - {kk - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {kk - 1}), ' ')) as shs
+  from base),
+h as (
+  select id, list_transform(shs, s -> {_md5_u32_sql('s')}) as hs from sh),
+sel as (
+  select id, list_transform(
+    range(1, case when len(hs) >= {ww} then len(hs) - {ww} + 1
+                  when len(hs) >= 1 then 1 else 0 end + 1),
+    i -> [
+      CAST(i + len({win})
+             - list_position(list_reverse({win}), list_min({win}))
+           AS BIGINT),
+      list_min({win})
+    ]) as fps
+  from h),
+fp as (
+  -- per-window duplicates collapse here (the Spark side's
+  -- array_distinct-before-explode equivalent)
+  select distinct id, CAST(f[1] AS INTEGER) as pos, f[2] as fp
+  from (select id, unnest(fps) as f from sel))
+"""
+
+
+def winnow_fingerprints_sql(
+    table: str, key: str, val: str, k: int = 4, w: int = 4
+) -> str:
+    return (
+        "with " + _winnow_sel_sql(table, key, val, k, w)
+        + "select id, pos, fp from fp"
+    )
+
+
+def winnow_pairs_sql(
+    table: str,
+    key: str,
+    val: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    return f"""
+with {_winnow_sel_sql(table, key, val, k, w)},
+d as (select distinct id, fp from fp),
+rare as (
+  select fp from d group by fp having count(*) <= {int(max_df)}),
+dr as (select d.id, d.fp from d join rare using (fp))
+select l.id as l_id, r.id as r_id, count(*) as n_shared
+from dr l join dr r on l.fp = r.fp and l.id < r.id
+group by l.id, r.id
+having count(*) >= {int(min_shared)}
+"""

@@ -438,3 +438,70 @@ def test_ngram_decontaminate_indexed_equals_plain(spark, documents):
         assert got == want and want
     finally:
         idx.unpersist()
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        """Winnowing's contract: any shared run of >= w + k - 1 words
+        yields at least one shared fingerprint hash."""
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            winnow_duplicate_pairs,
+            winnow_fingerprints,
+        )
+
+        k = w = 3  # guarantee threshold: runs of >= 5 words
+        shared = "alpha beta gamma delta epsilon"  # 5 words
+        df = spark.createDataFrame(
+            [
+                (0, f"one two {shared} three"),
+                (1, f"{shared} nine ten eleven twelve"),
+                (2, "completely unrelated words in this document"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r.id, set()).add(r.fp)
+        assert by_doc[0] & by_doc[1], "shared 5-word run must share a fp"
+        pairs = winnow_duplicate_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+        assert {(r.l_id, r.r_id) for r in pairs} == {(0, 1)}
+
+    def test_short_and_empty_docs(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "one"), (2, "one two"), (3, "one two three")],
+            ["doc_id", "text"],
+        )
+        # k=3: docs 0-2 have no 3-shingle -> no fingerprints; doc 3
+        # has one shingle -> exactly one fingerprint from the
+        # spanning window
+        got = {r.id for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()}
+        assert got == {3}
+
+    def test_density_bound(self, spark):
+        """Selected fingerprints <= number of windows (one min per
+        window before dedup)."""
+        from jaccard_join_duckdb_spark.operators.dedup import winnow_fingerprints
+
+        text = " ".join(f"w{i % 13}" for i in range(200))
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        k, w = 4, 5
+        m = 200 - (k - 1)
+        n = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).count()
+        assert 0 < n <= m - w + 1
+
+    def test_max_df_drops_boilerplate(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import winnow_duplicate_pairs
+
+        footer = "follow us on social media for updates"
+        rows = [(i, f"unique{i} body text number {i} " + footer) for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # footer fingerprints appear in all 6 docs; max_df=3 kills them
+        got = winnow_duplicate_pairs(
+            df, "doc_id", "text", k=3, w=3, min_shared=1, max_df=3
+        ).count()
+        assert got == 0
