@@ -855,6 +855,15 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_duplicate_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrences of "hash join" with 1-based start
+    positions (operators.search.phrase_search over on-the-fly
+    postings; the bucketed-index path is pytest-covered)."""
+    from jaccard_join_duckdb_spark.operators.search import phrase_search_scan
+
+    return phrase_search_scan(_docs(spark, sf_dir), "doc_id", "text", "hash join")
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1162,6 +1171,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (perplexity proxy; integer-exact so it hash-matches).
     - winnow_fingerprints / winnow_pairs: SIGMOD'03 winnowing
       fingerprint selection + shared-passage pair candidates.
+    - phrase_search: positional-postings exact phrase lookup
+      (rarest-term-anchored intersection; bucketed index in pytest).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1194,6 +1205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rarity": q_text_rarity,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "phrase_search": q_phrase_search,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1551,6 +1563,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "winnow_pairs": oracle_ext.winnow_pairs_sql(
             "documents", "doc_id", "text"
+        ),
+        "phrase_search": oracle_ext.phrase_search_sql(
+            "documents", "doc_id", "text", "hash join"
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

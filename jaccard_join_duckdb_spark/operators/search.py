@@ -1,0 +1,139 @@
+"""Corpus text search: positional inverted index + exact phrase
+queries.
+
+Beyond-reference operators (the reference has no search surface;
+SURVEY.md §2) for the training-data INSPECTION loop: once a corpus
+is curated, pipeline owners ask "which documents contain this exact
+phrase, and where" — contamination spot-checks, takedown lookups,
+eval-leak forensics. Classic IR answer re-expressed Spark-first:
+
+- :func:`token_postings` — the positional postings relation
+  ``(token, id, pos)`` straight off the tokenizer (1-based
+  positions).
+- :func:`write_postings_index` — postings persisted as a table
+  BUCKETED BY ``token`` (``sources.write_bucketed``): every phrase
+  probe reads only the query tokens' buckets, and the per-token
+  ``(id, pos)`` joins below are co-located — no corpus-wide
+  Exchange at query time.
+- :func:`phrase_search` — exact consecutive-token match via k-1
+  equi-joins on ``(id, anchor_pos)``: occurrences of phrase token i
+  at position ``start + i - 1`` for every i. The ANCHOR term (the
+  join's driving side) is the RAREST query token — its posting list
+  bounds every intermediate, the same heuristic as a hand-written
+  IR engine's smallest-postings-first intersection. Token equality
+  filters push down to the scan (`PushedFilters` on the postings
+  parquet; bucket pruning on the bucketed table).
+
+Scale notes (100 TB): postings are one explode of the corpus
+(narrow 3-column rows, written once); a phrase probe touches k
+posting lists, each pre-hashed into buckets, intersected by narrow
+``(id, pos)`` hash joins whose build side is the rarest list. No
+scan of the corpus text at query time, no driver materialization
+beyond the k per-token counts used to pick the anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_postings",
+    "write_postings_index",
+    "phrase_search",
+    "phrase_search_scan",
+]
+
+
+def token_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(token, id, pos)`` positional postings; ``pos`` is the
+    1-based whitespace-token position (same lowercased bag as
+    ``functions.text.ws_token_array``, duplicates kept — positions
+    distinguish them)."""
+    from ..functions.text import ws_token_array
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_token_array(F.col(text_col))).alias("p0", "token"),
+    ).select("token", "id", (F.col("p0") + 1).alias("pos"))
+
+
+def write_postings_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    num_buckets: int = 64,
+) -> str:
+    """Build and persist the postings index bucketed by ``token``
+    (probe-time bucket pruning + co-located intersections). Returns
+    the table name; read back with ``spark.table(name)`` and pass to
+    :func:`phrase_search`."""
+    from ..sources import write_bucketed
+
+    postings = token_postings(df, id_col, text_col)
+    return write_bucketed(
+        postings.repartition(num_buckets, "token"),
+        name,
+        ["token"],
+        num_buckets,
+    )
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    terms = [t for t in phrase.lower().split() if t.strip()]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    return terms
+
+
+def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
+    """Documents containing the exact consecutive-token ``phrase``:
+    ``(id, start_pos)`` per occurrence (1-based position of the
+    phrase's first token; overlapping occurrences all reported).
+
+    The k-way positional intersection anchors on the rarest query
+    term — k tiny counts to the driver pick it — so every
+    intermediate is bounded by the smallest posting list, not the
+    stopword-est one; remaining terms join rarest-first on
+    ``(id, start)``.
+    """
+    terms = _phrase_terms(phrase)
+    lists = [
+        postings.filter(F.col("token") == t).select("id", "pos")
+        for t in terms
+    ]
+    if len(terms) == 1:
+        return lists[0].select("id", F.col("pos").alias("start_pos"))
+    # one aggregation job yields every query term's posting-list
+    # size (k scalar rows to the driver — the anchor choice, not
+    # row data); absent terms count 0 and anchor an empty list
+    cnt = {
+        r["token"]: r["c"]
+        for r in postings.filter(
+            F.col("token").isin(sorted(set(terms)))
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    order = sorted(range(len(terms)), key=lambda i: (cnt.get(terms[i], 0), i))
+    base_i = order[0]
+    out = lists[base_i].select(
+        "id", (F.col("pos") - base_i).alias("start")
+    )
+    for i in order[1:]:
+        out = out.join(
+            lists[i].select("id", (F.col("pos") - i).alias("start")),
+            ["id", "start"],
+        )
+    return out.select("id", F.col("start").alias("start_pos"))
+
+
+def phrase_search_scan(
+    df: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Index-less convenience: :func:`phrase_search` over postings
+    computed on the fly (one corpus scan). Use the bucketed index for
+    repeated probes."""
+    return phrase_search(token_postings(df, id_col, text_col), phrase)

@@ -1404,3 +1404,29 @@ from dr l join dr r on l.fp = r.fp and l.id < r.id
 group by l.id, r.id
 having count(*) >= {int(min_shared)}
 """
+
+
+def phrase_search_sql(table: str, key: str, val: str, phrase: str) -> str:
+    """operators.search.phrase_search twin: positional postings via
+    zipped unnest/generate_subscripts, k-way self-join on
+    (id, pos + offset)."""
+    terms = [t for t in phrase.lower().split() if t.strip()]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    joins = "".join(
+        f"\njoin toks t{i} on t{i}.id = t0.id and t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    preds = " and ".join(
+        f"t{i}.token = '{t}'" for i, t in enumerate(terms)
+    )
+    return f"""
+with toks as (
+  select {key} as id,
+         unnest({_ws_bag_sql(val)}) as token,
+         generate_subscripts({_ws_bag_sql(val)}, 1) as pos
+  from {table})
+select t0.id, t0.pos as start_pos
+from toks t0{joins}
+where {preds}
+"""
