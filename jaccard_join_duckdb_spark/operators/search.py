@@ -12,9 +12,12 @@ eval-leak forensics. Classic IR answer re-expressed Spark-first:
   positions).
 - :func:`write_postings_index` — postings persisted as a table
   BUCKETED BY ``token`` (``sources.write_bucketed``): every phrase
-  probe reads only the query tokens' buckets, and the per-token
-  ``(id, pos)`` joins below are co-located — no corpus-wide
-  Exchange at query time.
+  probe reads only the query tokens' buckets (exit-gated evidence
+  in ``tools/search_bench.py``: SelectedBucketsCount 1-of-N per
+  scan). The probe's own joins key on ``(id, pos)``, so Spark's
+  auto-bucketed-scan demotion would silently drop the bucketed
+  read — and the pruning with it; probe sessions should set
+  ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``.
 - :func:`phrase_search` — exact consecutive-token match via k-1
   equi-joins on ``(id, anchor_pos)``: occurrences of phrase token i
   at position ``start + i - 1`` for every i. The ANCHOR term (the

@@ -1,0 +1,127 @@
+"""Postings-index probe benchmark: phrase search against the
+token-bucketed postings table vs the on-the-fly corpus scan.
+
+What this script proves, exit-code-gated:
+
+1. The bucketed probe's scans engage the bucket spec
+   (``SelectedBucketsCount`` in the physical plan) and select only a
+   strict subset of buckets — the probe reads the query terms'
+   buckets, not the corpus.
+2. The bucketed probe plan never re-tokenizes the corpus: no
+   ``posexplode``/``Generate`` over the documents table at query
+   time (the index paid that once at build time).
+3. Index probe and scan path return identical results for every
+   tested phrase.
+
+Usage: python tools/search_bench.py [sf_dir] [num_buckets]
+Prints one JSON line with timings + plan evidence; exit 0 iff all
+checks hold. Results are recorded in BENCHMARKS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DB = "search_bench"
+PHRASES = ["hash join", "the hash join", "scan"]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    nb = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from jaccard_join_duckdb_spark import get_spark
+    from jaccard_join_duckdb_spark.operators.search import (
+        phrase_search,
+        phrase_search_scan,
+        write_postings_index,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="search-bench", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(f"create database if not exists {DB}")
+    spark.catalog.setCurrentDatabase(DB)
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    write_postings_index(docs, "doc_id", "text", "postings_idx", nb)
+    build_s = round(time.perf_counter() - t0, 3)
+    idx = spark.table("postings_idx")
+    # The probe joins on (id, start), not the bucket column, so
+    # Spark's auto-bucketed-scan demotion would drop the bucketed
+    # read — and with it the bucket PRUNING the filter-only probe is
+    # after. Disable the demotion for the probe session (see
+    # operators/search.py docstring).
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+
+    checks: dict[str, bool] = {}
+    timings: dict[str, dict[str, float]] = {}
+    buckets_evidence: list[str] = []
+    for phrase in PHRASES:
+        probe = phrase_search(idx, phrase)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        sel = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        buckets_evidence.extend(f"{a} out of {b}" for a, b in sel)
+        # every probe scan must engage the bucket spec AND select a
+        # strict subset of buckets (the pruning, not just the spec)
+        checks.setdefault("probe_engages_buckets", True)
+        checks["probe_engages_buckets"] &= bool(sel) and all(
+            int(a) < int(b) for a, b in sel
+        )
+        checks.setdefault("probe_never_retokenizes", True)
+        checks["probe_never_retokenizes"] &= (
+            "Generate" not in plan and "posexplode" not in plan
+        )
+
+        t0 = time.perf_counter()
+        got = sorted((r.id, r.start_pos) for r in probe.collect())
+        probe_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = sorted(
+            (r.id, r.start_pos)
+            for r in phrase_search_scan(
+                docs, "doc_id", "text", phrase
+            ).collect()
+        )
+        scan_s = time.perf_counter() - t0
+        checks.setdefault("results_identical", True)
+        checks["results_identical"] &= got == want
+        timings[phrase] = {
+            "probe_s": round(probe_s, 3),
+            "scan_s": round(scan_s, 3),
+            "hits": len(got),
+        }
+
+    ok = all(checks.values())
+    print(
+        json.dumps(
+            {
+                "metric": "postings_index_probe",
+                "sf_dir": sf_dir,
+                "num_buckets": nb,
+                "build_s": build_s,
+                "timings": timings,
+                "checks": checks,
+                "bucket_evidence_sample": buckets_evidence[:3],
+                "ok": ok,
+            }
+        )
+    )
+    spark.sql(f"drop table if exists {DB}.postings_idx")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
