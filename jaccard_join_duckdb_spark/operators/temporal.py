@@ -74,6 +74,13 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts_col)]
+    # NULL-timestamp semantics, matching DuckDB ASOF's comparison
+    # (NULL <= ts is never true): right rows with NULL ts can match
+    # nothing — drop them BEFORE the union so they cannot be carried;
+    # left rows with NULL ts stay (every left row survives a left
+    # join) and sort before all right rows (nulls-first in BOTH
+    # directions), so the carry window is empty and they emit NULLs.
+    right = right.filter(F.col(ts_col).isNotNull())
 
     r_payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
@@ -106,7 +113,9 @@ def asof_join(
     )
     asc = direction == "backward"
     order = [
-        F.col("__ets").asc() if asc else F.col("__ets").desc(),
+        F.col("__ets").asc_nulls_first()
+        if asc
+        else F.col("__ets").desc_nulls_first(),
         F.col("__side").asc(),
         F.col("__tie").asc_nulls_first(),
     ]

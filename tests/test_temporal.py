@@ -96,3 +96,16 @@ def test_randomized_vs_driver_oracle(spark):
                 continue
         expect.add((lid, None, None))
     assert got == expect
+
+
+def test_null_timestamps_both_sides(spark):
+    """NULL-ts right rows can never match (DuckDB ASOF comparison
+    semantics); NULL-ts left rows survive unmatched — both
+    directions."""
+    L = _left(spark, [(1, "u", _ts(10)), (2, "u", None)])
+    R = _right(spark, [(100, "u", _ts(5)), (101, "u", None)])
+    assert _run(L, R) == {(1, 100, _ts(5)), (2, None, None)}
+    assert _run(L, R, direction="forward") == {
+        (1, None, None),   # no right row at/after t10 with a real ts
+        (2, None, None),
+    }
