@@ -864,6 +864,29 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_scan(_docs(spark, sf_dir), "doc_id", "text", "hash join")
 
 
+_PROBE_PHRASES = [
+    ("p1", "hash join"),
+    ("p2", "the hash join"),
+    ("p3", "scan filter"),
+]
+
+
+def q_phrase_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-phrase probe: all three phrases in one join + one
+    count-equals-k aggregation (operators.search.phrase_search_many
+    — the decontamination-forensics shape, no per-phrase job
+    loop)."""
+    from jaccard_join_duckdb_spark.operators.search import (
+        phrase_search_many,
+        token_postings,
+    )
+
+    phrases = spark.createDataFrame(_PROBE_PHRASES, ["phrase_id", "phrase"])
+    return phrase_search_many(
+        token_postings(_docs(spark, sf_dir), "doc_id", "text"), phrases
+    )
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1173,6 +1196,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       fingerprint selection + shared-passage pair candidates.
     - phrase_search: positional-postings exact phrase lookup
       (rarest-term-anchored intersection; bucketed index in pytest).
+    - phrase_search_many: batch multi-phrase probe (one join + one
+      count-equals-k aggregation for the whole phrase set).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1206,6 +1231,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "phrase_search": q_phrase_search,
+        "phrase_search_many": q_phrase_search_many,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1566,6 +1592,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "phrase_search": oracle_ext.phrase_search_sql(
             "documents", "doc_id", "text", "hash join"
+        ),
+        "phrase_search_many": oracle_ext.phrase_search_many_sql(
+            "documents", "doc_id", "text", _PROBE_PHRASES
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

@@ -44,6 +44,7 @@ __all__ = [
     "token_postings",
     "write_postings_index",
     "phrase_search",
+    "phrase_search_many",
     "phrase_search_scan",
 ]
 
@@ -140,3 +141,51 @@ def phrase_search_scan(
     computed on the fly (one corpus scan). Use the bucketed index for
     repeated probes."""
     return phrase_search(token_postings(df, id_col, text_col), phrase)
+
+
+def phrase_search_many(
+    postings: DataFrame, phrases: DataFrame
+) -> DataFrame:
+    """Batch phrase probe: every occurrence of every phrase in ONE
+    set-oriented pass — the decontamination-forensics shape (probe
+    thousands of benchmark phrases against the corpus) where a
+    per-phrase :func:`phrase_search` loop would schedule thousands
+    of driver-side jobs.
+
+    ``phrases``: ``(phrase_id, phrase)``. Each phrase explodes into
+    ``(phrase_id, off, term)`` rows; one equi-join on
+    ``token = term`` aligns candidate starts (``pos - off``), and a
+    ``(phrase_id, id, start)`` count-equals-k aggregation keeps
+    exact full matches — per (start, off) at most one posting can
+    match (positions are unique per occurrence), so ``count(*) = k``
+    iff every offset matched, duplicate phrase terms included.
+
+    Output: ``(phrase_id, id, start_pos)``. Scale: one shuffle join
+    on ``token`` (phrase side tiny → broadcast) + one aggregation;
+    corpus-frequency skew on stopword terms is bounded by the
+    phrases' term selectivity, and the aggregation is map-side
+    partial.
+    """
+    from ..functions.text import ws_token_array
+
+    bag = ws_token_array(F.col("phrase"))  # same fold as the postings
+    terms = phrases.select(
+        F.col("phrase_id"),
+        F.size(bag).alias("k"),
+        F.posexplode(bag).alias("off", "term"),
+    )
+    return (
+        postings.join(
+            F.broadcast(terms), postings["token"] == terms["term"]
+        )
+        .select(
+            "phrase_id",
+            "k",
+            "id",
+            (F.col("pos") - F.col("off")).alias("start"),
+        )
+        .groupBy("phrase_id", "id", "start", "k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("k"))
+        .select("phrase_id", "id", F.col("start").alias("start_pos"))
+    )

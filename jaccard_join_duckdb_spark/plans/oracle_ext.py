@@ -1430,3 +1430,34 @@ select t0.id, t0.pos as start_pos
 from toks t0{joins}
 where {preds}
 """
+
+
+def phrase_search_many_sql(
+    table: str, key: str, val: str, phrases: list[tuple[str, str]]
+) -> str:
+    """operators.search.phrase_search_many twin: one join + one
+    count-equals-k aggregation over every phrase at once."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    vals = ", ".join(
+        "('" + pid.replace("'", "''") + "', '"
+        + ph.replace("'", "''") + "')"
+        for pid, ph in phrases
+    )
+    return f"""
+with phr(phrase_id, phrase) as (values {vals}),
+pterms as (
+  select phrase_id, len(bag) as k,
+         unnest(bag) as term,
+         generate_subscripts(bag, 1) - 1 as off
+  from (select phrase_id, {_ws_bag_sql('phrase')} as bag from phr)),
+toks as (
+  select {key} as id,
+         unnest({_ws_bag_sql(val)}) as token,
+         generate_subscripts({_ws_bag_sql(val)}, 1) as pos
+  from {table})
+select t.phrase_id, p.id, CAST(p.pos - t.off AS INTEGER) as start_pos
+from toks p join pterms t on p.token = t.term
+group by t.phrase_id, p.id, p.pos - t.off, t.k
+having count(*) = t.k
+"""

@@ -75,3 +75,22 @@ def test_bucketed_index_equals_scan(spark, corpus, tmp_path):
             ), phrase
     finally:
         spark.sql(f"drop table if exists {name}")
+
+
+def test_phrase_search_many_equals_singles(spark, corpus):
+    from jaccard_join_duckdb_spark.operators.search import phrase_search_many
+
+    probes = [
+        ("a", "quick brown"),
+        ("b", "quick brown fox"),
+        ("c", "dog"),
+        ("d", "quick brown quick brown"),  # duplicate terms
+        ("e", "zebra fox"),                # absent term
+    ]
+    phrases = spark.createDataFrame(probes, ["phrase_id", "phrase"])
+    p = token_postings(corpus, "doc_id", "text")
+    got = {}
+    for r in phrase_search_many(p, phrases).collect():
+        got.setdefault(r.phrase_id, []).append((r.id, r.start_pos))
+    for pid, phrase in probes:
+        assert sorted(got.get(pid, [])) == _hits(phrase_search(p, phrase)), pid
