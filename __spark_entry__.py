@@ -887,6 +887,15 @@ def q_phrase_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word trigram counts with count-pruning at 2 —
+    the n-gram-LM (KenLM) prep primitive
+    (functions.text.ngram_counts)."""
+    from jaccard_join_duckdb_spark.functions.text import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=3, min_count=2)
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1198,6 +1207,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (rarest-term-anchored intersection; bucketed index in pytest).
     - phrase_search_many: batch multi-phrase probe (one join + one
       count-equals-k aggregation for the whole phrase set).
+    - ngram_counts: corpus word-n-gram counts with count pruning
+      (n-gram-LM prep).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1232,6 +1243,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "phrase_search": q_phrase_search,
         "phrase_search_many": q_phrase_search_many,
+        "ngram_counts": q_ngram_counts,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1595,6 +1607,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "phrase_search_many": oracle_ext.phrase_search_many_sql(
             "documents", "doc_id", "text", _PROBE_PHRASES
+        ),
+        "ngram_counts": oracle_ext.ngram_counts_sql(
+            "documents", "doc_id", "text", n=3, min_count=2
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

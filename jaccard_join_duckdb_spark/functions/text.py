@@ -843,3 +843,44 @@ def token_rarity_stats(
             ).alias("rare_ratio"),
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide word ``n``-gram counts — the n-gram-LM / KenLM
+    preparation primitive (and the corpus-inspection "what does this
+    corpus repeat" view; ``min_count`` is the standard count-pruning
+    knob). Documents shorter than ``n`` tokens contribute nothing;
+    n-grams never cross document boundaries.
+
+    Output: ``(ngram, n_count)`` — the n-gram as a space-joined
+    string.
+
+    Scale: one explode of (docs x positions) narrow rows into a
+    map-side-partial groupBy; hot n-grams partial-aggregate before
+    the shuffle, so skew is bounded by distinct-gram cardinality per
+    partition, not occurrence counts.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = ws_token_array(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) - F.lit(n - 1) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.explode(shingles).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_count") >= int(min_count))
+    return out

@@ -1461,3 +1461,21 @@ from toks p join pterms t on p.token = t.term
 group by t.phrase_id, p.id, p.pos - t.off, t.k
 having count(*) = t.k
 """
+
+
+def ngram_counts_sql(
+    table: str, key: str, val: str, n: int = 3, min_count: int = 1
+) -> str:
+    """functions.text.ngram_counts twin."""
+    nn = int(n)
+    return f"""
+with base as (select {_ws_bag_sql(val)} as toks from {table}),
+sh as (
+  select unnest(list_transform(
+    range(1, greatest(len(toks) - {nn - 1}, 0) + 1),
+    i -> array_to_string(list_slice(toks, i, i + {nn - 1}), ' '))) as ngram
+  from base)
+select ngram, count(*) as n_count
+from sh group by ngram
+having count(*) >= {int(min_count)}
+"""

@@ -468,3 +468,28 @@ class TestTokenRarity:
         strict = {r.id: r.rare_ratio
                   for r in token_rarity_stats(df, "doc_id", "text", rare_max=1).collect()}
         assert strict[0] == 0.0 and strict[1] == 0.5
+
+
+class TestNgramCounts:
+    def test_crafted(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import ngram_counts
+
+        df = spark.createDataFrame(
+            [(0, "a b c a b c"), (1, "a b"), (2, "")],
+            ["doc_id", "text"],
+        )
+        got = {r.ngram: r.n_count
+               for r in ngram_counts(df, "doc_id", "text", n=3).collect()}
+        # doc 0 trigrams: "a b c","b c a","c a b","a b c"; doc 1 too short
+        assert got == {"a b c": 2, "b c a": 1, "c a b": 1}
+
+    def test_min_count_and_no_cross_doc(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import ngram_counts
+
+        df = spark.createDataFrame(
+            [(0, "x y"), (1, "y z")], ["doc_id", "text"]
+        )
+        # bigram "y y" would only exist across the doc boundary
+        got = {r.ngram for r in ngram_counts(df, "doc_id", "text", n=2).collect()}
+        assert got == {"x y", "y z"}
+        assert ngram_counts(df, "doc_id", "text", n=2, min_count=2).count() == 0
