@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "jaccard_inner_ws",
     "dedup_exact",
     "winnow_pairs",
+    "phrase_search_many",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram",
@@ -55,6 +56,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "text_repetition",
     "text_rarity",
+    "ngram_counts",
     "text_bm25_topk",
     "events_hourly",
     "events_sessionize",

@@ -56,7 +56,16 @@ def token_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     distinguish them)."""
     from ..functions.text import ws_token_array
 
-    return df.select(
+    # tokenization parallelism equals the scan's split count; a
+    # compacted (single-row-group) corpus would serialize the whole
+    # explode — rebalance the narrow projection first, a no-op on
+    # real multi-split layouts (same rationale as
+    # dedup.winnow_fingerprints).
+    narrow = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.select(
         F.col(id_col).alias("id"),
         F.posexplode(ws_token_array(F.col(text_col))).alias("p0", "token"),
     ).select("token", "id", (F.col("p0") + 1).alias("pos"))
