@@ -37,7 +37,7 @@ beyond the k per-token counts used to pick the anchor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
