@@ -24,6 +24,7 @@ __all__ = [
     "hourly_event_stats",
     "interval_join",
     "near_dedup_stream",
+    "phrase_probe_stream",
     "read_event_stream",
     "run_stream_to_memory",
     "running_user_totals",
@@ -523,6 +524,46 @@ def asof_join_stream(
         )
 
     writer = stream_left.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def phrase_probe_stream(
+    stream_docs: DataFrame,
+    phrases: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming multi-phrase probe: each micro-batch of a document
+    ingest is searched for every (phrase_id, phrase) occurrence
+    (:func:`..operators.search.phrase_search_many` — the verbatim
+    complement to the fuzzier containment / n-gram decontamination
+    streams; run alongside them on a crawl ingest).
+
+    Per batch: postings for the BATCH only (tiny), one broadcast
+    join against the static exploded phrase terms, one
+    count-equals-k aggregation — no cross-batch state, no index to
+    refresh, matches are per-document so micro-batch boundaries
+    cannot change results (stream==batch is test-pinned).
+
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(phrase_id, id, start_pos)``. Returns the started
+    StreamingQuery.
+    """
+    from ..operators.search import phrase_search_many, token_postings
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            phrase_search_many(
+                token_postings(batch_df, id_col, text_col), phrases
+            ),
+            epoch_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

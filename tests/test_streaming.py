@@ -520,3 +520,43 @@ def test_asof_join_stream_equals_batch(spark, events, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got) == want and len(want) > 0
+
+
+def test_phrase_probe_stream_equals_batch(spark, tmp_path):
+    from jaccard_join_duckdb_spark.operators.search import (
+        phrase_search_many,
+        token_postings,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import phrase_probe_stream
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    phrases = spark.createDataFrame(
+        [("p1", "hash join"), ("p2", "scan filter")],
+        ["phrase_id", "phrase"],
+    )
+    want = sorted(
+        map(
+            tuple,
+            phrase_search_many(
+                token_postings(docs, "doc_id", "text"), phrases
+            ).collect(),
+        )
+    )
+
+    ddir = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(ddir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(map(tuple, df.collect()))
+
+    q = phrase_probe_stream(stream, phrases, sink=sink)
+    q.awaitTermination()
+    assert sorted(got) == want and len(want) > 0
