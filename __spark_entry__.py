@@ -896,6 +896,21 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=3, min_count=2)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined decontamination verdict table: set-containment ⋈
+    verbatim-8-gram hits with a both/set_only/ngram_only verdict per
+    (benchmark item, training doc) — same %50 split as the
+    decontaminate gate (operators/dedup.py contamination_report)."""
+    from jaccard_join_duckdb_spark.operators.dedup import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 50 == 0),
+        docs.filter(F.col("doc_id") % 50 != 0),
+        "doc_id", "text", threshold=0.9, n=8, min_hits=1,
+    )
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1209,6 +1224,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       count-equals-k aggregation for the whole phrase set).
     - ngram_counts: corpus word-n-gram counts with count pruning
       (n-gram-LM prep).
+    - contamination_report: both decontamination detectors
+      full-outer-joined into one verdict table.
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1244,6 +1261,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_search_many": q_phrase_search_many,
         "ngram_counts": q_ngram_counts,
+        "contamination_report": q_contamination_report,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1610,6 +1628,11 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "ngram_counts": oracle_ext.ngram_counts_sql(
             "documents", "doc_id", "text", n=3, min_count=2
+        ),
+        "contamination_report": oracle_ext.contamination_report_sql(
+            "(select * from documents where doc_id % 50 = 0)",
+            "(select * from documents where doc_id % 50 != 0)",
+            "doc_id", "text", 0.9, 8, 1,
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

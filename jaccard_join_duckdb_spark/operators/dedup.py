@@ -1675,3 +1675,63 @@ def winnow_duplicate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def contamination_report(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """One decontamination verdict table from BOTH detectors: set
+    containment (:func:`containment_match` — whole-item overlap,
+    robust to paraphrase-level token reordering) full-outer-joined
+    with n-gram overlap (:func:`ngram_decontaminate` — verbatim
+    quotes embedded in much larger documents, which containment
+    dilutes). The disagreement column is the operational point: a
+    ``set_only`` hit is a shuffled/partial near-copy, an
+    ``ngram_only`` hit is a verbatim excerpt inside an otherwise
+    unrelated document, ``both`` is a straight copy — each gets a
+    different quarantine policy in practice.
+
+    Output: ``(q_id, c_id, containment, n_hits, q_ngrams, hit_frac,
+    verdict)`` — detector-specific columns NULL where only the other
+    detector fired; ``verdict`` in {'both','set_only','ngram_only'}.
+
+    Scale: exactly the union of the two detectors' costs (each is
+    prefix/equi-join bounded, never all-pairs) plus one full outer
+    join on the (q_id, c_id) hit set — hit sets are small relative
+    to the corpus by construction.
+    """
+    c = containment_match(
+        query_df, corpus_df, id_col, text_col, threshold
+    ).alias("C")
+    g = ngram_decontaminate(
+        query_df, corpus_df, id_col, text_col, n, min_hits
+    ).alias("G")
+    return (
+        c.join(
+            g,
+            (F.col("C.q_id") == F.col("G.q_id"))
+            & (F.col("C.c_id") == F.col("G.c_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("C.q_id"), F.col("G.q_id")).alias("q_id"),
+            F.coalesce(F.col("C.c_id"), F.col("G.c_id")).alias("c_id"),
+            F.col("C.containment").alias("containment"),
+            F.col("G.n_hits").alias("n_hits"),
+            F.col("G.q_ngrams").alias("q_ngrams"),
+            F.col("G.hit_frac").alias("hit_frac"),
+            F.when(
+                F.col("C.q_id").isNotNull() & F.col("G.q_id").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("C.q_id").isNotNull(), F.lit("set_only"))
+            .otherwise(F.lit("ngram_only"))
+            .alias("verdict"),
+        )
+    )

@@ -1479,3 +1479,28 @@ select ngram, count(*) as n_count
 from sh group by ngram
 having count(*) >= {int(min_count)}
 """
+
+
+def contamination_report_sql(
+    q_table: str,
+    c_table: str,
+    key: str,
+    val: str,
+    threshold: float = 0.9,
+    n: int = 8,
+    min_hits: int = 1,
+) -> str:
+    """dedup.contamination_report twin: full outer join of the two
+    detector oracles with the same verdict casing."""
+    return f"""
+with cset as ({containment_match_sql(q_table, c_table, key, val, threshold)}),
+gset as ({ngram_decontaminate_sql(q_table, c_table, key, val, n, min_hits)})
+select coalesce(c.q_id, g.q_id) as q_id,
+       coalesce(c.c_id, g.c_id) as c_id,
+       c.containment, g.n_hits, g.q_ngrams, g.hit_frac,
+       case when c.q_id is not null and g.q_id is not null then 'both'
+            when c.q_id is not null then 'set_only'
+            else 'ngram_only' end as verdict
+from cset c full outer join gset g
+  on c.q_id = g.q_id and c.c_id = g.c_id
+"""

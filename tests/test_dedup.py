@@ -505,3 +505,62 @@ class TestWinnowing:
             df, "doc_id", "text", k=3, w=3, min_shared=1, max_df=3
         ).count()
         assert got == 0
+
+
+class TestContaminationReport:
+    def test_verdicts(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import contamination_report
+
+        bench = spark.createDataFrame(
+            [
+                # verbatim quote of 8+ tokens, embedded in a huge doc
+                # below -> ngram hit; containment dilutes only if the
+                # bench item ALSO has many unmatched tokens
+                (1, "alpha beta gamma delta epsilon zeta eta theta "
+                    "unmatched1 unmatched2 unmatched3 unmatched4 "
+                    "unmatched5 unmatched6 unmatched7 unmatched8 "
+                    "unmatched9 unmatched10 unmatched11 unmatched12"),
+                # scrambled token set of doc 200 -> set hit, no
+                # verbatim 8-gram
+                (2, "pp oo nn mm ll kk jj ii hh gg"),
+            ],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                (100, "filler " * 50
+                      + "alpha beta gamma delta epsilon zeta eta theta"),
+                (200, "gg hh ii jj kk ll mm nn oo pp"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.q_id, r.c_id): r
+            for r in contamination_report(
+                bench, corpus, "doc_id", "text",
+                threshold=0.9, n=8, min_hits=1,
+            ).collect()
+        }
+        assert rows[(1, 100)].verdict == "ngram_only"
+        assert rows[(1, 100)].n_hits == 1 and rows[(1, 100)].containment is None
+        assert rows[(2, 200)].verdict == "set_only"
+        assert rows[(2, 200)].containment == 1.0
+        assert rows[(2, 200)].n_hits is None
+        assert set(rows) == {(1, 100), (2, 200)}
+
+    def test_both_verdict(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import contamination_report
+
+        bench = spark.createDataFrame(
+            [(1, "one two three four five six seven eight")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [(100, "one two three four five six seven eight")],
+            ["doc_id", "text"],
+        )
+        r = contamination_report(
+            bench, corpus, "doc_id", "text", threshold=0.9, n=8
+        ).collect()
+        assert len(r) == 1 and r[0].verdict == "both"
+        assert r[0].containment == 1.0 and r[0].hit_frac == 1.0
