@@ -911,6 +911,16 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned winnowing fingerprint matches with positions — the
+    passage-localization view (operators.dedup.winnow_shared_passages)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        winnow_shared_passages,
+    )
+
+    return winnow_shared_passages(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency quality signals (perplexity
     proxy with hash-stable integer/rational math;
@@ -1226,6 +1236,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (n-gram-LM prep).
     - contamination_report: both decontamination detectors
       full-outer-joined into one verdict table.
+    - winnow_passages: aligned fingerprint matches with positions
+      (passage localization behind winnow_pairs' counts).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1262,6 +1274,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_many": q_phrase_search_many,
         "ngram_counts": q_ngram_counts,
         "contamination_report": q_contamination_report,
+        "winnow_passages": q_winnow_passages,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1633,6 +1646,9 @@ def extra_oracle_sql() -> dict[str, str]:
             "(select * from documents where doc_id % 50 = 0)",
             "(select * from documents where doc_id % 50 != 0)",
             "doc_id", "text", 0.9, 8, 1,
+        ),
+        "winnow_passages": oracle_ext.winnow_shared_passages_sql(
+            "documents", "doc_id", "text"
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

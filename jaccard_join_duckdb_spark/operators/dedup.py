@@ -1735,3 +1735,47 @@ def contamination_report(
             .alias("verdict"),
         )
     )
+
+
+def winnow_shared_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """WHERE the shared material sits: every aligned fingerprint
+    match between two documents, as ``(l_id, r_id, l_pos, r_pos,
+    fp)`` with 1-based shingle positions — the passage-localization
+    view behind :func:`winnow_duplicate_pairs`' counts (which
+    documents dedup decisions need) that an excision/attribution
+    workflow needs instead (which SPANS to cut or cite). Consecutive
+    rows with equal ``l_pos - r_pos`` offsets delineate one
+    contiguous shared run.
+
+    Same ``max_df`` boilerplate/skew cap as the pair view; same
+    fingerprint selection (so every shared run of ``w + k - 1``
+    words surfaces at least one aligned row).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = (
+        fps.select("id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") <= int(max_df))
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    L, R = fps.alias("L"), fps.alias("R")
+    return L.join(
+        R,
+        (F.col("L.fp") == F.col("R.fp")) & (F.col("L.id") < F.col("R.id")),
+    ).select(
+        F.col("L.id").alias("l_id"),
+        F.col("R.id").alias("r_id"),
+        F.col("L.pos").alias("l_pos"),
+        F.col("R.pos").alias("r_pos"),
+        F.col("L.fp").alias("fp"),
+    )

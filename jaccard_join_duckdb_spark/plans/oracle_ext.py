@@ -1504,3 +1504,19 @@ select coalesce(c.q_id, g.q_id) as q_id,
 from cset c full outer join gset g
   on c.q_id = g.q_id and c.c_id = g.c_id
 """
+
+
+def winnow_shared_passages_sql(
+    table: str, key: str, val: str, k: int = 4, w: int = 4, max_df: int = 50
+) -> str:
+    """dedup.winnow_shared_passages twin."""
+    return f"""
+with {_winnow_sel_sql(table, key, val, k, w)},
+rare as (
+  select fp from (select distinct id, fp from fp) d
+  group by fp having count(*) <= {int(max_df)}),
+fr as (select fp.* from fp join rare using (fp))
+select l.id as l_id, r.id as r_id,
+       l.pos as l_pos, r.pos as r_pos, l.fp as fp
+from fr l join fr r on l.fp = r.fp and l.id < r.id
+"""

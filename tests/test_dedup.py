@@ -564,3 +564,22 @@ class TestContaminationReport:
         ).collect()
         assert len(r) == 1 and r[0].verdict == "both"
         assert r[0].containment == 1.0 and r[0].hit_frac == 1.0
+
+
+def test_winnow_shared_passages_localizes(spark):
+    from jaccard_join_duckdb_spark.operators.dedup import winnow_shared_passages
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (0, f"one two {shared}"),          # run starts at shingle 3
+            (1, f"{shared} eight nine ten"),   # run starts at shingle 1
+            (2, "other words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = winnow_shared_passages(df, "doc_id", "text", k=3, w=3).collect()
+    assert rows, "shared 5-word run must align at least one fingerprint"
+    assert {(r.l_id, r.r_id) for r in rows} == {(0, 1)}
+    # aligned offsets: doc0's shared region starts 2 shingles later
+    assert all(r.l_pos - r.r_pos == 2 for r in rows)
