@@ -911,6 +911,17 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector validation stats over the embeddings table (dim /
+    NULL / NaN / zero counts + order-stable squared norm;
+    operators.similarity.embedding_stats)."""
+    from jaccard_join_duckdb_spark.operators.similarity import embedding_stats
+
+    return embedding_stats(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
 def q_winnow_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aligned winnowing fingerprint matches with positions — the
     passage-localization view (operators.dedup.winnow_shared_passages)."""
@@ -1238,6 +1249,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       full-outer-joined into one verdict table.
     - winnow_passages: aligned fingerprint matches with positions
       (passage localization behind winnow_pairs' counts).
+    - embedding_stats: per-vector dim/NULL/NaN/zero validation +
+      order-stable squared norm (the pre-ANN data-QA pass).
 
     Variants whose logic is already graded through a composite gated
     query:
@@ -1275,6 +1288,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "contamination_report": q_contamination_report,
         "winnow_passages": q_winnow_passages,
+        "embedding_stats": q_embedding_stats,
         "jaccard_inner_ws_brute": q_jaccard_inner_ws_brute,
         "corpus_curate": q_corpus_curate,
         "jaccard_self_ws_bag_brute": q_jaccard_self_ws_bag_brute,
@@ -1649,6 +1663,9 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "winnow_passages": oracle_ext.winnow_shared_passages_sql(
             "documents", "doc_id", "text"
+        ),
+        "embedding_stats": oracle_ext.embedding_stats_sql(
+            "embeddings", "vec_id", "embedding"
         ),
         "edit_distance_link": """
 select l.c_custkey as l_id, r.c_custkey as r_id,

@@ -38,6 +38,7 @@ __all__ = [
     "cosine_near_duplicates",
     "cosine_near_duplicates_lsh_banded",
     "embedding_lsh_index",
+    "embedding_stats",
     "embedding_lsh_match",
     "read_embedding_lsh_index",
     "write_embedding_lsh_index",
@@ -1040,4 +1041,47 @@ def lsh_bucket_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def embedding_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector validation stats — the data-QA pass that runs
+    BEFORE any ANN/near-dup job at scale (one corrupt batch of NaN
+    or zero vectors silently poisons every cosine downstream):
+
+    - ``dim``: array length (-1 for NULL vectors) — a corpus whose
+      ``dim`` column isn't constant mixes embedding versions;
+    - ``n_null``: NULL elements inside the vector;
+    - ``n_nan``: NaN elements;
+    - ``n_zero``: exact-0.0 elements;
+    - ``sq_norm``: sum of squares as a round-6 double. Computed with
+      a left-to-right ``aggregate`` fold so the summation ORDER is
+      fixed per row — bit-stable across engines, unlike a
+      parallel/tree reduction (the same determinism discipline as
+      the cosine kernels); NaN propagates (a NaN vector reports NaN,
+      not a number).
+
+    Per-row outputs only (no cross-row float aggregation — corpus
+    rollups of these columns are exact integer/boolean counts the
+    caller can take with a plain groupBy). Scan-shaped: no shuffle,
+    no UDF.
+    """
+    v = F.col(vec_col)
+    is_nan = lambda x: F.isnan(x) & x.isNotNull()
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(v.isNull(), F.lit(-1)).otherwise(F.size(v)).alias("dim"),
+        F.size(F.filter(v, lambda x: x.isNull())).alias("n_null"),
+        F.size(F.filter(v, is_nan)).alias("n_nan"),
+        F.size(F.filter(v, lambda x: x == F.lit(0.0))).alias("n_zero"),
+        F.round(
+            F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("sq_norm"),
     )

@@ -1520,3 +1520,22 @@ select l.id as l_id, r.id as r_id,
        l.pos as l_pos, r.pos as r_pos, l.fp as fp
 from fr l join fr r on l.fp = r.fp and l.id < r.id
 """
+
+
+def embedding_stats_sql(table: str, key: str, vec: str) -> str:
+    """similarity.embedding_stats twin: list_reduce mirrors the
+    Spark side's left-to-right fold (same summation order => same
+    double)."""
+    return f"""
+select {key} as id,
+       CAST(case when {vec} is null then -1 else len({vec}) end AS INTEGER)
+         as dim,
+       CAST(len(list_filter({vec}, x -> x is null)) AS INTEGER) as n_null,
+       CAST(len(list_filter({vec}, x -> isnan(x))) AS INTEGER) as n_nan,
+       CAST(len(list_filter({vec}, x -> x = 0.0)) AS INTEGER) as n_zero,
+       round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform({vec}, x -> CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x * x), 6) as sq_norm
+from {table}
+"""

@@ -254,3 +254,29 @@ def test_embedding_lsh_index_bucketed_roundtrip(spark, embeddings):
         spark.sql("drop table if exists emb_idx_rt_vecs")
         spark.sql("drop table if exists emb_idx_rt_meta")
         idx.unpersist()
+
+
+class TestEmbeddingStats:
+    def test_crafted(self, spark):
+        import math
+
+        from jaccard_join_duckdb_spark.operators.similarity import (
+            embedding_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, [3.0, 4.0]),
+                (1, [0.0, 0.0, 0.0]),
+                (2, [float("nan"), 1.0]),
+                (3, None),
+                (4, [None, 2.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.id: r for r in embedding_stats(df).collect()}
+        assert (rows[0].dim, rows[0].sq_norm) == (2, 25.0)
+        assert (rows[1].n_zero, rows[1].sq_norm) == (3, 0.0)
+        assert rows[2].n_nan == 1 and math.isnan(rows[2].sq_norm)
+        assert rows[3].dim == -1 and rows[3].sq_norm is None
+        assert rows[4].n_null == 1
