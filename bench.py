@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "winnow_pairs",
     "phrase_search_many",
+    "phrase_search",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram",
@@ -50,6 +51,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_lsh_banded_topk",
     "ann_ivf_topk",
+    "embedding_stats",
     "text_token_counts",
     "text_stats",
     "text_lang_id",
