@@ -838,7 +838,8 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (SIGMOD'03) fingerprint selection over word
     4-shingles, window 4 — selection depends on hash ORDER, so both
-    engines run the portable poly_hash (operators.dedup.winnow_fingerprints)."""
+    engines hash with the portable md5-uint32 construction
+    (operators.dedup.winnow_fingerprints)."""
     from jaccard_join_duckdb_spark.operators.dedup import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")

@@ -868,14 +868,11 @@ def ngram_counts(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from ..tokenizers import _ensure_parallelism
+
     # shingling parallelism equals the scan's split count; rebalance
-    # compacted single-split corpora first (no-op on real layouts —
-    # same rationale as dedup.winnow_fingerprints)
-    narrow = df.select(id_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
-    df = narrow
+    # compacted single-split corpora first (no-op on real layouts)
+    df = _ensure_parallelism(df.select(id_col, text_col))
     toks = ws_token_array(F.col(text_col))
     shingles = F.when(
         F.size(toks) - F.lit(n - 1) >= 1,

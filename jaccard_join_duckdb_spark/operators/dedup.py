@@ -1560,7 +1560,7 @@ def winnow_fingerprints(
     (an interpreted per-char fold like poly_hash costs ~10x here).
 
     Output: ``(id, pos, fp)`` — distinct selected (shingle index,
-    31-bit hash) pairs per document. Documents shorter than ``k``
+    32-bit md5-uint32 hash) pairs per document. Documents shorter than ``k``
     words emit nothing; with fewer than ``w`` shingles the single
     window spans them all (their full text is shorter than the
     guarantee threshold, but they still fingerprint).
@@ -1572,19 +1572,13 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     from ..functions.text import ws_token_array
+    from ..tokenizers import _ensure_parallelism
 
     # Fingerprinting is pure per-row compute with no shuffle of its
-    # own, so its parallelism equals the SCAN's split count. A
-    # compacted corpus (single-row-group parquet — the testdata
-    # shape) scans as one task and serializes the whole hash+window
-    # pipeline; rebalance the narrow (id, text) projection first
-    # (6x at sf0.1). On a real multi-split layout the condition is
-    # false and no shuffle is added.
-    narrow = df.select(id_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
-    df = narrow
+    # own, so its parallelism equals the SCAN's split count; rebalance
+    # compacted single-split corpora (6x at sf0.1 testdata), a no-op
+    # on real multi-split layouts.
+    df = _ensure_parallelism(df.select(id_col, text_col))
 
     def _seq1(stop: Column) -> Column:
         """sequence(1, stop), EMPTY when stop < 1 — bare sequence()

@@ -55,16 +55,12 @@ def token_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``functions.text.ws_token_array``, duplicates kept — positions
     distinguish them)."""
     from ..functions.text import ws_token_array
+    from ..tokenizers import _ensure_parallelism
 
     # tokenization parallelism equals the scan's split count; a
     # compacted (single-row-group) corpus would serialize the whole
-    # explode — rebalance the narrow projection first, a no-op on
-    # real multi-split layouts (same rationale as
-    # dedup.winnow_fingerprints).
-    narrow = df.select(id_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
+    # explode — rebalance first, a no-op on real multi-split layouts.
+    narrow = _ensure_parallelism(df.select(id_col, text_col))
     return narrow.select(
         F.col(id_col).alias("id"),
         F.posexplode(ws_token_array(F.col(text_col))).alias("p0", "token"),
@@ -178,6 +174,18 @@ def phrase_search_many(
     from ..functions.text import ws_token_array
 
     bag = ws_token_array(F.col("phrase"))  # same fold as the postings
+    # a NULL/empty/whitespace phrase explodes to zero term rows and
+    # would silently vanish from the output — in forensics that reads
+    # as "zero hits", a false negative. Same contract as
+    # phrase_search: reject up front (one tiny job on the phrase set).
+    bad = phrases.filter(
+        F.col("phrase").isNull() | (F.size(bag) == 0)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"phrase {bad[0]['phrase_id']!r} has no tokens — every "
+            "phrase must contain at least one token"
+        )
     terms = phrases.select(
         F.col("phrase_id"),
         F.size(bag).alias("k"),

@@ -74,13 +74,17 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts_col)]
-    # NULL-timestamp semantics, matching DuckDB ASOF's comparison
-    # (NULL <= ts is never true): right rows with NULL ts can match
-    # nothing — drop them BEFORE the union so they cannot be carried;
-    # left rows with NULL ts stay (every left row survives a left
-    # join) and sort before all right rows (nulls-first in BOTH
-    # directions), so the carry window is empty and they emit NULLs.
-    right = right.filter(F.col(ts_col).isNotNull())
+    # NULL semantics, matching DuckDB ASOF's comparisons (NULL <= ts
+    # is never true; NULL = key never equi-matches): right rows with
+    # a NULL ts OR a NULL key can match nothing — drop them BEFORE
+    # the union so the window (which groups NULL keys together like
+    # any partitionBy) cannot carry them; left rows with NULL ts/key
+    # stay (every left row survives a left join), sort before all
+    # right rows (nulls-first in BOTH directions) or land in a
+    # right-free NULL-key partition, and so emit NULL matches.
+    right = right.filter(
+        F.col(ts_col).isNotNull() & F.col(key).isNotNull()
+    )
 
     r_payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]

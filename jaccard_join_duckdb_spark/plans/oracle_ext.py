@@ -1418,7 +1418,8 @@ def phrase_search_sql(table: str, key: str, val: str, phrase: str) -> str:
         for i in range(1, len(terms))
     )
     preds = " and ".join(
-        f"t{i}.token = '{t}'" for i, t in enumerate(terms)
+        "t{}.token = '{}'".format(i, t.replace("'", "''"))
+        for i, t in enumerate(terms)
     )
     return f"""
 with toks as (

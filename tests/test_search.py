@@ -94,3 +94,16 @@ def test_phrase_search_many_equals_singles(spark, corpus):
         got.setdefault(r.phrase_id, []).append((r.id, r.start_pos))
     for pid, phrase in probes:
         assert sorted(got.get(pid, [])) == _hits(phrase_search(p, phrase)), pid
+
+
+def test_phrase_search_many_rejects_empty_phrase(spark, corpus):
+    from jaccard_join_duckdb_spark.operators.search import phrase_search_many
+
+    p = token_postings(corpus, "doc_id", "text")
+    for bad in ("   ", None):
+        phrases = spark.createDataFrame(
+            [("ok", "quick brown"), ("bad", bad)],
+            "phrase_id string, phrase string",
+        )
+        with pytest.raises(ValueError, match="'bad'"):
+            phrase_search_many(p, phrases)

@@ -109,3 +109,12 @@ def test_null_timestamps_both_sides(spark):
         (1, None, None),   # no right row at/after t10 with a real ts
         (2, None, None),
     }
+
+
+def test_null_keys_never_match(spark):
+    """NULL keys never equi-match (DuckDB ASOF join-condition
+    semantics): NULL-key right rows are dropped, NULL-key left rows
+    survive unmatched."""
+    L = _left(spark, [(1, None, _ts(10)), (2, "u", _ts(10))])
+    R = _right(spark, [(100, None, _ts(5)), (101, "u", _ts(5))])
+    assert _run(L, R) == {(1, None, None), (2, 101, _ts(5))}
