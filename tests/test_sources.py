@@ -347,3 +347,26 @@ def test_write_training_shards_balanced_and_deterministic(spark, documents, tmp_
         for r in spark.read.parquet(p2).select("doc_id", "shard").collect()
     }
     assert got2 == got
+
+
+def test_read_jsonl_gzip_transparent(spark, tmp_path):
+    """Training corpora usually ship as .jsonl.gz; Spark's JSONL
+    reader must decompress by extension with identical rows (gzip is
+    NOT splittable — one task per file — so sharded .gz files are the
+    scalable layout, one reason the shard writer exists)."""
+    import gzip
+    import json as _json
+
+    rows = [{"doc_id": i, "text": f"doc number {i}"} for i in range(20)]
+    plain = tmp_path / "docs.jsonl"
+    gz = tmp_path / "docs.jsonl.gz"
+    payload = "\n".join(_json.dumps(r) for r in rows)
+    plain.write_text(payload)
+    with gzip.open(gz, "wt") as f:
+        f.write(payload)
+
+    from jaccard_join_duckdb_spark.sources import read_jsonl
+
+    a = sorted(map(tuple, read_jsonl(spark, str(plain)).collect()))
+    b = sorted(map(tuple, read_jsonl(spark, str(gz)).collect()))
+    assert a == b and len(a) == 20
