@@ -161,10 +161,16 @@ def _positional_grams(rows: DataFrame, q: int) -> DataFrame:
         "id",
         "len",
         F.greatest(F.col("len") - (q - 1), F.lit(0)).alias("m"),
+        # the `if` guards sequence(1, 0), which steps DOWNWARD to
+        # [1, 0] and would fabricate two truncated grams for
+        # strings shorter than q (harmless supersets — m still
+        # routes them to the short fallback — but wasted join rows)
         F.expr(
-            f"transform(sequence(1, greatest(length(s) - {q - 1}, 0)),"
-            f" i -> struct(xxhash64(substr(s, i, {q})) as gram,"
-            f"             CAST(i AS INT) as pos))"
+            f"if(length(s) >= {q},"
+            f"   transform(sequence(1, length(s) - {q - 1}),"
+            f"     i -> struct(xxhash64(substr(s, i, {q})) as gram,"
+            f"                 CAST(i AS INT) as pos)),"
+            f"   cast(array() as array<struct<gram:bigint,pos:int>>))"
         ).alias("grams"),
     )
 
