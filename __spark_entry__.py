@@ -1143,15 +1143,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_jaccard_self_ws(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The GRADED inventory — the driver compares the first 50
-    entries against :func:`oracle_sql`; this dict is kept to <= 50 so
-    EVERY declared query gets a CORRECTNESS row (round-4 verdict #1:
-    at 53 entries the last three silently fell off the gate).
-    Reference-surface queries (SURVEY.md §2) lead. Redundant gate
-    entries whose logic is already graded through a composite query
-    live in :func:`extra_queries` (same contract, graded by
-    ``tools/check_entry.py`` + pytest instead of the driver)."""
+# The driver grades exactly the names in _GATED (kept <= 50, the
+# driver's row window). The window ROTATES across rounds so every
+# declared query earns a driver-signed CORRECTNESS row (round-5
+# verdict #2): round 5 graded the 50 reference-surface-plus-core
+# names; round 6 promotes the 25 queries that were extras in round 5
+# and keeps the 25 most load-bearing round-5 names, so the union of
+# CORRECTNESS_r05 + CORRECTNESS_r06 covers the full inventory.
+# Everything NOT in _GATED is still hash-verified every round by
+# ``tools/check_entry.py`` (merges both dicts) and pytest.
+_GATED = [
+    # --- promoted from round-5 extras (first driver-signed rows) ---
+    "stratified_sample",
+    "deterministic_shuffle",
+    "multimodal_audio",
+    "boilerplate_lines",
+    "url_domains",
+    "pack_sequences",
+    "corpus_curate_clean",
+    "jaccard_inner_ws_scored",
+    "edit_distance_link",
+    "text_rarity",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "phrase_search",
+    "phrase_search_many",
+    "ngram_counts",
+    "contamination_report",
+    "winnow_passages",
+    "embedding_stats",
+    "jaccard_inner_ws_brute",
+    "corpus_curate",
+    "jaccard_self_ws_bag_brute",
+    "simhash_fingerprints",
+    "dedup_embed_cosine_lsh",
+    "ann_lsh_topk",
+    "ann_pandas_topk",
+    # --- round-5-graded keepers (reference surface + one per family) ---
+    "jaccard_self_ws",
+    "jaccard_self_ws_hotsplit",
+    "jaccard_self_qgram",
+    "jaccard_inner_ws",
+    "evaluate_metrics",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_containment",
+    "dedup_clusters",
+    "decontaminate",
+    "decontaminate_ngram",
+    "edit_distance_join",
+    "corpus_curate_full",
+    "dedup_embed_cosine_lsh_banded",
+    "ann_lsh_banded_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "text_lang_id",
+    "corpus_profile",
+    "events_asof_join",
+    "events_sessionize",
+    "dedup_stream_batch",
+    "data_split",
+    "text_repetition",
+    "events_hourly",
+]
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EVERY declared query — the full inventory. :func:`queries`
+    (driver-graded) and :func:`extra_queries` (check_entry/pytest-
+    graded) are disjoint selections from this dict keyed by
+    ``_GATED``."""
     return {
         # --- reference surface (SURVEY.md §2) ---
         "jaccard_self_ws": q_jaccard_self_ws,
@@ -1210,68 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": q_events_running_totals,
         "events_interval_join": q_events_interval_join,
         "events_asof_join": q_events_asof_join,
-    }
-
-
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Same contract as :func:`queries`, NOT driver-graded (keeps the
-    graded dict <= the driver's 50-row window). Two kinds of entries
-    live here, all hash-checked via ``tools/check_entry.py`` (which
-    merges both dicts) and pytest:
-
-    Post-window additions (the graded dict is full at 50):
-
-    - stratified_sample: per-stratum deterministic quota sampling.
-    - deterministic_shuffle: reproducible global permutation + rank.
-    - multimodal_audio: Arrow-batched audio decode (real WAV header
-      path tested on crafted payloads in test_multimodal).
-    - boilerplate_lines: line-level boilerplate removal (shared
-      footer lines dropped corpus-wide, ordered reassembly).
-    - url_domains: per-domain URL stats (blocklist planning view;
-      the filter twin is pytest-covered filter_blocked_domains).
-    - pack_sequences: concrete (seq_id, slot) packing assignment
-      under the model pack_stats estimates (invariants pytest-pinned
-      against packing_stats).
-    - corpus_curate_clean: the curation pipeline with the Gopher
-      repetition gate engaged (composed-oracle hash-checked).
-    - edit_distance_link: two-table Levenshtein linkage (the gated
-      edit_distance_join grades the shared candidate+verify core).
-    - text_rarity: corpus-relative token-frequency quality signals
-      (perplexity proxy; integer-exact so it hash-matches).
-    - winnow_fingerprints / winnow_pairs: SIGMOD'03 winnowing
-      fingerprint selection + shared-passage pair candidates.
-    - phrase_search: positional-postings exact phrase lookup
-      (rarest-term-anchored intersection; bucketed index in pytest).
-    - phrase_search_many: batch multi-phrase probe (one join + one
-      count-equals-k aggregation for the whole phrase set).
-    - ngram_counts: corpus word-n-gram counts with count pruning
-      (n-gram-LM prep).
-    - contamination_report: both decontamination detectors
-      full-outer-joined into one verdict table.
-    - winnow_passages: aligned fingerprint matches with positions
-      (passage localization behind winnow_pairs' counts).
-    - embedding_stats: per-vector dim/NULL/NaN/zero validation +
-      order-stable squared norm (the pre-ANN data-QA pass).
-
-    Variants whose logic is already graded through a composite gated
-    query:
-
-    - jaccard_inner_ws_scored: inner join graded by jaccard_inner_ws,
-      score arithmetic by jaccard_self_ws_scored.
-    - jaccard_inner_ws_brute: J8/C4 brute semantics graded by
-      jaccard_self_ws_brute; the inner-specific widow/df-product
-      handling by jaccard_inner_ws.
-    - corpus_curate: stage subset of the gated corpus_curate_full.
-    - jaccard_self_ws_bag_brute: grades only T1's bag flag on the
-      already-gated brute join.
-    - simhash_fingerprints: projection of dedup_simhash's input stage.
-    - dedup_embed_cosine_lsh: single-band blocking; the banded gate's
-      band 0 is this exact plane set (superset pinned in pytest).
-    - ann_lsh_topk: building block of ann_lsh_banded_topk (band 0).
-    - ann_pandas_topk: alternative kernel for ann_cosine_topk's
-      results (rank-projection identical; score tolerance in pytest).
-    """
-    return {
+        # --- beyond-window additions (rotated INTO the gate round 6) ---
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
         "multimodal_audio": q_multimodal_audio,
@@ -1298,6 +1298,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The GRADED inventory — exactly the ``_GATED`` names (<= 50, the
+    driver's row window). See ``_GATED`` for the rotation story."""
+    q = _all_queries()
+    return {k: q[k] for k in _GATED}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every declared query NOT in this round's driver window. Same
+    contract as :func:`queries`; graded by ``tools/check_entry.py``
+    (which merges both dicts) + pytest, and by the driver in the round
+    where the rotation window covers it (all of these were driver-green
+    in CORRECTNESS_r05.json)."""
+    q = _all_queries()
+    gated = set(_GATED)
+    return {k: v for k, v in q.items() if k not in gated}
 
 
 def _evaluate_metrics_sql() -> str:
@@ -1334,7 +1352,10 @@ from cnt
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for EVERY entry in :func:`_all_queries`.
+    :func:`oracle_sql` / :func:`extra_oracle_sql` select by
+    ``_GATED`` exactly like the query selectors."""
     return {
         "jaccard_self_ws": ref_sql.self_filtered_sql(
             "documents", "doc_id", "text", _WS, T_SELF, "l_doc_id", "r_doc_id"
@@ -1597,13 +1618,6 @@ select CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) as month,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) as revenue
 from orders group by 1
 """,
-    }
-
-
-def extra_oracle_sql() -> dict[str, str]:
-    """DuckDB twins for :func:`extra_queries` — identical contract to
-    :func:`oracle_sql`, consumed by ``tools/check_entry.py``."""
-    return {
         "stratified_sample": oracle_ext.stratified_sample_sql(
             "(select doc_id, lang from documents)", "doc_id", "lang",
             {"en": 0.5, "de": 1.0}, default_rate=0.25,
@@ -1710,3 +1724,19 @@ where levenshtein(l.c_name, r.c_name) <= 1
             + ")"
         ),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for this round's driver window (:func:`queries`).
+    Queries with no entry here get the driver's weaker rows-only
+    check."""
+    o = _all_oracle_sql()
+    return {k: o[k] for k in _GATED if k in o}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for :func:`extra_queries` — identical contract to
+    :func:`oracle_sql`, consumed by ``tools/check_entry.py``."""
+    o = _all_oracle_sql()
+    gated = set(_GATED)
+    return {k: v for k, v in o.items() if k not in gated}
