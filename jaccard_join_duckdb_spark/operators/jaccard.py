@@ -45,6 +45,8 @@ Scale design (100 TB target):
 
 from __future__ import annotations
 
+import re
+from decimal import Decimal
 from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
@@ -71,29 +73,39 @@ __all__ = [
 #
 # The reference interpolates the Python threshold into SQL text
 # (f"{self._t}", jaccard_join.py:160 etc.), where DuckDB parses the
-# bare literal as DECIMAL — so "0.2" means exactly 2/10, every
-# multiplication/addition of it is exact, and the single division by
-# (1+t) is one correctly-rounded double op on exact operands. A naive
-# Spark double chain diverges on ties: len=3, t=0.2 gives
-# 3*2*0.2/1.2 = 1.0000000000000002 in chained doubles but exactly
-# 1.0 in DuckDB — dropping a boundary prefix token and losing a true
-# pair (found by property fuzzing; corpus pinned in
-# tests/test_property_fuzz.py::test_decimal_tie_parity_inner).
+# bare literal as DECIMAL — so "0.2" means exactly 2/10 and every
+# multiplication/addition of it is exact. Crucially, the division by
+# (1+t) is NOT exact: DuckDB converts EACH decimal operand to DOUBLE
+# first, then divides. At an exact integer tie the quotient can land
+# one ulp off in either direction — e.g. (83+85)*0.2/(1+0.2):
+# numerator 33.6 (exact decimal) -> double 33.600000000000001421,
+# denominator 1.2 -> double 1.1999999999999999556, quotient
+# 28.000000000000004 — so DuckDB REJECTS overlap 28 even though the
+# exact bound is exactly 28 (db10 5-gram t=0.2, 46 tie pairs; see
+# tests/test_property_fuzz.py::test_division_tie_parity). Conversely
+# 3*2*0.2/1.2 = 1.2/1.2 = exactly 1.0 at double, accepting the tie a
+# naive chained-double 6*0.2 = 1.2000000000000002 would reject
+# (tests/test_property_fuzz.py::test_decimal_tie_parity_inner).
 #
-# We therefore evaluate each comparison in exact integer arithmetic
-# by cross-multiplying with the threshold's decimal denominator
-# (t = num/den via Fraction(repr(t))): ``X >= len*t`` becomes
-# ``X*den >= len*num``, ``X >= s*t/(1+t)`` becomes
-# ``X*(den+num) >= s*num``. For division-bearing bounds this equals
-# DuckDB's rounded double division whenever the bound's rational
-# denominator (den+num <= ~2e6) times the compared magnitude stays
-# below 2^52 — far beyond any real token-set size. Thresholds whose
-# repr is not a short decimal fall back to the double chain (and the
-# oracle SQL emits CAST AS DOUBLE for them — plans/ref_sql.py keeps
-# its gate in lockstep). The 1e5 cap also keeps the Spark-SQL surface
-# aligned: Spark DECIMAL division rounds at scale 6, and with
-# denominator <= 1e5 the bound's rational granularity (>= 5e-6) stays
-# above that rounding, so all three evaluation styles agree on ties.
+# MULTIPLY-ONLY bounds (``X >= len*t``): the decimal product is exact
+# and the integer-vs-decimal comparison is exact, so we evaluate them
+# in exact integer arithmetic by cross-multiplying with the
+# threshold's decimal denominator (t = num/den via Fraction(repr(t))):
+# ``X*den >= len*num``.
+#
+# DIVISION-BEARING bounds (``X >= s*t/(1+t)``): emulated
+# operand-for-operand — exact DECIMAL product, cast to double
+# (correctly rounded on both engines: Spark's BigDecimal.doubleValue
+# and DuckDB's mantissa/10^scale double division), divided by the
+# double nearest to the exact decimal (1+t). Equality with DuckDB is
+# pinned over a (threshold x size) grid in
+# tests/test_property_fuzz.py::test_division_tie_parity.
+#
+# Thresholds whose repr is not a plain decimal literal (scientific
+# notation, or denominator > 1e5) fall back to the chained-double
+# form — and the oracle SQL emits CAST AS DOUBLE for them, which
+# makes DuckDB's arithmetic the same chained-double evaluation
+# (plans/ref_sql.py keeps its gate in lockstep).
 
 _MAX_EXACT_DEN = 100_000
 
@@ -101,23 +113,51 @@ _MAX_EXACT_DEN = 100_000
 def _t_fraction(t: float) -> Fraction | None:
     """The threshold as the exact rational DuckDB sees, or None when
     its decimal expansion is too wide for 64-bit cross-multiplied
-    comparisons."""
+    comparisons (or not a plain decimal literal — DuckDB would parse
+    scientific notation as DOUBLE, not DECIMAL)."""
+    if _t_decimal(t) is None:
+        return None
     try:
         fr = Fraction(repr(float(t)))
-    except (ValueError, OverflowError):
+    except (ValueError, OverflowError):  # pragma: no cover
         return None
     return fr if 0 < fr.denominator <= _MAX_EXACT_DEN else None
 
 
+def _t_decimal(t: float) -> Decimal | None:
+    """``repr(t)`` as the exact Decimal DuckDB's parser produces for a
+    plain ``digits.digits`` literal; None when the repr is scientific
+    notation (parsed as DOUBLE by DuckDB) or too wide for the
+    cross-multiplied comparisons to stay in 64-bit range."""
+    r = repr(float(t))
+    if not re.fullmatch(r"\d+(\.\d+)?", r):
+        return None
+    try:
+        if not 0 < Fraction(r).denominator <= _MAX_EXACT_DEN:
+            return None
+    except (ValueError, OverflowError):  # pragma: no cover
+        return None
+    return Decimal(r)
+
+
+def _div_bound(sum_col: Column, t: float) -> Column:
+    """``(sum * t) / (1 + t)`` exactly as DuckDB evaluates the
+    oracle's bare-decimal threshold: exact DECIMAL product, cast to
+    double, divided by the double nearest to the exact decimal
+    ``1 + t`` (see the "threshold bounds" block above)."""
+    dec = _t_decimal(t)
+    if dec is None:
+        return sum_col * F.lit(float(t)) / F.lit(1.0 + float(t))
+    scale = max(0, -dec.as_tuple().exponent)
+    prec = max(len(dec.as_tuple().digits), scale + 1)
+    t_lit = F.expr(f"CAST({dec} AS DECIMAL({prec},{max(scale, 1)}))")
+    return (sum_col * t_lit).cast("double") / F.lit(float(Decimal(1) + dec))
+
+
 def _overlap_cond(lhs: Column, l_len: Column, r_len: Column, t: float) -> Column:
     """``lhs >= ((L.len + R.len) * t / (1+t))`` — jaccard_join.py:183,
-    tie-exact."""
-    fr = _t_fraction(t)
-    if fr is None:
-        return lhs >= (l_len + r_len) * F.lit(float(t)) / F.lit(1.0 + t)
-    return lhs * F.lit(fr.denominator + fr.numerator) >= (
-        l_len + r_len
-    ) * F.lit(fr.numerator)
+    division-tie-faithful."""
+    return lhs >= _div_bound(l_len + r_len, t)
 
 
 def _length_cond(big_len: Column, small_len: Column, t: float) -> Column:
@@ -130,15 +170,8 @@ def _length_cond(big_len: Column, small_len: Column, t: float) -> Column:
 
 def _indexing_prefix_cond(length: Column, pos: Column, t: float) -> Column:
     """``len - pos + 1 >= (len * 2 * t / (1+t))`` — jaccard_join.py:160,
-    tie-exact."""
-    fr = _t_fraction(t)
-    if fr is None:
-        return (
-            length - pos + 1 >= length * 2 * F.lit(float(t)) / F.lit(1.0 + t)
-        )
-    return (length - pos + 1) * F.lit(fr.denominator + fr.numerator) >= (
-        length * 2
-    ) * F.lit(fr.numerator)
+    division-tie-faithful."""
+    return length - pos + 1 >= _div_bound(length * 2, t)
 
 
 def _probing_prefix_cond(length: Column, pos: Column, t: float) -> Column:

@@ -221,6 +221,45 @@ def test_decimal_tie_parity_inner(_spark):
     assert brute == expected
 
 
+def test_division_tie_parity(_spark):
+    """The division-bearing bound ``s*t/(1+t)`` must be BIT-IDENTICAL
+    to DuckDB's evaluation of the oracle's bare-decimal literal for
+    every set-size sum s and gate threshold. DuckDB converts each
+    exact DECIMAL operand to double BEFORE dividing, so at an exact
+    integer tie the quotient can land one ulp high — e.g.
+    (83+85)*0.2/1.2 = 28.000000000000004, REJECTING overlap 28 even
+    though the exact bound is 28 (db10 5-gram t=0.2: 46 such tie
+    pairs) — while 3*2*0.2/1.2 = 1.2/1.2 is exactly 1.0, ACCEPTING a
+    tie that a chained Spark double 6*0.2/1.2 would reject. Neither
+    exact-rational nor chained-double arithmetic reproduces both;
+    operators/jaccard._div_bound emulates the decimal-product ->
+    double -> divide pipeline operand-for-operand."""
+    duckdb = pytest.importorskip("duckdb")
+    from jaccard_join_duckdb_spark.operators.jaccard import _div_bound
+
+    con = duckdb.connect()
+    for t in (0.2, 0.3, 0.4, 0.5, 0.8, 0.9, 0.95):
+        dd = [
+            r[0]
+            for r in con.execute(
+                f"select (s * {t!r} / (1 + {t!r})) "
+                "from range(1, 2001) tbl(s) order by s"
+            ).fetchall()
+        ]
+        df = _spark.range(1, 2001).select(F.col("id").alias("s"))
+        sp = [
+            r["b"]
+            for r in df.select(
+                F.col("s"),
+                _div_bound(F.col("s").cast("int"), t).alias("b"),
+            )
+            .orderBy("s")
+            .collect()
+        ]
+        assert sp == dd, f"t={t}"
+    con.close()
+
+
 def test_case_collapse_quirk_parity_inner(_spark):
     """Golden regression for the dedup-before-lowercase tokenizer
     quirk on the inner path, verified against /root/reference

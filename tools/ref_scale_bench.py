@@ -1,0 +1,306 @@
+"""Reference-scale benchmark: the BASELINE.md grid, cell by cell.
+
+Runs the Spark engine on the regenerated db10/db50/db100 person-profile
+corpora (tools/gen_refscale.py) over the exact configuration grid whose
+timings the reference recorded (BASELINE.md, notebook.ipynb cells
+39-74): whitespace + 5-gram self-joins down to t=0.2, two-table inner
+joins on split halves, brute-force twins, and the evaluate() quality
+cells against ground truth.
+
+For each cell it reports:
+
+- ``spark_mean`` / ``spark_min`` over n runs (tokenize through full
+  materialization, forced with .count(); cache cleared between runs),
+- ``ref_s``: the reference's published number (different hardware,
+  recorded in BASELINE.md — the honest cross-hardware anchor),
+- ``duckdb_s``: the SAME reference pipeline executed by DuckDB on THIS
+  machine over the SAME parquet (plans/ref_sql.py — the same-machine
+  yardstick adopted in BENCHMARKS.md), when --duckdb is on (default).
+
+Usage::
+
+    python tools/ref_scale_bench.py [--quick] [--no-duckdb] [--cell SUBSTR]
+
+Prints one JSON line per cell plus a final markdown table block
+(appended to refscale/RESULTS.md) and a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "refscale")
+
+# (cell, dataset, mode, tokenizer, threshold, n_runs, ref_seconds)
+# ref_seconds from BASELINE.md; None = no published number.
+CELLS = [
+    ("db10 self ws t=0.8",        "db10",  "self",  "ws", 0.8, 5, 0.294),
+    ("db10 self ws t=0.5",        "db10",  "self",  "ws", 0.5, 5, 0.300),
+    ("db10 self ws t=0.3",        "db10",  "self",  "ws", 0.3, 5, 3.22),
+    ("db10 self ws t=0.2",        "db10",  "self",  "ws", 0.2, 5, 5.05),
+    ("db10 self ws t=0.8 brute",  "db10",  "brute", "ws", 0.8, 2, 11.60),
+    ("db10 self ws t=0.5 brute",  "db10",  "brute", "ws", 0.5, 2, 10.33),
+    ("db10 self ws t=0.2 brute",  "db10",  "brute", "ws", 0.2, 2, 11.34),
+    ("db10 self 5g t=0.5",        "db10",  "self",  "5g", 0.5, 3, 1.67),
+    ("db10 self 5g t=0.2",        "db10",  "self",  "5g", 0.2, 2, 16.81),
+    ("db50 self ws t=0.8",        "db50",  "self",  "ws", 0.8, 3, 0.97),
+    ("db50 self ws t=0.5",        "db50",  "self",  "ws", 0.5, 3, 1.40),
+    ("db50 self ws t=0.4",        "db50",  "self",  "ws", 0.4, 3, 16.92),
+    ("db50 self ws t=0.3",        "db50",  "self",  "ws", 0.3, 2, 45.53),
+    ("db100 self ws t=0.8",       "db100", "self",  "ws", 0.8, 3, 1.87),
+    ("db100 self ws t=0.5",       "db100", "self",  "ws", 0.5, 3, 3.35),
+    ("db100 self ws t=0.4",       "db100", "self",  "ws", 0.4, 2, 141.9),
+    ("inner db10 ws t=0.8",       "db10",  "inner", "ws", 0.8, 3, 0.274),
+    ("inner db10 ws t=0.5",       "db10",  "inner", "ws", 0.5, 3, 1.35),
+    ("inner db10 ws t=0.2",       "db10",  "inner", "ws", 0.2, 2, 9.86),
+    ("inner db10 ws t=0.5 brute", "db10",  "innerbrute", "ws", 0.5, 2, 7.02),
+    ("inner db50 ws t=0.8",       "db50",  "inner", "ws", 0.8, 3, 0.603),
+    ("inner db50 ws t=0.5",       "db50",  "inner", "ws", 0.5, 3, 5.08),
+    ("inner db50 ws t=0.3",       "db50",  "inner", "ws", 0.3, 2, 32.56),
+    ("inner db50 ws t=0.5 brute", "db50",  "innerbrute", "ws", 0.5, 1, 35.19),
+]
+
+# quality cells: (cell, dataset, mode, tokenizer, threshold,
+#                 (ref_pr, ref_rc, ref_f1))
+QUALITY = [
+    ("db10 self ws t=0.5",  "db10",  "self",  "ws", 0.5,
+     (1.0, 0.154, 0.267)),
+    ("db10 self ws t=0.2",  "db10",  "self",  "ws", 0.2,
+     (0.886, 0.879, 0.882)),
+    ("db10 self 5g t=0.2",  "db10",  "self",  "5g", 0.2,
+     (0.998, 0.945, 0.970)),
+    ("db50 self ws t=0.5",  "db50",  "self",  "ws", 0.5,
+     (1.0, 0.162, 0.278)),
+    ("db100 self ws t=0.5", "db100", "self",  "ws", 0.5,
+     (1.0, 0.164, 0.282)),
+    ("inner db50 ws t=0.2", "db50",  "inner", "ws", 0.2,
+     (0.704, 0.910, 0.794)),
+]
+
+
+def _halves_pred(dataset: str) -> tuple[str, str]:
+    """Two disjoint halves for the inner-join path. BASELINE.md: dbN
+    split in half, EXCEPT db50 which the reference ran as 10K x 10K
+    (notebook cell 65). ids are a random permutation of 0..N-1, so
+    range predicates select uniform random profiles."""
+    if dataset == "db10":
+        return "id < 5000", "id >= 5000"
+    if dataset == "db50":
+        return "id < 10000", "id >= 10000 and id < 20000"
+    n = {"db100": 100_000}[dataset]
+    return f"id < {n // 2}", f"id >= {n // 2}"
+
+
+def _tok(name: str):
+    from jaccard_join_duckdb_spark import QGramsTokzr, WhitespaceTokzr
+    # NOT distinct_rows: profile strings can repeat a token (age ==
+    # street_number etc), unlike the lowercase sf documents corpus.
+    return WhitespaceTokzr() if name == "ws" else QGramsTokzr(5)
+
+
+def _build(spark, dataset: str, mode: str, tok_name: str, t: float):
+    from jaccard_join_duckdb_spark.operators.jaccard import (
+        jaccard_inner_join,
+        jaccard_inner_join_brute_force,
+        jaccard_self_join,
+        jaccard_self_join_brute_force,
+    )
+    df = spark.read.parquet(os.path.join(DATA, f"{dataset}.parquet"))
+    tok = _tok(tok_name)
+    if mode == "self":
+        return jaccard_self_join(df, "id", "val", tok, t)
+    if mode == "brute":
+        return jaccard_self_join_brute_force(df, "id", "val", tok, t)
+    p1, p2 = _halves_pred(dataset)
+    l_df, r_df = df.filter(p1), df.filter(p2)
+    if mode == "inner":
+        return jaccard_inner_join(
+            l_df, r_df, "id", "id", "val", "val", tok, t
+        )
+    return jaccard_inner_join_brute_force(
+        l_df, r_df, "id", "id", "val", "val", tok, t
+    )
+
+
+def _duckdb_sql(dataset: str, mode: str, tok_name: str, t: float) -> str:
+    from jaccard_join_duckdb_spark.plans import ref_sql
+    tok = _tok(tok_name)
+    if mode == "self":
+        return ref_sql.self_filtered_sql(
+            dataset, "id", "val", tok, t, "l_id", "r_id"
+        )
+    if mode == "brute":
+        return ref_sql.self_brute_sql(
+            dataset, "id", "val", tok, t, "l_id", "r_id"
+        )
+    p1, p2 = _halves_pred(dataset)
+    l_tbl = f"(select * from {dataset} where {p1})"
+    r_tbl = f"(select * from {dataset} where {p2})"
+    if mode == "inner":
+        return ref_sql.inner_filtered_sql(
+            l_tbl, r_tbl, "id", "id", "val", "val", tok, t, "l_id", "r_id"
+        )
+    return ref_sql.inner_brute_sql(
+        l_tbl, r_tbl, "id", "id", "val", "val", tok, t, "l_id", "r_id"
+    )
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    run_duckdb = "--no-duckdb" not in sys.argv
+    cell_filter = None
+    if "--cell" in sys.argv:
+        cell_filter = sys.argv[sys.argv.index("--cell") + 1]
+
+    if not os.path.exists(os.path.join(DATA, "db10.parquet")):
+        print("refscale parquet missing — run tools/gen_refscale.py first",
+              file=sys.stderr)
+        return 2
+
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    from jaccard_join_duckdb_spark import get_spark
+    from jaccard_join_duckdb_spark.operators.evaluate import evaluate
+
+    spark = get_spark(app_name="ref-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warmup (excluded, mirroring the reference's excluded DuckDB
+    # connection + pandas load): one tiny end-to-end join.
+    _build(spark, "db10", "self", "ws", 0.9).count()
+    spark.catalog.clearCache()
+
+    cells = CELLS
+    if cell_filter:
+        cells = [c for c in cells if cell_filter in c[0]]
+    results = []
+    for cell, dataset, mode, tok_name, t, n_runs, ref_s in cells:
+        if quick and dataset != "db10":
+            continue
+        n = 1 if quick else n_runs
+        times, rows = [], None
+        for _ in range(n):
+            t0 = time.time()
+            out = _build(spark, dataset, mode, tok_name, t)
+            rows = out.count()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()
+        rec = {
+            "cell": cell, "rows": rows, "runs": n,
+            "spark_mean": round(sum(times) / len(times), 3),
+            "spark_min": round(min(times), 3),
+            "ref_s": ref_s,
+            "ratio_vs_ref": round(sum(times) / len(times) / ref_s, 3)
+            if ref_s else None,
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    spark.stop()
+
+    if run_duckdb:
+        import duckdb
+        con = duckdb.connect()
+        con.execute(f"SET threads = {os.cpu_count()}")
+        for dataset in ("db10", "db50", "db100"):
+            con.execute(
+                f"create view {dataset} as select * from read_parquet("
+                f"'{os.path.join(DATA, dataset + '.parquet')}')"
+            )
+        for rec, (cell, dataset, mode, tok_name, t, _, _) in zip(
+            results, [c for c in cells
+                      if not (quick and c[1] != "db10")]
+        ):
+            sql = _duckdb_sql(dataset, mode, tok_name, t)
+            t0 = time.time()
+            dd_rows = con.execute(
+                f"select count(*) from ({sql})"
+            ).fetchone()[0]
+            rec["duckdb_s"] = round(time.time() - t0, 3)
+            rec["duckdb_rows"] = dd_rows
+            rec["rows_equal"] = (dd_rows == rec["rows"])
+            rec["ratio_vs_duckdb"] = round(
+                rec["spark_mean"] / rec["duckdb_s"], 3
+            ) if rec["duckdb_s"] else None
+            print(json.dumps({k: rec[k] for k in (
+                "cell", "duckdb_s", "duckdb_rows", "rows_equal",
+                "ratio_vs_duckdb")}), flush=True)
+        con.close()
+
+    # quality cells (untimed; Spark evaluate() against generated GT)
+    qual = []
+    if not cell_filter:
+        spark = get_spark(app_name="ref-scale-quality")
+        spark.sparkContext.setLogLevel("ERROR")
+        for cell, dataset, mode, tok_name, t, ref in QUALITY:
+            if quick and dataset != "db10":
+                continue
+            gt = spark.read.parquet(
+                os.path.join(DATA, f"{dataset}_gt.parquet")
+            )
+            if mode == "inner":
+                p1, p2 = _halves_pred(dataset)
+                ids = spark.read.parquet(
+                    os.path.join(DATA, f"{dataset}.parquet")
+                ).select("id")
+                a = ids.filter(p1).withColumnRenamed("id", "aid")
+                b = ids.filter(p2).withColumnRenamed("id", "bid")
+                gt = (
+                    gt.join(a, (gt.l_id == a.aid) | (gt.r_id == a.aid))
+                    .join(b, (gt.l_id == b.bid) | (gt.r_id == b.bid))
+                    .select("l_id", "r_id").distinct()
+                )
+            out = _build(spark, dataset, mode, tok_name, t)
+            m = evaluate(gt, out)
+            rec = {
+                "cell": cell + " quality",
+                "pr": round(m["pr"], 3), "rc": round(m["rc"], 3),
+                "f1": round(m["fm"], 3),
+                "ref_pr": ref[0], "ref_rc": ref[1], "ref_f1": ref[2],
+            }
+            print(json.dumps(rec), flush=True)
+            qual.append(rec)
+            spark.catalog.clearCache()
+        spark.stop()
+
+    # markdown table
+    lines = [
+        "| cell | rows | spark mean s | spark min s | ref s | x vs ref "
+        "| duckdb s | x vs duckdb |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['cell']} | {r['rows']} | {r['spark_mean']} | "
+            f"{r['spark_min']} | {r['ref_s']} | {r['ratio_vs_ref']} | "
+            f"{r.get('duckdb_s', '-')} | {r.get('ratio_vs_duckdb', '-')} |"
+        )
+    lines.append("")
+    for r in qual:
+        lines.append(
+            f"| {r['cell']} | pr {r['pr']} rc {r['rc']} f1 {r['f1']} | "
+            f"ref pr {r['ref_pr']} rc {r['ref_rc']} f1 {r['ref_f1']} |"
+        )
+    table = "\n".join(lines)
+    with open(os.path.join(DATA, "RESULTS.md"), "w") as f:
+        f.write(table + "\n")
+    print(table)
+
+    within2 = [r for r in results
+               if r["ratio_vs_ref"] is not None and r["ratio_vs_ref"] <= 2.0]
+    print(json.dumps({
+        "metric": "refscale_cells_within_2x_of_baseline",
+        "value": len(within2), "of": len(results),
+        "mismatched_rows": [r["cell"] for r in results
+                            if r.get("rows_equal") is False],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
