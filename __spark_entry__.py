@@ -388,6 +388,23 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_stats on BPE subword counts (functions.bpe): the
+    deployable packing estimate — budgets in the unit a trainer
+    actually packs. The encode step is an Arrow-batched pandas UDF
+    (iterative merges are not expressible in column functions), so
+    this entry is rows-only-gated like the pandas ANN path; the
+    encoder itself is pinned token-for-token against the pure-Python
+    reference in tests/test_bpe.py, and the packing model shares
+    packing_stats' hash-gated arithmetic via token_count_col."""
+    from jaccard_join_duckdb_spark.functions.bpe import bpe_packing_stats
+
+    return bpe_packing_stats(
+        _docs(spark, sf_dir), "doc_id", "text",
+        context_len=2048, bucket_width=16,
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic quota sampling (sources.
     stratified_sample): language-shaped corpus reweighting — keep 50%
@@ -1203,8 +1220,9 @@ _GATED = [
     "events_sessionize",
     "dedup_stream_batch",
     "data_split",
-    "text_repetition",
     "events_hourly",
+    # --- new round-6 operator (rows-only gate: pandas-UDF BPE) ---
+    "pack_stats_bpe",
 ]
 
 
@@ -1246,6 +1264,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split": q_data_split,
         "mix_corpora": q_mix_corpora,
         "pack_stats": q_pack_stats,
+        "pack_stats_bpe": q_pack_stats_bpe,
         "dedup_stream_batch": q_dedup_stream_batch,
         # --- similarity search (embeddings) ---
         "dedup_embed_cosine": q_dedup_embed_cosine,

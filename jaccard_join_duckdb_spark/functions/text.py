@@ -463,6 +463,7 @@ def packing_stats(
     text_col: str,
     context_len: int = 2048,
     bucket_width: int = 64,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Sequence-packing yield estimate — the number a pipeline
     planner actually asks for ("how many ``context_len``-token
@@ -497,7 +498,14 @@ def packing_stats(
         raise ValueError("context_len and bucket_width must be positive")
     if bucket_width > context_len:
         raise ValueError("bucket_width must be <= context_len")
-    nt = F.size(ws_token_array(F.col(text_col)))
+    # token_count_col swaps the budget unit (e.g. BPE subword counts
+    # from functions.bpe.with_bpe_token_counts) without touching the
+    # packing model itself.
+    nt = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else F.size(ws_token_array(F.col(text_col)))
+    )
     nt_eff = F.least(nt, F.lit(context_len))
     bucket = F.least(
         F.ceil(nt_eff.cast("double") / F.lit(float(bucket_width))).cast("long")

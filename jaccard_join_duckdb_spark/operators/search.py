@@ -37,16 +37,21 @@ beyond the k per-token counts used to pick the anchor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
     "token_postings",
     "write_postings_index",
+    "load_term_counts",
     "phrase_search",
     "phrase_search_many",
     "phrase_search_scan",
 ]
+
+_AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
 
 def token_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -75,18 +80,72 @@ def write_postings_index(
     num_buckets: int = 64,
 ) -> str:
     """Build and persist the postings index bucketed by ``token``
-    (probe-time bucket pruning + co-located intersections). Returns
-    the table name; read back with ``spark.table(name)`` and pass to
-    :func:`phrase_search`."""
+    (probe-time bucket pruning + co-located intersections), PLUS the
+    per-token posting-list sizes as ``<name>_counts`` — the
+    anchor-choice side table that lets :func:`phrase_search` skip its
+    per-probe aggregation job (pass it as ``term_counts``). Returns
+    the postings table name; read back with ``spark.table(name)``."""
     from ..sources import write_bucketed
 
     postings = token_postings(df, id_col, text_col)
-    return write_bucketed(
+    tbl = write_bucketed(
         postings.repartition(num_buckets, "token"),
         name,
         ["token"],
         num_buckets,
     )
+    # counts come off the just-written bucketed table (one bucketed
+    # scan, groupBy reuses the bucket hash — no extra Exchange of the
+    # raw postings) and land as a plain table: vocabulary-sized, read
+    # with a pushed token filter at probe time.
+    spark = df.sparkSession
+    (
+        spark.table(tbl)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .saveAsTable(f"{name}_counts")
+    )
+    return tbl
+
+
+def load_term_counts(spark: SparkSession, name: str) -> DataFrame:
+    """The ``(token, cnt)`` side table written by
+    :func:`write_postings_index` for postings table ``name``."""
+    return spark.table(f"{name}_counts")
+
+
+def _warn_if_bucket_scan_demoted(
+    probe: DataFrame, strict: bool = False
+) -> None:
+    """A bucketed postings table silently loses BOTH the bucketed
+    read and the bucket pruning when Spark's auto-bucketed-scan
+    planner rule decides bucketing doesn't help the query shape (the
+    probe's joins key on (id, start), not token). That demotion turns
+    a read-k-buckets probe into a full index scan — invisible at test
+    scale, a 100x regression on a real index. Inspect the planned
+    scans and surface it (warn, or raise with ``strict``)."""
+    try:
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - non-JVM backends
+        return
+    if "Bucketed: false" not in plan:
+        return
+    reasons = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Bucketed: false" in ln
+    ]
+    msg = (
+        "phrase probe reads a bucketed postings table WITHOUT the "
+        f"bucketed scan ({'; '.join(sorted(set(reasons)))}) — bucket "
+        "pruning is lost and the whole index is scanned. Set "
+        f"{_AUTO_BUCKETED_SCAN}=false for probe sessions "
+        "(tools/search_bench.py exit-gates the pruned plan)."
+    )
+    if strict:
+        raise RuntimeError(msg)
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
 def _phrase_terms(phrase: str) -> list[str]:
@@ -96,16 +155,33 @@ def _phrase_terms(phrase: str) -> list[str]:
     return terms
 
 
-def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
+def phrase_search(
+    postings: DataFrame,
+    phrase: str,
+    term_counts: DataFrame | dict[str, int] | None = None,
+    strict_buckets: bool = False,
+) -> DataFrame:
     """Documents containing the exact consecutive-token ``phrase``:
     ``(id, start_pos)`` per occurrence (1-based position of the
     phrase's first token; overlapping occurrences all reported).
 
     The k-way positional intersection anchors on the rarest query
-    term — k tiny counts to the driver pick it — so every
-    intermediate is bounded by the smallest posting list, not the
-    stopword-est one; remaining terms join rarest-first on
-    ``(id, start)``.
+    term, so every intermediate is bounded by the smallest posting
+    list, not the stopword-est one; remaining terms join
+    rarest-first on ``(id, start)``.
+
+    ``term_counts`` supplies the anchor-choice sizes without
+    re-aggregating the postings per probe: the ``<name>_counts``
+    table written by :func:`write_postings_index` (one pushed-filter
+    read of k tiny rows), or a plain ``{token: count}`` dict (ZERO
+    extra jobs — collect the counts table once for a probe loop).
+    When absent, one aggregation job over the query terms' postings
+    computes them (the original path). Absent terms count 0 and
+    anchor an empty list.
+
+    ``strict_buckets`` raises instead of warning when a bucketed
+    postings table is being probed without its bucketed scan (see
+    :func:`_warn_if_bucket_scan_demoted`).
     """
     terms = _phrase_terms(phrase)
     lists = [
@@ -113,19 +189,21 @@ def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
         for t in terms
     ]
     if len(terms) == 1:
-        return lists[0].select("id", F.col("pos").alias("start_pos"))
-    # one aggregation job yields every query term's posting-list
-    # size (k scalar rows to the driver — the anchor choice, not
-    # row data); absent terms count 0 and anchor an empty list
-    cnt = {
-        r["token"]: r["c"]
-        for r in postings.filter(
-            F.col("token").isin(sorted(set(terms)))
+        out = lists[0].select("id", F.col("pos").alias("start_pos"))
+        _warn_if_bucket_scan_demoted(out, strict_buckets)
+        return out
+    if isinstance(term_counts, dict):
+        cnt = {t: int(term_counts.get(t, 0)) for t in terms}
+    else:
+        src = (
+            term_counts.filter(F.col("token").isin(sorted(set(terms))))
+            .select("token", F.col("cnt").alias("c"))
+            if term_counts is not None
+            else postings.filter(F.col("token").isin(sorted(set(terms))))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+        cnt = {r["token"]: r["c"] for r in src.collect()}
     order = sorted(range(len(terms)), key=lambda i: (cnt.get(terms[i], 0), i))
     base_i = order[0]
     out = lists[base_i].select(
@@ -136,7 +214,9 @@ def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
             lists[i].select("id", (F.col("pos") - i).alias("start")),
             ["id", "start"],
         )
-    return out.select("id", F.col("start").alias("start_pos"))
+    out = out.select("id", F.col("start").alias("start_pos"))
+    _warn_if_bucket_scan_demoted(out, strict_buckets)
+    return out
 
 
 def phrase_search_scan(

@@ -1,0 +1,132 @@
+"""BPE subword tokenization: training determinism, encode
+correctness (greedy rank order, lossless reconstruction), the Arrow
+kernel vs the pure-Python reference, and BPE packing stats vs the
+hash-gated packing model."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaccard_join_duckdb_spark.functions.bpe import (
+    bpe_encode,
+    bpe_packing_stats,
+    bpe_token_count,
+    default_merges,
+    load_merges,
+    save_merges,
+    train_bpe,
+    with_bpe_token_counts,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats eat the fish",
+    "a cat and a dog and a fish",
+]
+
+
+def test_train_deterministic():
+    m1 = train_bpe(CORPUS, n_merges=40)
+    m2 = train_bpe(list(CORPUS), n_merges=40)
+    assert m1 == m2
+    assert len(m1) <= 40 and len(m1) > 5
+
+
+def test_train_first_merge_is_most_frequent_pair():
+    # ('a','t') appears 6 times (cat/sat/mat/cats/eat/cat) vs
+    # ('t','h') 4 times (the x4) — most frequent pair merges first
+    # (ties would break lexicographically).
+    merges = train_bpe(CORPUS, n_merges=1)
+    assert merges == [("a", "t")]
+
+
+def test_encode_is_lossless():
+    merges = train_bpe(CORPUS, n_merges=30)
+    for text in CORPUS + ["completely unseen wordforms zz9!"]:
+        toks = bpe_encode(text, merges)
+        rebuilt = "".join(toks).replace("</w>", "")
+        import re
+        words = re.findall(r"\w+|[^\w\s]", text.lower())
+        assert rebuilt == "".join(words)
+
+
+def test_encode_greedy_rank_order():
+    # ranks: (a,b) first, then (ab,c) — 'abc' must become 'abc</w>'
+    # only if (abc,</w>) merged; here it stays ['abc', '</w>'] pieces.
+    merges = [("a", "b"), ("ab", "c")]
+    assert bpe_encode("abc", merges) == ["abc", "</w>"]
+    # without the second merge the 'c' stays separate
+    assert bpe_encode("abc", [("a", "b")]) == ["ab", "c", "</w>"]
+    # rank order matters: (b,c) ranked first consumes b before (a,b)
+    assert bpe_encode("abc", [("b", "c"), ("a", "b")]) == ["a", "bc", "</w>"]
+
+
+def test_default_merges_load_and_roundtrip(tmp_path):
+    merges = default_merges()
+    assert len(merges) >= 256
+    # the seed head words encode compactly
+    assert bpe_encode("the", merges) == ["the</w>"]
+    p = tmp_path / "m.txt"
+    save_merges(merges, str(p))
+    assert load_merges(str(p)) == merges
+
+
+def test_token_count_matches_encode():
+    merges = default_merges()
+    for text in CORPUS:
+        assert bpe_token_count(text, merges) == len(bpe_encode(text, merges))
+
+
+def test_spark_kernel_matches_python(spark):
+    texts = CORPUS + ["", "UPPER Case MiXeD", "punct, marks! and? quotes"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in with_bpe_token_counts(df, "text").collect()
+    }
+    merges = default_merges()
+    for i, t in enumerate(texts):
+        assert got[i] == bpe_token_count(t, merges), t
+
+
+def test_bpe_packing_stats_model(spark):
+    """bpe_packing_stats must equal packing_stats run on a
+    pre-computed BPE count column (same hash-gated arithmetic), and
+    its totals must cover every non-empty document."""
+    from jaccard_join_duckdb_spark.functions.text import packing_stats
+
+    texts = ["word " * n for n in (1, 3, 10, 40, 100)] + [""]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_packing_stats(
+        df, "doc_id", "text", context_len=64, bucket_width=8
+    )
+    counted = with_bpe_token_counts(df, "text")
+    want = packing_stats(
+        counted, "doc_id", "text", context_len=64, bucket_width=8,
+        token_count_col="n_bpe_tokens",
+    )
+    key = lambda r: r["bucket_len"]  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, want.collect()), key=lambda t: t[0]
+    )
+    n_docs = sum(r["n_docs"] for r in got.collect())
+    assert n_docs == 5  # the empty doc is excluded
+
+
+def test_packing_stats_ws_path_unchanged(spark):
+    """token_count_col=None keeps the original whitespace counting
+    (the hash-gated pack_stats row must not shift)."""
+    from jaccard_join_duckdb_spark.functions.text import packing_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e")], ["doc_id", "text"]
+    )
+    rows = packing_stats(
+        df, "doc_id", "text", context_len=8, bucket_width=2
+    ).collect()
+    by_bucket = {r["bucket_len"]: r for r in rows}
+    assert by_bucket[4]["n_docs"] == 1 and by_bucket[4]["sum_tokens"] == 3
+    assert by_bucket[2]["n_docs"] == 1 and by_bucket[2]["sum_tokens"] == 2

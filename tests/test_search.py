@@ -75,6 +75,92 @@ def test_bucketed_index_equals_scan(spark, corpus, tmp_path):
             ), phrase
     finally:
         spark.sql(f"drop table if exists {name}")
+        spark.sql(f"drop table if exists {name}_counts")
+
+
+def test_term_counts_skip_aggregation_job(spark, corpus):
+    """With precomputed term_counts the probe schedules no
+    postings-aggregation job: a dict adds ZERO jobs beyond the
+    action; the <name>_counts side table adds one pushed-filter read
+    (no groupBy over postings). Results identical on all paths, even
+    with deliberately wrong counts (anchor choice is a performance
+    heuristic, not a correctness input)."""
+    import warnings as _w
+
+    from jaccard_join_duckdb_spark.operators.search import load_term_counts
+
+    name = "t_postings_counts_idx"
+    write_postings_index(corpus, "doc_id", "text", name, num_buckets=4)
+    try:
+        idx = spark.table(name)
+        counts_tbl = load_term_counts(spark, name)
+        counts = {r["token"]: r["cnt"] for r in counts_tbl.collect()}
+        expect = _hits(phrase_search(idx, "quick brown fox"))
+
+        sc = spark.sparkContext
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+
+            def jobs_for(fn, group):
+                sc.setJobGroup(group, group)
+                try:
+                    fn()
+                finally:
+                    sc.setJobGroup(None, None)
+                return len(sc.statusTracker().getJobIdsForGroup(group))
+
+            base = jobs_for(
+                lambda: phrase_search(
+                    idx, "quick brown fox", term_counts=counts
+                ).collect(),
+                "probe-dict",
+            )
+            agg = jobs_for(
+                lambda: phrase_search(idx, "quick brown fox").collect(),
+                "probe-agg",
+            )
+        assert base < agg  # the per-probe aggregation job is gone
+        # all anchor sources agree, including adversarial counts
+        assert _hits(phrase_search(idx, "quick brown fox",
+                                   term_counts=counts)) == expect
+        assert _hits(phrase_search(idx, "quick brown fox",
+                                   term_counts=counts_tbl)) == expect
+        assert _hits(phrase_search(idx, "quick brown fox",
+                                   term_counts={"quick": 9, "brown": 1,
+                                                "fox": 5})) == expect
+    finally:
+        spark.sql(f"drop table if exists {name}")
+        spark.sql(f"drop table if exists {name}_counts")
+
+
+def test_bucket_demotion_warning(spark, corpus):
+    """Probing a bucketed postings table with autoBucketedScan ON
+    warns (RuntimeWarning naming the conf); with the conf OFF (the
+    session default for probes) it stays silent; strict_buckets
+    raises. Scan-path probes (non-bucketed input) never warn."""
+    import warnings as _w
+
+    name = "t_postings_warn_idx"
+    write_postings_index(corpus, "doc_id", "text", name, num_buckets=4)
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    try:
+        idx = spark.table(name)
+        spark.conf.set(conf, "true")
+        with pytest.warns(RuntimeWarning, match="autoBucketedScan"):
+            phrase_search(idx, "quick brown")
+        with pytest.raises(RuntimeError, match="autoBucketedScan"):
+            phrase_search(idx, "quick brown", strict_buckets=True)
+        spark.conf.set(conf, "false")
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            phrase_search(idx, "quick brown")          # no warning
+            p = token_postings(corpus, "doc_id", "text")
+            phrase_search(p, "quick brown")            # non-bucketed: silent
+    finally:
+        spark.conf.set(conf, old)
+        spark.sql(f"drop table if exists {name}")
+        spark.sql(f"drop table if exists {name}_counts")
 
 
 def test_phrase_search_many_equals_singles(spark, corpus):

@@ -113,6 +113,83 @@ def test_dedup_stream_equals_batch_fingerprints(spark, tmp_path):
     assert got_fps == want_fps  # one survivor per fingerprint, none lost
 
 
+def test_dedup_stream_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-resume: drain HALF the source files to a parquet sink,
+    let the query terminate (simulating a stop mid-source), drop the
+    remaining files in, and start a NEW query on the SAME checkpoint.
+    The restarted query must restore the dropDuplicates state store
+    from the checkpoint — a fingerprint first seen before the restart
+    must NOT re-emit after it — and the final sink must equal the
+    batch twin's fingerprint set with zero duplicates (the
+    exactly-once story the streaming module claims)."""
+    import shutil
+
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import dedup_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs = docs.select("doc_id", F.substring("text", 1, 30).alias("text"))
+    batch = dedup_stream(docs, "doc_id", "text")
+    assert batch.count() < docs.count()  # collisions present
+
+    staged = str(tmp_path / "staged")
+    docs.repartition(4).write.parquet(staged)
+    files = sorted(
+        f for f in __import__("os").listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    source = tmp_path / "source"
+    source.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = spark.read.parquet(staged).schema
+
+    # duplicates must SPAN the restart for the test to bite
+    first, second = files[:2], files[2:]
+    fp_of = lambda fs: {  # noqa: E731
+        r[0]
+        for f in fs
+        for r in dedup_stream(
+            spark.read.parquet(f"{staged}/{f}"), "doc_id", "text"
+        ).select("fingerprint").collect()
+    }
+    assert fp_of(first) & fp_of(second)
+
+    def drain():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(source))
+        )
+        q = (
+            dedup_stream(sdf, "doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in first:
+        shutil.copy(f"{staged}/{f}", source / f)
+    drain()  # phase 1: query terminates with half the source consumed
+    n_phase1 = spark.read.parquet(sink).count()
+    assert 0 < n_phase1 < batch.count()
+
+    for f in second:
+        shutil.copy(f"{staged}/{f}", source / f)
+    drain()  # phase 2: NEW query, SAME checkpoint — state restored
+
+    got = spark.read.parquet(sink).select("fingerprint").collect()
+    got_fps = sorted(r[0] for r in got)
+    assert len(got_fps) == len(set(got_fps))  # no dup across restart
+    want_fps = sorted(r[0] for r in batch.select("fingerprint").collect())
+    assert got_fps == want_fps
+
+
 def test_dedup_stream_with_watermark_column(spark, tmp_path):
     """ts-keyed variant: dropDuplicatesWithinWatermark bounds state;
     on a single drain of in-order data it still keeps one per key."""

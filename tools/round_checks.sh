@@ -1,0 +1,29 @@
+#!/bin/sh
+# Round validation sweep: every exit-gated evidence tool, fail-fast.
+# Each tool prints one JSON line and exits non-zero when its
+# plan-shape / recall / equality invariants break, so a silent
+# regression in any of them fails the sweep:
+#   - explain_audit:     regenerates PLANS.md; no cartesians, no
+#                        row-Python-UDFs, no row-bearing
+#                        SinglePartition exchanges
+#   - bucket_bench:      bucketed co-located join plan is
+#                        Exchange-free
+#   - index_bucket_bench: bucketed LSH embedding index probe keeps
+#                        the corpus side Exchange-free
+#   - ann_recall_bench:  banded LSH recall monotone in bands,
+#                        8x4 >= 0.8 on testdata; kmeans beats min_ids
+#                        on the drift corpus
+#   - skew_demo:         hot-token broadcast split stays equal to the
+#                        baseline join output
+#   - search_bench:      phrase probes prune buckets
+#                        (SelectedBucketsCount 1-of-N)
+# Usage: sh tools/round_checks.sh [sf_dir]   (default sf0.01)
+set -e
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+for t in explain_audit bucket_bench index_bucket_bench \
+         ann_recall_bench skew_demo search_bench; do
+  echo "== $t =="
+  python3 "tools/$t.py" "$SF"
+done
+echo "ROUND CHECKS: ALL GATES PASS"
