@@ -38,6 +38,7 @@ import re
 from functools import lru_cache
 from typing import Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -181,13 +182,12 @@ def with_bpe_token_counts(
     merge table rides the closure (a few KB serialized once per task);
     an ``lru_cache`` per executor process collapses the Zipf head so
     repeated words cost one dict walk total."""
-    import pandas as pd  # noqa: F401 (arrow batch type)
     from pyspark.sql.functions import pandas_udf
 
     mergelist = merges if merges is not None else default_merges()
 
     @pandas_udf("int")
-    def _count(batch: Iterator["pd.Series"]) -> Iterator["pd.Series"]:
+    def _count(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
         ranks = _ranks(mergelist)
 
         @lru_cache(maxsize=65536)
