@@ -67,8 +67,12 @@ def asof_join(
     timestamp, the one with the greatest ``tie_col`` wins
     (deterministic; DuckDB's ASOF picks an arbitrary duplicate, so
     the oracle twin deduplicates the right side the same way).
-    Omitted => ties resolved arbitrarily (nondeterministic under
-    retries — fine for payload-identical duplicates only).
+    Omitted => ties order by the ENTIRE right payload struct, so the
+    carried match is value-deterministic even under speculative
+    retries (any ties left are payload-identical rows — whichever is
+    carried, the output values are the same). Payloads containing
+    unorderable types (maps) fall back to arbitrary tie order with a
+    warning — pass an explicit ``tie_col`` there.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -94,11 +98,33 @@ def asof_join(
     # ts-equality is a match (<=); __tie (right rows only) makes the
     # carried duplicate deterministic (last in ascending order =
     # greatest tie_col).
+    if tie_col:
+        tie_expr = F.col(tie_col)
+    elif all(
+        "map<" not in right.schema[c].dataType.simpleString()
+        for c in right_cols
+    ):
+        # deterministic default: order ties by the full right payload
+        # (struct ordering) — remaining ties are payload-identical,
+        # so the carried match is value-deterministic under retries
+        tie_expr = r_payload
+    else:  # pragma: no cover - unorderable payload types
+        import warnings
+
+        warnings.warn(
+            "asof_join: right payload contains map columns (not "
+            "orderable) and no tie_col was given — equal-timestamp "
+            "duplicates resolve arbitrarily; pass tie_col for "
+            "deterministic output",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        tie_expr = F.lit(0)
     r_rows = right.select(
         F.col(key).alias(key),
         F.col(ts_col).alias("__ets"),
         F.lit(0).alias("__side"),
-        (F.col(tie_col) if tie_col else F.lit(0)).alias("__tie"),
+        tie_expr.alias("__tie"),
         r_payload.alias("__r"),
         F.lit(None).cast(
             "struct<" + ",".join(

@@ -118,3 +118,21 @@ def test_null_keys_never_match(spark):
     L = _left(spark, [(1, None, _ts(10)), (2, "u", _ts(10))])
     R = _right(spark, [(100, None, _ts(5)), (101, "u", _ts(5))])
     assert _run(L, R) == {(1, None, None), (2, 101, _ts(5))}
+
+
+def test_default_tie_is_payload_deterministic(spark):
+    """tie_col=None orders equal-timestamp right duplicates by the
+    full payload struct: the greatest payload wins, every run — the
+    round-5 verdict's retry-nondeterminism nit. Pinned across
+    repartitionings (which permute the window's input order)."""
+    L = _left(spark, [(1, "u", _ts(10))])
+    rows = [(100, "u", _ts(5)), (105, "u", _ts(5)), (101, "u", _ts(5))]
+    expect = None
+    for n_parts in (1, 2, 5):
+        R = _right(spark, rows).repartition(n_parts)
+        out = asof_join(L, R, key="user_id", ts_col="ts",
+                        right_cols=["rid"])  # no tie_col
+        got = {(r.lid, r.r_rid) for r in out.collect()}
+        if expect is None:
+            expect = got
+        assert got == expect == {(1, 105)}  # greatest (ts, rid) payload
