@@ -388,6 +388,16 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram cosine language ID (functions.langid,
+    Cavnar-Trenkle style): fixes the stopword heuristic's blind spot
+    on short / stopword-free docs. Pure column expressions; profiles
+    are import-time literals shared with the oracle twin."""
+    from jaccard_join_duckdb_spark.functions.langid import lang_id_trigram
+
+    return lang_id_trigram(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_pack_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_stats on BPE subword counts (functions.bpe): the
     deployable packing estimate — budgets in the unit a trainer
@@ -1220,9 +1230,9 @@ _GATED = [
     "events_sessionize",
     "dedup_stream_batch",
     "data_split",
-    "events_hourly",
-    # --- new round-6 operator (rows-only gate: pandas-UDF BPE) ---
-    "pack_stats_bpe",
+    # --- new round-6 operators ---
+    "pack_stats_bpe",       # rows-only gate (pandas-UDF BPE kernel)
+    "text_lang_id_trigram",
 ]
 
 
@@ -1265,6 +1275,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "pack_stats": q_pack_stats,
         "pack_stats_bpe": q_pack_stats_bpe,
+        "text_lang_id_trigram": q_text_lang_id_trigram,
         "dedup_stream_batch": q_dedup_stream_batch,
         # --- similarity search (embeddings) ---
         "dedup_embed_cosine": q_dedup_embed_cosine,
@@ -1531,6 +1542,9 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "text_stats": oracle_ext.text_stats_sql("documents", "doc_id", "text"),
         "text_lang_id": oracle_ext.lang_id_sql("documents", "doc_id", "text"),
+        "text_lang_id_trigram": oracle_ext.lang_id_trigram_sql(
+            "documents", "doc_id", "text"
+        ),
         "text_bm25_topk": oracle_ext.bm25_top_terms_sql(
             "documents", "doc_id", "text", k=3
         ),

@@ -38,6 +38,7 @@ __all__ = [
     "lsh_bucket_lit_sql",
     "lsh_topk_sql",
     "text_stats_sql",
+    "lang_id_trigram_sql",
     "hash_split_sql",
     "mix_corpora_sql",
     "packing_stats_sql",
@@ -712,6 +713,67 @@ select id, hits_de, hits_en, hits_es, hits_fr,
        when hits_es >= hits_fr then 'es'
        else 'fr' end as pred_lang
 from h
+"""
+
+
+def lang_id_trigram_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.langid.lang_id_trigram: same normalized
+    trigram explode, same integer dot/norm aggregates, same
+    dot / (sqrt(nsq) * sqrt(profile_norm)) double shape, same round-6
+    and >=-chain argmax, same all-zero fallback for short docs. The
+    profile VALUES rows come from the SAME LANG_PROFILES dict the
+    Spark operator broadcasts."""
+    from ..functions.langid import LANG_PROFILES, PROFILE_NORMS
+
+    langs = sorted(LANG_PROFILES)
+    prof_rows = ", ".join(
+        "('{}', '{}', {})".format(lang, tg.replace("'", "''"), w)
+        for lang in langs
+        for tg, w in sorted(LANG_PROFILES[lang].items())
+    )
+    cos_cols = ",\n  ".join(
+        f"round(coalesce(max(case when lang = '{lang}' then "
+        f"CAST(dot AS DOUBLE) / (sqrt(CAST(nsq AS DOUBLE)) * "
+        f"sqrt(CAST({PROFILE_NORMS[lang]} AS DOUBLE))) end), "
+        f"CAST(0.0 AS DOUBLE)), 6) as cos_{lang}"
+        for lang in langs
+    )
+    zero_cos = ", ".join(
+        f"coalesce(cos_{lang}, CAST(0.0 AS DOUBLE)) as cos_{lang}"
+        for lang in langs
+    )
+    return f"""
+with base as (
+  select {key} as id,
+         trim(regexp_replace(lower({val}), '\\s+', ' ', 'g')) as norm
+  from {table}),
+grams as (
+  select id, unnest(case when len(norm) >= 3
+      then list_transform(generate_series(1, len(norm) - 2),
+                          i -> substring(norm, i, 3))
+      else [] end) as tg
+  from base),
+counts as (select id, tg, count(*) as cnt from grams group by id, tg),
+norms as (select id, sum(cnt * cnt) as nsq from counts group by id),
+prof as (select * from (values {prof_rows}) v(lang, tg, w)),
+dots as (
+  select counts.id, lang, sum(cnt * w) as dot
+  from counts join prof on counts.tg = prof.tg
+  group by counts.id, lang),
+agg as (
+  select norms.id,
+  {cos_cols}
+  from norms left join dots on norms.id = dots.id
+  group by norms.id),
+flat as (
+  select base.id, {zero_cos}
+  from base left join agg on base.id = agg.id)
+select id, cos_de, cos_en, cos_es, cos_fr,
+  case when cos_de >= cos_en and cos_de >= cos_es and cos_de >= cos_fr then 'de'
+       when cos_en >= cos_es and cos_en >= cos_fr then 'en'
+       when cos_es >= cos_fr then 'es'
+       else 'fr' end as pred_lang
+from flat
 """
 
 

@@ -1,0 +1,103 @@
+"""Trigram language ID: accuracy on crafted multilingual sentences
+NOT in the seed profiles — including the short / stopword-free docs
+the stopword heuristic mislabels (its round-5 verdict blind spot) —
+plus edge semantics (zero-trigram docs) and profile determinism.
+DuckDB hash parity is enforced by the driver gate
+(text_lang_id_trigram); these tests pin accuracy and contract."""
+
+from pyspark.sql import functions as F
+
+from jaccard_join_duckdb_spark.functions.langid import (
+    LANG_PROFILES,
+    PROFILE_NORMS,
+    lang_id_trigram,
+)
+
+# held-out sentences (none appear in the seed texts)
+FIXTURE = [
+    (0, "en", "science moves forward when careful people measure things"),
+    (1, "en", "bring several boxes to the station before nine"),
+    (2, "de", "wissenschaft bewegt sich vorwärts wenn sorgfältige "
+              "menschen dinge messen"),
+    (3, "de", "bringe mehrere kisten vor neun uhr zum bahnhof"),
+    (4, "es", "la ciencia avanza cuando personas cuidadosas miden "
+              "las cosas con atención"),
+    (5, "es", "lleva varias cajas a la estación antes de las nueve"),
+    (6, "fr", "la science avance quand des personnes soigneuses "
+              "mesurent les choses"),
+    (7, "fr", "apporte plusieurs boîtes à la gare avant neuf heures"),
+    # short / stopword-free: the stopword scorer's blind spot
+    (8, "de", "geschwindigkeitsbegrenzung autobahn ausfahrt"),
+    (9, "en", "weather forecast thursday morning"),
+    (10, "es", "ayuntamiento estación ferrocarril"),
+]
+
+
+def test_accuracy_on_held_out_sentences(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in FIXTURE], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: r["pred_lang"]
+        for r in lang_id_trigram(df, "doc_id", "text").collect()
+    }
+    want = {i: lang for i, lang, _ in FIXTURE}
+    wrong = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
+    assert not wrong, wrong
+
+
+def test_beats_stopword_heuristic_on_stopword_free_docs(spark):
+    """The three stopword-free docs score ZERO stopword hits in every
+    language (the old scorer labels them all 'de' by tie order); the
+    trigram scorer gets them right."""
+    from jaccard_join_duckdb_spark.functions.text import lang_id
+
+    short = [(i, lang, t) for i, lang, t in FIXTURE if i >= 8]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in short], ["doc_id", "text"]
+    )
+    old = {r["doc_id"]: r for r in lang_id(df, "doc_id", "text").collect()}
+    for i, lang, _ in short:
+        r = old[i]
+        assert (r["hits_de"], r["hits_en"], r["hits_es"], r["hits_fr"]) \
+            == (0, 0, 0, 0)
+    new = {
+        r["id"]: r["pred_lang"]
+        for r in lang_id_trigram(df, "doc_id", "text").collect()
+    }
+    assert new == {i: lang for i, lang, _ in short}
+
+
+def test_zero_trigram_docs_all_zero_scores(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, None), (3, "   x  ")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in
+            lang_id_trigram(df, "doc_id", "text").collect()}
+    assert len(rows) == 4  # every doc survives
+    for i in range(4):
+        r = rows[i]
+        assert (r["cos_de"], r["cos_en"], r["cos_es"], r["cos_fr"]) \
+            == (0.0, 0.0, 0.0, 0.0)
+        assert r["pred_lang"] == "de"  # alphabetical tie order
+
+
+def test_profiles_deterministic_and_normed():
+    assert sorted(LANG_PROFILES) == ["de", "en", "es", "fr"]
+    for lang, prof in LANG_PROFILES.items():
+        assert 32 <= len(prof) <= 96
+        assert PROFILE_NORMS[lang] == sum(c * c for c in prof.values())
+        assert all(isinstance(w, int) and w > 0 for w in prof.values())
+
+
+def test_scores_are_cosines_in_unit_range(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in FIXTURE], ["doc_id", "text"]
+    )
+    out = lang_id_trigram(df, "doc_id", "text")
+    bad = out.filter(
+        (F.least("cos_de", "cos_en", "cos_es", "cos_fr") < 0)
+        | (F.greatest("cos_de", "cos_en", "cos_es", "cos_fr") > 1)
+    ).count()
+    assert bad == 0
