@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "text_repetition",
     "text_rarity",
+    "text_lang_id_trigram",
+    "pack_stats_bpe",
     "ngram_counts",
     "text_bm25_topk",
     "events_hourly",

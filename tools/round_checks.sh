@@ -17,13 +17,15 @@
 #                        baseline join output
 #   - search_bench:      phrase probes prune buckets
 #                        (SelectedBucketsCount 1-of-N)
-# Usage: sh tools/round_checks.sh [sf_dir]   (default sf0.01)
+# Usage: sh tools/round_checks.sh
+# Each tool runs at its own documented default scale (mostly sf0.1 —
+# the scale its BENCHMARKS.md evidence and recall floors were gated
+# at; skew_demo takes row counts, not an sf dir).
 set -e
 cd "$(dirname "$0")/.."
-SF="${1:-/root/testdata/sf0.01}"
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench; do
   echo "== $t =="
-  python3 "tools/$t.py" "$SF"
+  python3 "tools/$t.py"
 done
 echo "ROUND CHECKS: ALL GATES PASS"
