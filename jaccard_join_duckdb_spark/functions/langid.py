@@ -132,10 +132,15 @@ def lang_id_trigram(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    from pyspark.storagelevel import StorageLevel
+
     counts = (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tg"))
         .groupBy("id", "tg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # feeds BOTH the norm aggregation and the profile join —
+        # uncached, the trigram explode executes twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # every doc's squared norm over ALL its trigrams (exact integers)
     norms = counts.groupBy("id").agg(
