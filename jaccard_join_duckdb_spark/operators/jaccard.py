@@ -265,6 +265,8 @@ def tokens_with_doc_freq(
 # arrays (measured: 5-gram sf0.1 verify 8.7s → 6.3s when the 2333-token
 # vocab moved from the array path to 37-word bitsets).
 _MAX_BITSET_VOCAB = 4096
+# rows probed by the cheap pre-gate before the exact vocabulary count
+_VOCAB_PROBE_ROWS = 50_000
 
 
 def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
@@ -458,14 +460,25 @@ def jaccard_self_join(
     # reads scalar counts for its side-swap decision).
     n_words = 0
     if tokenizer.rows_distinct:
-        # limit(MAX+1).count() == min(actual, MAX+1): exact whenever
-        # the gate passes (bitset width must cover every tid), and the
-        # reduce side stops after MAX+1 distinct tokens instead of
-        # counting a 100 TB vocabulary just to learn "too big".
+        # Two-phase gate. Probe: distinct tokens within a BOUNDED
+        # row sample (one narrow limit + a 50K-row shuffle) — if the
+        # sample alone exceeds the cap, the global vocabulary
+        # certainly does, and the global distinct (a full shuffle of
+        # every token on a 100 TB corpus just to learn "too big") is
+        # skipped entirely. Only sample-small vocabularies pay the
+        # exact count: limit(MAX+1).count() == min(actual, MAX+1),
+        # exact whenever the gate passes (bitset width must cover
+        # every tid), with the reduce side stopping after MAX+1
+        # distinct tokens.
         vocab_n = (
-            tokens.select("token").distinct()
-            .limit(_MAX_BITSET_VOCAB + 1).count()
+            tokens.select("token").limit(_VOCAB_PROBE_ROWS)
+            .distinct().count()
         )
+        if vocab_n <= _MAX_BITSET_VOCAB:
+            vocab_n = (
+                tokens.select("token").distinct()
+                .limit(_MAX_BITSET_VOCAB + 1).count()
+            )
         if 0 < vocab_n <= _MAX_BITSET_VOCAB:
             n_words = (vocab_n + 63) // 64
 
