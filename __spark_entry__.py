@@ -259,6 +259,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-corpus canonicalization: MinHash near-dup pairs →
+    connected components → ONE representative per cluster (longest
+    text, tie min doc_id) plus every unclustered doc
+    (operators/dedup.py keep_cluster_representatives — the apply step
+    that turns dedup_clusters' labels into a deduplicated corpus)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        keep_cluster_representatives,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", T_MINHASH)
+    comps = connected_components(pairs, "l_id", "r_id")
+    kept = keep_cluster_representatives(
+        docs, "doc_id", comps, score=F.length(F.col("text"))
+    )
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 def q_dedup_minhash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-vs-corpus near-dup (the streaming-ingest batch twin):
     docs with doc_id % 10 == 0 are the incoming "batch", the rest the
@@ -915,6 +936,16 @@ def q_phrase_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-1
+    smoothed corpus LM — the CCNet/Gopher-style perplexity quality
+    signal, built on the same counts ngram_counts produces
+    (functions.text.lm_score)."""
+    from jaccard_join_duckdb_spark.functions.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir), "doc_id", "text", n=2, k=1.0)
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word trigram counts with count-pruning at 2 —
     the n-gram-LM (KenLM) prep primitive
@@ -1264,6 +1295,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "corpus_curate_full": q_corpus_curate_full,
         "edit_distance_join": q_edit_distance_join,
         "dedup_simhash": q_dedup_simhash,
@@ -1317,6 +1349,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_search_many": q_phrase_search_many,
         "ngram_counts": q_ngram_counts,
+        "text_lm_score": q_text_lm_score,
         "contamination_report": q_contamination_report,
         "winnow_passages": q_winnow_passages,
         "embedding_stats": q_embedding_stats,
@@ -1451,6 +1484,9 @@ where levenshtein(l.c_name, r.c_name) <= 1
                 "documents", "doc_id", "text", T_MINHASH
             ),
             "l_id", "r_id", "doc_id", "cluster_id",
+        ),
+        "dedup_canonical": oracle_ext.keep_cluster_representatives_sql(
+            "documents", "doc_id", "text", T_MINHASH
         ),
         "dedup_minhash_match": oracle_ext.minhash_match_sql(
             "(select * from documents where doc_id % 10 = 0)",
@@ -1703,6 +1739,9 @@ from orders group by 1
         ),
         "ngram_counts": oracle_ext.ngram_counts_sql(
             "documents", "doc_id", "text", n=3, min_count=2
+        ),
+        "text_lm_score": oracle_ext.lm_score_sql(
+            "documents", "doc_id", "text", n=2, k=1.0
         ),
         "contamination_report": oracle_ext.contamination_report_sql(
             "(select * from documents where doc_id % 50 = 0)",

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_rarity",
     "text_lang_id_trigram",
+    "text_lm_score",
     "pack_stats_bpe",
     "ngram_counts",
     "text_bm25_topk",

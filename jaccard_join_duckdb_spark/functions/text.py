@@ -33,6 +33,7 @@ __all__ = [
     "repetition_stats",
     "text_stats",
     "token_counts",
+    "lm_score",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -897,3 +898,101 @@ def ngram_counts(
     if min_count > 1:
         out = out.filter(F.col("n_count") >= int(min_count))
     return out
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean n-gram log-probability under an add-``k``
+    smoothed LM trained on the corpus itself — the classic
+    perplexity-style quality signal (CCNet / Gopher-style filtering
+    ranks documents by LM score and drops the tail). Builds directly
+    on :func:`ngram_counts`: the corpus supplies both the n-gram and
+    the (n-1)-gram context tables, plus the unigram vocabulary size
+    for the smoothing denominator.
+
+    For each in-document n-gram at position i::
+
+        logp_i = ln((c_n(gram_i) + k) / (c_{n-1}(ctx_i) + k * V))
+
+    Output: ``(doc_id, n_ngrams, lm_logp)`` — one row per input
+    document; ``lm_logp`` is the mean logp rounded to 6 dp (repeated
+    gibberish scores high under its own counts, rare-junk scores low),
+    NULL for documents shorter than ``n`` tokens.
+
+    Scale: the count tables are corpus-sized, so scoring is two
+    string-keyed shuffle equi-joins (never a broadcast of the LM) and
+    one map-side-partial groupBy; skew on stopword contexts is an
+    AQE-splittable join, not a hot aggregation. The vocabulary size is
+    attached as a broadcast 1-row scalar — no driver collect.
+    """
+    if n < 2:
+        raise ValueError(f"lm_score needs n >= 2, got {n}")
+    from ..tokenizers import _ensure_parallelism
+
+    kk = float(k)
+    docs = _ensure_parallelism(df.select(id_col, text_col))
+    toks = ws_token_array(F.col(text_col))
+
+    grams = ngram_counts(df, id_col, text_col, n=n)
+    ctxs = ngram_counts(df, id_col, text_col, n=n - 1)
+    vocab = (
+        docs.select(F.explode(ws_token_array(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+
+    positions = F.when(
+        F.size(toks) - F.lit(n - 1) >= 1,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.explode(positions).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), F.lit(n))).alias(
+            "gram"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("i"), F.lit(n - 1))
+        ).alias("ctx"),
+    )
+
+    scored = (
+        exploded.join(grams, exploded["gram"] == grams["ngram"], "left")
+        .drop("ngram")
+        .withColumnRenamed("n_count", "gram_count")
+        .join(ctxs, exploded["ctx"] == ctxs["ngram"], "left")
+        .drop("ngram")
+        .withColumnRenamed("n_count", "ctx_count")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("gram_count"), F.lit(0)).cast("double")
+                 + F.lit(kk))
+                / (F.coalesce(F.col("ctx_count"), F.lit(0)).cast("double")
+                   + F.lit(kk) * F.col("vocab").cast("double"))
+            ).alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(F.avg("logp"), 6).alias("lm_logp"),
+        )
+    )
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            F.col("lm_logp"),
+        )
+    )

@@ -75,6 +75,7 @@ __all__ = [
     "ngram_index",
     "ngram_decontaminate_indexed",
     "connected_components",
+    "keep_cluster_representatives",
 ]
 
 MERSENNE31 = 2147483647
@@ -1773,3 +1774,51 @@ def winnow_shared_passages(
         F.col("R.pos").alias("r_pos"),
         F.col("L.fp").alias("fp"),
     )
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    cluster_id_col: str = "id",
+    comp_col: str = "comp",
+    score: Column | None = None,
+) -> DataFrame:
+    """The apply step after :func:`connected_components`: keep exactly
+    one representative row per near-dup cluster plus every unclustered
+    row — pairs → clusters → CLEAN CORPUS.
+
+    The representative is the cluster's max-``score`` row (ties and
+    the default ``score=None`` fall back to the smallest ``id_col``,
+    matching curate_corpus's min-id survivor rule). Pass e.g.
+    ``F.length(F.col("text"))`` to keep the longest duplicate, or a
+    joined LM-score column to keep the highest-quality one.
+
+    Requires a numeric (integral) ``id_col``: selection is one
+    map-side-partial ``max(struct(score, -id))`` aggregate per
+    component — no per-component window, so a whale cluster costs a
+    partial-aggregated shuffle key, never a single hot reducer sorting
+    the whole component. Unclustered rows never enter the aggregate.
+    """
+    cl = clusters.select(
+        F.col(cluster_id_col).alias("__cl_id"),
+        F.col(comp_col).alias("__cl_comp"),
+    )
+    joined = df.join(cl, df[id_col] == cl["__cl_id"], "left")
+    unclustered = joined.filter(F.col("__cl_comp").isNull()).select(*df.columns)
+    clustered = joined.filter(F.col("__cl_comp").isNotNull())
+    s = (score if score is not None else F.lit(0)).cast("double")
+    rep_ids = (
+        clustered.groupBy("__cl_comp")
+        .agg(
+            F.max(
+                F.struct(
+                    s.alias("s"),
+                    (-F.col(id_col).cast("long")).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select((-F.col("m.negid")).alias(id_col))
+    )
+    survivors = df.join(rep_ids, id_col, "leftsemi")
+    return unclustered.unionByName(survivors)

@@ -1602,3 +1602,86 @@ select {key} as id,
                (acc, x) -> acc + x * x), 6) as sq_norm
 from {table}
 """
+
+
+def lm_score_sql(
+    table: str, key: str, val: str, n: int = 2, k: float = 1.0
+) -> str:
+    """functions.text.lm_score twin: add-k smoothed corpus n-gram LM,
+    mean per-doc log-probability. Context counts are full (n-1)-gram
+    corpus counts (all their own positions, one more per doc than the
+    n-gram positions), matching the Spark side's second ngram_counts
+    call."""
+    nn = int(n)
+    kk = float(k)
+    return f"""
+with docs as (select {key} as doc_id, {_ws_bag_sql(val)} as toks from {table}),
+pos as (
+  select doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {nn - 1}, 0) + 1)) as i
+  from docs),
+sh as (
+  select doc_id,
+         array_to_string(list_slice(toks, i, i + {nn - 1}), ' ') as gram,
+         array_to_string(list_slice(toks, i, i + {nn - 2}), ' ') as ctx
+  from pos),
+cn as (select gram as g, count(*) as c from sh group by g),
+pos1 as (
+  select doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {nn - 2}, 0) + 1)) as i
+  from docs),
+cc as (
+  select array_to_string(list_slice(toks, i, i + {nn - 2}), ' ') as g,
+         count(*) as c
+  from pos1 group by g),
+vocab as (
+  select count(distinct tok) as v
+  from (select unnest(toks) as tok from docs)),
+scored as (
+  select s.doc_id,
+         ln((coalesce(cn.c, 0) + CAST({kk!r} AS DOUBLE))
+            / (coalesce(cc.c, 0) + CAST({kk!r} AS DOUBLE) * vocab.v)) as logp
+  from sh s
+  left join cn on s.gram = cn.g
+  left join cc on s.ctx = cc.g
+  cross join vocab),
+agg as (
+  select doc_id, count(*) as n_ngrams, round(avg(logp), 6) as lm_logp
+  from scored group by doc_id)
+select d.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) as n_ngrams,
+       a.lm_logp
+from docs d left join agg a on d.doc_id = a.doc_id
+"""
+
+
+def keep_cluster_representatives_sql(
+    table: str, key: str, val: str, threshold: float = 0.9,
+    num_hashes: int = 32, bands: int = 8, seed: int = 42,
+) -> str:
+    """dedup.keep_cluster_representatives twin over MinHash near-dup
+    clusters: survivor = longest text per component (tie: min id),
+    plus every unclustered doc. Window formulation — semantically
+    identical to the Spark side's max(struct(score, -id)) aggregate
+    because (n_chars desc, id asc) is a total order."""
+    cc = connected_components_sql(
+        minhash_neardup_sql(table, key, val, threshold, num_hashes,
+                            bands, seed),
+        "l_id", "r_id", "id", "comp",
+    )
+    return f"""
+with cc as ({cc}),
+j as (
+  select d.{key} as doc_id, len(d.{val}) as n_chars, c.comp
+  from {table} d left join cc c on d.{key} = c.id)
+select doc_id, CAST(n_chars AS BIGINT) as n_chars
+from (
+  select doc_id, n_chars,
+         row_number() over (partition by comp
+                            order by n_chars desc, doc_id asc) as rn
+  from j where comp is not null) ranked
+where rn = 1
+union all
+select doc_id, CAST(n_chars AS BIGINT) as n_chars
+from j where comp is null
+"""

@@ -583,3 +583,43 @@ def test_winnow_shared_passages_localizes(spark):
     assert {(r.l_id, r.r_id) for r in rows} == {(0, 1)}
     # aligned offsets: doc0's shared region starts 2 shingles later
     assert all(r.l_pos - r.r_pos == 2 for r in rows)
+
+
+class TestKeepClusterRepresentatives:
+    def test_score_pick_tie_and_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            keep_cluster_representatives,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa"),      # comp 1, len 2
+                (2, "bbbb"),    # comp 1, len 4  <- rep (longest)
+                (3, "cccc"),    # comp 1, len 4  (tie: id 2 wins)
+                (10, "dd"),     # comp 10, len 2 <- rep (alone in comp)
+                (20, "unclustered stays"),
+            ],
+            ["doc_id", "text"],
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10)], ["id", "comp"]
+        )
+        kept = keep_cluster_representatives(
+            docs, "doc_id", clusters, score=F.length(F.col("text"))
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 10, 20]
+        assert kept.columns == docs.columns
+
+    def test_default_min_id_survivor(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            keep_cluster_representatives,
+        )
+
+        docs = spark.createDataFrame(
+            [(5, "x"), (7, "ylonger"), (9, "z")], ["doc_id", "text"]
+        )
+        clusters = spark.createDataFrame([(5, 5), (7, 5), (9, 5)], ["id", "comp"])
+        kept = keep_cluster_representatives(docs, "doc_id", clusters)
+        assert [r["doc_id"] for r in kept.collect()] == [5]

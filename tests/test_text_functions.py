@@ -493,3 +493,74 @@ class TestNgramCounts:
         got = {r.ngram for r in ngram_counts(df, "doc_id", "text", n=2).collect()}
         assert got == {"x y", "y z"}
         assert ngram_counts(df, "doc_id", "text", n=2, min_count=2).count() == 0
+
+
+class TestLmScore:
+    def test_crafted_add1_bigram(self, spark):
+        """Hand-computed add-1 bigram LM on a 4-doc corpus.
+
+        Counts: "a b"=3, "b a"=1, "b c"=1; unigrams a=3 b=3 c=1 x=1
+        (V=4). logp("a b")=ln(4/7), logp("b a")=logp("b c")=ln(2/7).
+        """
+        import math
+
+        from jaccard_join_duckdb_spark.functions.text import lm_score
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in lm_score(df, "doc_id", "text").collect()}
+        ab, ba = math.log(4 / 7), math.log(2 / 7)
+        assert rows[1]["n_ngrams"] == 3
+        assert rows[1]["lm_logp"] == round((2 * ab + ba) / 3, 6)
+        assert rows[2]["n_ngrams"] == 2
+        assert rows[2]["lm_logp"] == round((ab + ba) / 2, 6)
+        assert rows[3]["n_ngrams"] == 0 and rows[3]["lm_logp"] is None
+        assert rows[4]["n_ngrams"] == 0 and rows[4]["lm_logp"] is None
+        assert len(rows) == 4
+
+    def test_gibberish_scores_below_repetition(self, spark):
+        """The quality-filter property: within one corpus, a document
+        of corpus-typical repeated text outscores a one-off shuffle of
+        rare junk."""
+        from jaccard_join_duckdb_spark.functions.text import lm_score
+
+        common = "the cat sat on the mat"
+        docs = [(i, common) for i in range(10)]
+        docs.append((99, "zq xv jk wp mn bb"))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = {r["doc_id"]: r["lm_logp"]
+                for r in lm_score(df, "doc_id", "text").collect()}
+        assert rows[0] > rows[99]
+
+    def test_oracle_parity(self, spark):
+        import duckdb
+
+        from jaccard_join_duckdb_spark.functions.text import lm_score
+        from jaccard_join_duckdb_spark.plans.oracle_ext import lm_score_sql
+
+        data = [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta"),
+            (3, "alpha"),
+            (4, None),
+            (5, "  alpha   BETA\tgamma  "),
+        ]
+        df = spark.createDataFrame(data, ["doc_id", "text"])
+        got = sorted(
+            (r["doc_id"], r["n_ngrams"], r["lm_logp"])
+            for r in lm_score(df, "doc_id", "text", n=3, k=0.5).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "create table t (doc_id integer, text varchar)"
+        )
+        con.executemany("insert into t values (?, ?)", data)
+        want = sorted(
+            (int(r[0]), int(r[1]), r[2])
+            for r in con.execute(
+                lm_score_sql("t", "doc_id", "text", n=3, k=0.5)
+            ).fetchall()
+        )
+        assert got == want
