@@ -34,6 +34,9 @@ __all__ = [
     "text_stats",
     "token_counts",
     "lm_score",
+    "lm_score_apply",
+    "train_ngram_lm",
+    "NgramLM",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -930,20 +933,79 @@ def lm_score(
     AQE-splittable join, not a hot aggregation. The vocabulary size is
     attached as a broadcast 1-row scalar — no driver collect.
     """
+    return lm_score_apply(
+        train_ngram_lm(df, id_col, text_col, n=n, k=k), df, id_col, text_col
+    )
+
+
+class NgramLM:
+    """A trained add-k n-gram LM: the corpus count tables plus the
+    vocabulary-size scalar, reusable across many scoring calls (the
+    streaming wrapper trains once, scores every micro-batch).
+
+    ``persist=True`` caches all three tables (MEMORY_AND_DISK) —
+    call :meth:`unpersist` when done."""
+
+    def __init__(self, grams: DataFrame, ctxs: DataFrame,
+                 vocab: DataFrame, n: int, k: float,
+                 persist: bool = False) -> None:
+        self.grams, self.ctxs, self.vocab = grams, ctxs, vocab
+        self.n, self.k = int(n), float(k)
+        self._persisted = bool(persist)
+        if persist:
+            from pyspark import StorageLevel
+
+            for t in (grams, ctxs, vocab):
+                t.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            for t in (self.grams, self.ctxs, self.vocab):
+                t.unpersist()
+            self._persisted = False
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: float = 1.0,
+    persist: bool = False,
+) -> NgramLM:
+    """Build the :class:`NgramLM` tables from a reference corpus:
+    n-gram counts, (n-1)-gram context counts (:func:`ngram_counts`
+    twice) and the distinct-unigram vocabulary size."""
     if n < 2:
-        raise ValueError(f"lm_score needs n >= 2, got {n}")
+        raise ValueError(f"ngram LM needs n >= 2, got {n}")
     from ..tokenizers import _ensure_parallelism
 
-    kk = float(k)
     docs = _ensure_parallelism(df.select(id_col, text_col))
-    toks = ws_token_array(F.col(text_col))
-
     grams = ngram_counts(df, id_col, text_col, n=n)
     ctxs = ngram_counts(df, id_col, text_col, n=n - 1)
     vocab = (
         docs.select(F.explode(ws_token_array(F.col(text_col))).alias("tok"))
         .agg(F.count_distinct("tok").alias("vocab"))
     )
+    return NgramLM(grams, ctxs, vocab, n, k, persist=persist)
+
+
+def lm_score_apply(
+    lm: NgramLM,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score ``df``'s documents under an already-trained
+    :class:`NgramLM` (same output contract as :func:`lm_score`; the
+    scored documents need not be the training corpus — held-out
+    scoring and the per-micro-batch streaming path both land here)."""
+    from ..tokenizers import _ensure_parallelism
+
+    n, kk = lm.n, lm.k
+    grams, ctxs, vocab = lm.grams, lm.ctxs, lm.vocab
+    docs = _ensure_parallelism(df.select(id_col, text_col))
+    toks = ws_token_array(F.col(text_col))
 
     positions = F.when(
         F.size(toks) - F.lit(n - 1) >= 1,

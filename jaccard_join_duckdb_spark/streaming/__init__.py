@@ -23,6 +23,7 @@ __all__ = [
     "embed_near_dedup_stream",
     "hourly_event_stats",
     "interval_join",
+    "lm_score_stream",
     "near_dedup_stream",
     "phrase_probe_stream",
     "read_event_stream",
@@ -602,3 +603,44 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def lm_score_stream(
+    stream_docs: DataFrame,
+    corpus_df: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: float = 1.0,
+    trigger_available_now: bool = True,
+):
+    """Streaming LM quality scoring: every micro-batch of a document
+    ingest is scored under an add-``k`` n-gram LM trained ONCE on a
+    static reference corpus (:func:`..functions.text.train_ngram_lm`
+    with ``persist=True`` — the count tables and vocabulary scalar are
+    cached up front, the per-batch work is
+    :func:`..functions.text.lm_score_apply`'s two equi-joins plus one
+    per-doc aggregate). The live-ingest twin of the CCNet-style
+    perplexity filter: score against a trusted corpus, quarantine the
+    low tail before it enters training data.
+
+    Scores are per-document → micro-batch boundaries cannot change
+    results (stream==batch is test-pinned). No cross-batch state; the
+    LM is the only cached object and its footprint is flat across
+    epochs. ``sink(scores_df, epoch_id)`` receives each batch's
+    ``(doc_id, n_ngrams, lm_logp)``. Returns ``(query, lm)`` — the
+    started StreamingQuery and the :class:`..functions.text.NgramLM`
+    (caller stops the query, then ``lm.unpersist()``).
+    """
+    from ..functions.text import lm_score_apply, train_ngram_lm
+
+    lm = train_ngram_lm(corpus_df, id_col, text_col, n=n, k=k, persist=True)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(lm_score_apply(lm, batch_df, id_col, text_col), epoch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), lm

@@ -637,3 +637,43 @@ def test_phrase_probe_stream_equals_batch(spark, tmp_path):
     q = phrase_probe_stream(stream, phrases, sink=sink)
     q.awaitTermination()
     assert sorted(got) == want and len(want) > 0
+
+
+def test_lm_score_stream_equals_batch(spark, tmp_path):
+    """Stream docs through an LM trained on a static reference
+    corpus; per-doc scores are batch-boundary-independent, so the
+    streamed union must equal one-shot lm_score_apply on the same
+    docs."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        lm_score_apply,
+        train_ngram_lm,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import lm_score_stream
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    incoming = docs.filter("doc_id % 2 = 1")
+
+    lm_batch = train_ngram_lm(corpus, "doc_id", "text")
+    want = sorted(
+        map(tuple, lm_score_apply(lm_batch, incoming, "doc_id", "text").collect())
+    )
+
+    ddir = str(tmp_path / "docs_stream")
+    incoming.repartition(3).write.parquet(ddir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(map(tuple, df.collect()))
+
+    q, lm = lm_score_stream(stream, corpus, sink=sink)
+    q.awaitTermination()
+    lm.unpersist()
+    assert sorted(got) == want and len(want) > 0
