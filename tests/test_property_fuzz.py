@@ -559,3 +559,46 @@ def test_remove_boilerplate_matches_oracle_on_random_corpora(
         remove_boilerplate_sql("t", "id", "text", max_doc_frac=frac, min_docs=2)
     ).fetchall()))
     assert got == want
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n=st.sampled_from([2, 3]))
+def test_lm_score_matches_oracle_on_random_corpora(_spark, texts, n):
+    """The add-k LM scorer must agree with the DuckDB twin on
+    arbitrary weird corpora — blank docs, docs shorter than the
+    order (NULL score on both sides), case and multi-space variants.
+    lm_logp is compared to the rounding grid (<= 1e-6): engines may
+    differ by one ulp of libm ln before the 6-dp round."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.functions.text import lm_score
+    from jaccard_join_duckdb_spark.plans.oracle_ext import lm_score_sql
+
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in lm_score(df, "id", "text", n=n).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view t as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(texts))
+        + ") v(id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(lm_score_sql("t", "id", "text", n=n)).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        if got[i][1] is None or want[i][1] is None:
+            assert got[i][1] == want[i][1], (i, got[i], want[i])
+        else:
+            assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
