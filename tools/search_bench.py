@@ -50,6 +50,19 @@ def main() -> int:
     spark.sql(f"create database if not exists {DB}")
     spark.catalog.setCurrentDatabase(DB)
 
+    # A fresh session's metastore does not know tables written by a
+    # previous run, but their warehouse directories persist —
+    # saveAsTable would fail with LOCATION_ALREADY_EXISTS. Drop both
+    # catalog entry and leftover location before writing (same
+    # discipline as bucket_bench / index_bucket_bench).
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    for t in ("postings_idx", "postings_idx_counts"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, f"{DB}.db", t), ignore_errors=True)
+
     docs = load_table(spark, sf_dir, "documents")
     t0 = time.perf_counter()
     write_postings_index(docs, "doc_id", "text", "postings_idx", nb)
@@ -127,6 +140,7 @@ def main() -> int:
         )
     )
     spark.sql(f"drop table if exists {DB}.postings_idx")
+    spark.sql(f"drop table if exists {DB}.postings_idx_counts")
     return 0 if ok else 1
 
 
