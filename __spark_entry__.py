@@ -946,6 +946,28 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir), "doc_id", "text", n=2, k=1.0)
 
 
+def q_text_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff LM scoring (Brants et al. 2007): train
+    bigram counts on 90% of the corpus (doc_id % 10 != 0), score the
+    held-out 10% — unseen bigrams take the alpha-discounted add-1
+    unigram backoff (functions.text.train_ngram_lm /
+    lm_score_apply, the same path every micro-batch of
+    streaming.lm_score_stream runs)."""
+    from jaccard_join_duckdb_spark.functions.text import (
+        lm_score_apply,
+        train_ngram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_ngram_lm(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text",
+        smoothing="stupid_backoff",
+    )
+    return lm_score_apply(
+        lm, docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text"
+    )
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word trigram counts with count-pruning at 2 —
     the n-gram-LM (KenLM) prep primitive
@@ -1350,6 +1372,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_many": q_phrase_search_many,
         "ngram_counts": q_ngram_counts,
         "text_lm_score": q_text_lm_score,
+        "text_lm_score_backoff": q_text_lm_score_backoff,
         "contamination_report": q_contamination_report,
         "winnow_passages": q_winnow_passages,
         "embedding_stats": q_embedding_stats,
@@ -1742,6 +1765,11 @@ from orders group by 1
         ),
         "text_lm_score": oracle_ext.lm_score_sql(
             "documents", "doc_id", "text", n=2, k=1.0
+        ),
+        "text_lm_score_backoff": oracle_ext.lm_score_sql(
+            "(select * from documents where doc_id % 10 != 0)",
+            "doc_id", "text", n=2, smoothing="stupid_backoff",
+            score_table="(select * from documents where doc_id % 10 = 0)",
         ),
         "contamination_report": oracle_ext.contamination_report_sql(
             "(select * from documents where doc_id % 50 = 0)",

@@ -909,6 +909,8 @@ def lm_score(
     text_col: str,
     n: int = 2,
     k: float = 1.0,
+    smoothing: str = "add_k",
+    alpha: float = 0.4,
 ) -> DataFrame:
     """Per-document mean n-gram log-probability under an add-``k``
     smoothed LM trained on the corpus itself — the classic
@@ -918,7 +920,8 @@ def lm_score(
     the (n-1)-gram context tables, plus the unigram vocabulary size
     for the smoothing denominator.
 
-    For each in-document n-gram at position i::
+    For each in-document n-gram at position i (default ``add_k``;
+    see :func:`train_ngram_lm` for ``smoothing="stupid_backoff"``)::
 
         logp_i = ln((c_n(gram_i) + k) / (c_{n-1}(ctx_i) + k * V))
 
@@ -934,7 +937,9 @@ def lm_score(
     attached as a broadcast 1-row scalar — no driver collect.
     """
     return lm_score_apply(
-        train_ngram_lm(df, id_col, text_col, n=n, k=k), df, id_col, text_col
+        train_ngram_lm(df, id_col, text_col, n=n, k=k,
+                       smoothing=smoothing, alpha=alpha),
+        df, id_col, text_col,
     )
 
 
@@ -948,9 +953,11 @@ class NgramLM:
 
     def __init__(self, grams: DataFrame, ctxs: DataFrame,
                  vocab: DataFrame, n: int, k: float,
-                 persist: bool = False) -> None:
+                 persist: bool = False, smoothing: str = "add_k",
+                 alpha: float = 0.4) -> None:
         self.grams, self.ctxs, self.vocab = grams, ctxs, vocab
         self.n, self.k = int(n), float(k)
+        self.smoothing, self.alpha = smoothing, float(alpha)
         self._persisted = bool(persist)
         if persist:
             from pyspark import StorageLevel
@@ -972,12 +979,28 @@ def train_ngram_lm(
     n: int = 2,
     k: float = 1.0,
     persist: bool = False,
+    smoothing: str = "add_k",
+    alpha: float = 0.4,
 ) -> NgramLM:
     """Build the :class:`NgramLM` tables from a reference corpus:
     n-gram counts, (n-1)-gram context counts (:func:`ngram_counts`
-    twice) and the distinct-unigram vocabulary size."""
+    twice) and the distinct-unigram vocabulary size + total token
+    count.
+
+    ``smoothing``: ``"add_k"`` (default) or ``"stupid_backoff"``
+    (Brants et al. 2007, the smoothing built FOR massive distributed
+    LMs — no discounting to renormalize, so counts compose across
+    partitions): score ``c(gram)/c(ctx)`` when the n-gram was seen,
+    else back off to ``alpha * (c(w)+1)/(N+V)`` — the final unigram
+    level is add-1-floored so out-of-corpus words stay finite.
+    Stupid backoff is implemented for bigrams (``n=2``), where the
+    context table doubles as the unigram backoff table."""
     if n < 2:
         raise ValueError(f"ngram LM needs n >= 2, got {n}")
+    if smoothing not in ("add_k", "stupid_backoff"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    if smoothing == "stupid_backoff" and n != 2:
+        raise ValueError("stupid_backoff is implemented for n=2 only")
     from ..tokenizers import _ensure_parallelism
 
     docs = _ensure_parallelism(df.select(id_col, text_col))
@@ -985,9 +1008,13 @@ def train_ngram_lm(
     ctxs = ngram_counts(df, id_col, text_col, n=n - 1)
     vocab = (
         docs.select(F.explode(ws_token_array(F.col(text_col))).alias("tok"))
-        .agg(F.count_distinct("tok").alias("vocab"))
+        .agg(
+            F.count_distinct("tok").alias("vocab"),
+            F.count(F.lit(1)).alias("total"),
+        )
     )
-    return NgramLM(grams, ctxs, vocab, n, k, persist=persist)
+    return NgramLM(grams, ctxs, vocab, n, k, persist=persist,
+                   smoothing=smoothing, alpha=alpha)
 
 
 def lm_score_apply(
@@ -1023,25 +1050,53 @@ def lm_score_apply(
         F.concat_ws(
             " ", F.slice(F.col("toks"), F.col("i"), F.lit(n - 1))
         ).alias("ctx"),
+        F.element_at(F.col("toks"), F.col("i") + F.lit(n - 1)).alias("w"),
     )
 
-    scored = (
+    counted = (
         exploded.join(grams, exploded["gram"] == grams["ngram"], "left")
         .drop("ngram")
         .withColumnRenamed("n_count", "gram_count")
         .join(ctxs, exploded["ctx"] == ctxs["ngram"], "left")
         .drop("ngram")
         .withColumnRenamed("n_count", "ctx_count")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.log(
-                (F.coalesce(F.col("gram_count"), F.lit(0)).cast("double")
-                 + F.lit(kk))
-                / (F.coalesce(F.col("ctx_count"), F.lit(0)).cast("double")
-                   + F.lit(kk) * F.col("vocab").cast("double"))
-            ).alias("logp"),
+    )
+    if lm.smoothing == "stupid_backoff":
+        # unigram backoff lookup for the word itself; for n=2 the
+        # context table IS the unigram table (fresh exprIds via the
+        # aliasing select, so the second join is unambiguous)
+        unis = ctxs.select(
+            F.col("ngram").alias("w_gram"), F.col("n_count").alias("w_count")
         )
+        counted = counted.join(
+            unis, counted["w"] == unis["w_gram"], "left"
+        ).drop("w_gram")
+        logp = F.when(
+            F.col("gram_count").isNotNull(),
+            F.log(
+                F.col("gram_count").cast("double")
+                / F.col("ctx_count").cast("double")
+            ),
+        ).otherwise(
+            F.log(
+                F.lit(lm.alpha)
+                * (F.coalesce(F.col("w_count"), F.lit(0)).cast("double")
+                   + F.lit(1.0))
+                / (F.col("total").cast("double")
+                   + F.col("vocab").cast("double"))
+            )
+        )
+    else:
+        logp = F.log(
+            (F.coalesce(F.col("gram_count"), F.lit(0)).cast("double")
+             + F.lit(kk))
+            / (F.coalesce(F.col("ctx_count"), F.lit(0)).cast("double")
+               + F.lit(kk) * F.col("vocab").cast("double"))
+        )
+
+    scored = (
+        counted.crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),

@@ -1605,27 +1605,60 @@ from {table}
 
 
 def lm_score_sql(
-    table: str, key: str, val: str, n: int = 2, k: float = 1.0
+    table: str, key: str, val: str, n: int = 2, k: float = 1.0,
+    smoothing: str = "add_k", alpha: float = 0.4,
+    score_table: str | None = None,
 ) -> str:
-    """functions.text.lm_score twin: add-k smoothed corpus n-gram LM,
-    mean per-doc log-probability. Context counts are full (n-1)-gram
-    corpus counts (all their own positions, one more per doc than the
-    n-gram positions), matching the Spark side's second ngram_counts
-    call."""
+    """functions.text.lm_score twin: corpus n-gram LM, mean per-doc
+    log-probability. Context counts are full (n-1)-gram corpus counts
+    (all their own positions, one more per doc than the n-gram
+    positions), matching the Spark side's second ngram_counts call.
+    ``smoothing='add_k'`` or ``'stupid_backoff'`` (n=2, seen grams
+    score c(gram)/c(ctx), unseen back off to
+    alpha*(c(w)+1)/(N+V)) — same branch shapes as lm_score_apply.
+    ``score_table`` scores a different (held-out) table under the
+    counts trained on ``table`` (the lm_score_apply twin); default is
+    self-scoring."""
     nn = int(n)
     kk = float(k)
+    if smoothing == "stupid_backoff":
+        logp = (
+            f"case when cn.c is not null then "
+            f"ln(CAST(cn.c AS DOUBLE) / CAST(cc.c AS DOUBLE)) "
+            f"else ln(CAST({float(alpha)!r} AS DOUBLE) "
+            f"* (CAST(coalesce(cw.c, 0) AS DOUBLE) + 1.0) "
+            f"/ (CAST(vocab.total AS DOUBLE) + CAST(vocab.v AS DOUBLE))) end"
+        )
+        uni_join = "\n  left join cc cw on s.w = cw.g"
+    else:
+        logp = (
+            f"ln((coalesce(cn.c, 0) + CAST({kk!r} AS DOUBLE))\n"
+            f"            / (coalesce(cc.c, 0) "
+            f"+ CAST({kk!r} AS DOUBLE) * vocab.v))"
+        )
+        uni_join = ""
     return f"""
 with docs as (select {key} as doc_id, {_ws_bag_sql(val)} as toks from {table}),
+sdocs as (select {key} as doc_id, {_ws_bag_sql(val)} as toks
+          from {score_table or table}),
 pos as (
   select doc_id, toks,
          unnest(range(1, greatest(len(toks) - {nn - 1}, 0) + 1)) as i
-  from docs),
+  from sdocs),
 sh as (
   select doc_id,
          array_to_string(list_slice(toks, i, i + {nn - 1}), ' ') as gram,
-         array_to_string(list_slice(toks, i, i + {nn - 2}), ' ') as ctx
+         array_to_string(list_slice(toks, i, i + {nn - 2}), ' ') as ctx,
+         toks[i + {nn - 1}] as w
   from pos),
-cn as (select gram as g, count(*) as c from sh group by g),
+posc as (
+  select doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {nn - 1}, 0) + 1)) as i
+  from docs),
+cn as (
+  select array_to_string(list_slice(toks, i, i + {nn - 1}), ' ') as g,
+         count(*) as c
+  from posc group by g),
 pos1 as (
   select doc_id, toks,
          unnest(range(1, greatest(len(toks) - {nn - 2}, 0) + 1)) as i
@@ -1635,15 +1668,14 @@ cc as (
          count(*) as c
   from pos1 group by g),
 vocab as (
-  select count(distinct tok) as v
+  select count(distinct tok) as v, count(*) as total
   from (select unnest(toks) as tok from docs)),
 scored as (
   select s.doc_id,
-         ln((coalesce(cn.c, 0) + CAST({kk!r} AS DOUBLE))
-            / (coalesce(cc.c, 0) + CAST({kk!r} AS DOUBLE) * vocab.v)) as logp
+         {logp} as logp
   from sh s
   left join cn on s.gram = cn.g
-  left join cc on s.ctx = cc.g
+  left join cc on s.ctx = cc.g{uni_join}
   cross join vocab),
 agg as (
   select doc_id, count(*) as n_ngrams, round(avg(logp), 6) as lm_logp
@@ -1651,9 +1683,8 @@ agg as (
 select d.doc_id,
        CAST(coalesce(a.n_ngrams, 0) AS BIGINT) as n_ngrams,
        a.lm_logp
-from docs d left join agg a on d.doc_id = a.doc_id
+from sdocs d left join agg a on d.doc_id = a.doc_id
 """
-
 
 def keep_cluster_representatives_sql(
     table: str, key: str, val: str, threshold: float = 0.9,

@@ -566,8 +566,12 @@ def test_remove_boilerplate_matches_oracle_on_random_corpora(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(texts=_corpus, n=st.sampled_from([2, 3]))
-def test_lm_score_matches_oracle_on_random_corpora(_spark, texts, n):
+@given(
+    texts=_corpus,
+    n=st.sampled_from([2, 3]),
+    smoothing=st.sampled_from(["add_k", "stupid_backoff"]),
+)
+def test_lm_score_matches_oracle_on_random_corpora(_spark, texts, n, smoothing):
     """The add-k LM scorer must agree with the DuckDB twin on
     arbitrary weird corpora — blank docs, docs shorter than the
     order (NULL score on both sides), case and multi-space variants.
@@ -578,12 +582,14 @@ def test_lm_score_matches_oracle_on_random_corpora(_spark, texts, n):
     from jaccard_join_duckdb_spark.functions.text import lm_score
     from jaccard_join_duckdb_spark.plans.oracle_ext import lm_score_sql
 
+    if smoothing == "stupid_backoff":
+        n = 2  # backoff is bigram-only
     df = _spark.createDataFrame(
         list(enumerate(texts)), "id long, text string"
     )
     got = {
         r[0]: (r[1], r[2])
-        for r in lm_score(df, "id", "text", n=n).collect()
+        for r in lm_score(df, "id", "text", n=n, smoothing=smoothing).collect()
     }
     con = duckdb.connect()
     con.execute(
@@ -593,7 +599,9 @@ def test_lm_score_matches_oracle_on_random_corpora(_spark, texts, n):
     )
     want = {
         r[0]: (r[1], r[2])
-        for r in con.execute(lm_score_sql("t", "id", "text", n=n)).fetchall()
+        for r in con.execute(
+            lm_score_sql("t", "id", "text", n=n, smoothing=smoothing)
+        ).fetchall()
     }
     assert set(got) == set(want)
     for i in got:

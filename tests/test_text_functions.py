@@ -564,3 +564,101 @@ class TestLmScore:
             ).fetchall()
         )
         assert got == want
+
+    def test_stupid_backoff_crafted(self, spark):
+        """Hand-computed stupid backoff (Brants et al. 2007) on the
+        same 4-doc corpus as the add-1 test.
+
+        Seen bigram: S("a b") = c("a b")/c("a") = 3/3;
+        S("b a") = 1/3; S("b c") = 1/3. No unseen bigrams occur in
+        the corpus itself, so doc scores are pure seen-branch means.
+        """
+        import math
+
+        from jaccard_join_duckdb_spark.functions.text import lm_score
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in lm_score(
+                df, "doc_id", "text", smoothing="stupid_backoff"
+            ).collect()
+        }
+        ab, ba = math.log(3 / 3), math.log(1 / 3)
+        assert rows[1]["lm_logp"] == round((2 * ab + ba) / 3, 6)
+        assert rows[2]["lm_logp"] == round((ab + ba) / 2, 6)
+        assert rows[3]["n_ngrams"] == 0 and rows[3]["lm_logp"] is None
+
+    def test_stupid_backoff_oov_backoff_branch(self, spark):
+        """Held-out scoring hits the backoff branch.
+
+        Corpus "a b a b" + "a b": N=6 tokens, V=2, c(a)=3,
+        c("a b")=3. Held-out doc "a b z" has bigrams "a b"
+        (seen: S = 3/3) and "b z" (unseen, z OOV:
+        S = 0.4 * (c(z)+1)/(N+V) = 0.4 * 1/8).
+        """
+        import math
+
+        from jaccard_join_duckdb_spark.functions.text import (
+            lm_score_apply,
+            train_ngram_lm,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+        )
+        lm = train_ngram_lm(
+            corpus, "doc_id", "text", smoothing="stupid_backoff"
+        )
+        held_out = spark.createDataFrame([(9, "a b z")], ["doc_id", "text"])
+        r = lm_score_apply(lm, held_out, "doc_id", "text").collect()[0]
+        want = round((math.log(3 / 3) + math.log(0.4 * 1 / 8)) / 2, 6)
+        assert r["n_ngrams"] == 2
+        assert r["lm_logp"] == want
+
+    def test_stupid_backoff_oracle_parity(self, spark):
+        import duckdb
+
+        from jaccard_join_duckdb_spark.functions.text import lm_score
+        from jaccard_join_duckdb_spark.plans.oracle_ext import lm_score_sql
+
+        data = [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta"),
+            (3, "alpha"),
+            (4, None),
+            (5, "zeta zeta  ALPHA beta"),
+        ]
+        df = spark.createDataFrame(data, ["doc_id", "text"])
+        got = sorted(
+            (r["doc_id"], r["n_ngrams"], r["lm_logp"])
+            for r in lm_score(
+                df, "doc_id", "text", smoothing="stupid_backoff", alpha=0.3
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("create table t (doc_id integer, text varchar)")
+        con.executemany("insert into t values (?, ?)", data)
+        want = sorted(
+            (int(r[0]), int(r[1]), r[2])
+            for r in con.execute(
+                lm_score_sql(
+                    "t", "doc_id", "text",
+                    smoothing="stupid_backoff", alpha=0.3,
+                )
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_backoff_rejects_non_bigram(self, spark):
+        import pytest as _pytest
+
+        from jaccard_join_duckdb_spark.functions.text import train_ngram_lm
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="n=2"):
+            train_ngram_lm(df, "doc_id", "text", n=3,
+                           smoothing="stupid_backoff")
