@@ -1227,9 +1227,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver's row window). The window ROTATES across rounds so every
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
-# names; round 6 promotes the 25 queries that were extras in round 5
-# and keeps the 25 most load-bearing round-5 names, so the union of
-# CORRECTNESS_r05 + CORRECTNESS_r06 covers the full inventory.
+# names; round 6 promotes every round-5 extra plus the five new
+# round-6 queries and keeps the most load-bearing round-5 names, so
+# the union of CORRECTNESS_r05 + CORRECTNESS_r06 covers the full
+# 80-name inventory (verified in tests/test_entry_contract.py).
 # Everything NOT in _GATED is still hash-verified every round by
 # ``tools/check_entry.py`` (merges both dicts) and pytest.
 _GATED = [
@@ -1261,7 +1262,6 @@ _GATED = [
     "ann_pandas_topk",
     # --- round-5-graded keepers (reference surface + one per family) ---
     "jaccard_self_ws",
-    "jaccard_self_ws_hotsplit",
     "jaccard_self_qgram",
     "jaccard_inner_ws",
     "evaluate_metrics",
@@ -1272,12 +1272,10 @@ _GATED = [
     "decontaminate",
     "decontaminate_ngram",
     "edit_distance_join",
-    "corpus_curate_full",
     "dedup_embed_cosine_lsh_banded",
     "ann_lsh_banded_topk",
     "ann_ivf_topk",
     "multimodal_features",
-    "text_lang_id",
     "corpus_profile",
     "events_asof_join",
     "events_sessionize",
@@ -1286,6 +1284,9 @@ _GATED = [
     # --- new round-6 operators ---
     "pack_stats_bpe",       # rows-only gate (pandas-UDF BPE kernel)
     "text_lang_id_trigram",
+    "dedup_canonical",
+    "text_lm_score",
+    "text_lm_score_backoff",
 ]
 
 

@@ -53,6 +53,25 @@ def test_graded_inventory_fits_driver_window():
     )
 
 
+def test_rotation_union_covers_inventory():
+    """Round-5 verdict #2: the gate window rotates so the union of the
+    round-5 driver rows and the current window covers EVERY declared
+    query — no name goes two rounds without a driver-signed row."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as e
+
+    r5_path = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r05.json"
+    r5 = set(json.loads(r5_path.read_text()))
+    declared = set(e.queries()) | set(e.extra_queries())
+    uncovered = sorted(declared - r5 - set(e.queries()))
+    assert not uncovered, (
+        f"declared queries with no driver row in r5 or the current "
+        f"window: {uncovered}"
+    )
+
+
 def test_query_callables_signature():
     import __spark_entry__ as e
 
