@@ -280,6 +280,28 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021):
+    maximal token spans whose every 8-gram occurs >= 2 times in the
+    corpus (operators/dedup.py duplicated_spans — xxhash64-compressed
+    shingles, one count window + one gaps-and-islands merge, no pair
+    fan-out)."""
+    from jaccard_join_duckdb_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), "doc_id", "text", 8)
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate coverage (interval-union sweep over the
+    duplicated spans): the `dup_ratio` curation signal ExactSubstr
+    dedups on (operators/dedup.py duplicated_span_stats)."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(_docs(spark, sf_dir), "doc_id", "text", 8)
+
+
 def q_dedup_minhash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-vs-corpus near-dup (the streaming-ingest batch twin):
     docs with doc_id % 10 == 0 are the incoming "batch", the rest the
@@ -1319,6 +1341,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_match": q_dedup_minhash_match,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "dup_spans": q_dup_spans,
+        "dup_span_stats": q_dup_span_stats,
         "corpus_curate_full": q_corpus_curate_full,
         "edit_distance_join": q_edit_distance_join,
         "dedup_simhash": q_dedup_simhash,
@@ -1511,6 +1535,12 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "dedup_canonical": oracle_ext.keep_cluster_representatives_sql(
             "documents", "doc_id", "text", T_MINHASH
+        ),
+        "dup_spans": oracle_ext.duplicated_spans_sql(
+            "documents", "doc_id", "text", 8
+        ),
+        "dup_span_stats": oracle_ext.duplicated_span_stats_sql(
+            "documents", "doc_id", "text", 8
         ),
         "dedup_minhash_match": oracle_ext.minhash_match_sql(
             "(select * from documents where doc_id % 10 = 0)",

@@ -76,6 +76,8 @@ __all__ = [
     "ngram_decontaminate_indexed",
     "connected_components",
     "keep_cluster_representatives",
+    "duplicated_spans",
+    "duplicated_span_stats",
 ]
 
 MERSENNE31 = 2147483647
@@ -1822,3 +1824,137 @@ def keep_cluster_representatives(
     )
     survivors = df.join(rep_ids, id_col, "leftsemi")
     return unclustered.unionByName(survivors)
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (Lee et al. 2021, arXiv:2107.06499)
+# --------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Maximal duplicated token spans, the word-level analogue of
+    ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2021): a position is *duplicated* when
+    the ``span_tokens``-gram starting there occurs at least twice in
+    the corpus (any document, any position — including elsewhere in
+    the same document); maximal runs of consecutive duplicated
+    positions are merged into one span per run (gaps-and-islands).
+    The reference paper suffix-arrays raw bytes; word-level shingles
+    give the same "verbatim repeated passage" signal with shuffle-
+    friendly fixed-width keys.
+
+    Output: ``(doc_id, start_pos, end_pos, span_len)`` — 1-based
+    token positions, ``end_pos`` inclusive, ``span_len = end_pos -
+    start_pos + 1 >= span_tokens``.
+
+    Scale: shingles are xxhash64-compressed to 8-byte keys (the gram
+    strings never shuffle); duplicate marking is a map-side-partial
+    ``groupBy(hash)`` + semi-join — NOT a count window, so a
+    boilerplate gram repeated millions of times partial-aggregates
+    inside each map task instead of piling onto one window reducer,
+    and the join side is AQE-broadcastable/skew-splittable. Island
+    merging is one window + groupBy over ``(doc, position)``. No
+    self-join, no pair fan-out; cost linear in corpus token count.
+    """
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    from ..functions.text import ws_token_array
+    from ..tokenizers import _ensure_parallelism
+
+    ll = int(span_tokens)
+    docs = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        ws_token_array(F.col(text_col)).alias("ts"),
+    )
+    grams = F.when(
+        F.size("ts") >= ll,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - F.lit(ll - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("ts"), i, ll))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = docs.select(
+        "doc_id", F.posexplode(grams).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "h")
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("h")
+    )
+    dup = pos.join(dup_h, "h", "leftsemi")
+    isl = dup.withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("start_pos"),
+        (F.min("i") + F.count(F.lit(1)) + F.lit(ll - 2)).alias("end_pos"),
+        (F.count(F.lit(1)) + F.lit(ll - 1)).alias("span_len"),
+    ).drop("grp")
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Per-document duplicate coverage from :func:`duplicated_spans`:
+    how much of each document is verbatim-repeated corpus text — the
+    per-doc quality signal the ExactSubstr paper deduplicates on (and
+    the natural `dup_ratio > x` curation gate).
+
+    Spans from one document can overlap (two islands separated by a
+    missing start position still cover intersecting token ranges when
+    ``span_tokens > 2``), so coverage is an interval-union sweep: one
+    running-max window over span ends, each span contributing only
+    tokens past both the previous furthest end and its own start.
+
+    Output: ``(doc_id, n_tokens, dup_tokens, dup_ratio)`` — one row
+    per input document, zeros when nothing repeats.
+
+    Scale: the sweep is a window per document ordered by start — span
+    counts per doc are bounded by token counts, and the final join
+    back to the corpus is an equi-join on doc id.
+    """
+    from ..functions.text import ws_token_array
+    from ..tokenizers import _ensure_parallelism
+
+    spans = duplicated_spans(df, id_col, text_col, span_tokens)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = F.greatest(
+        F.coalesce(F.max("end_pos").over(w), F.lit(0).cast("long")),
+        F.col("start_pos") - 1,
+    )
+    per_doc = (
+        spans.withColumn(
+            "inc", F.greatest(F.lit(0).cast("long"), F.col("end_pos") - frontier)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("inc").alias("dup_tokens"))
+    )
+    docs = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_token_array(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+            "dup_tokens"
+        ),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
+    )

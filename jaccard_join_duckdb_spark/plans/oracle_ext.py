@@ -1716,3 +1716,72 @@ union all
 select doc_id, CAST(n_chars AS BIGINT) as n_chars
 from j where comp is null
 """
+
+
+def duplicated_spans_sql(
+    table: str, key: str, val: str, span_tokens: int = 20
+) -> str:
+    """dedup.duplicated_spans twin (ExactSubstr-style, Lee et al.
+    2021): positions whose span_tokens-gram occurs >= 2 times in the
+    corpus, merged into maximal spans by gaps-and-islands. Groups on
+    the gram STRING where the Spark side groups on its xxhash64
+    compression — identical result sets absent 64-bit collisions
+    (none at gate scale; the hash never surfaces in output)."""
+    ll = int(span_tokens)
+    return f"""
+with docs as (select {key} as doc_id, {_ws_bag_sql(val)} as toks from {table}),
+pos as (
+  select doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {ll - 1}, 0) + 1)) as i
+  from docs),
+g as (
+  select doc_id, i,
+         array_to_string(list_slice(toks, i, i + {ll - 1}), ' ') as gram
+  from pos),
+dup as (
+  select doc_id, i
+  from (select doc_id, i, count(*) over (partition by gram) as occ from g)
+  where occ > 1),
+isl as (
+  select doc_id, i,
+         i - row_number() over (partition by doc_id order by i) as grp
+  from dup)
+select doc_id,
+       min(i) as start_pos,
+       min(i) + count(*) + {ll - 2} as end_pos,
+       count(*) + {ll - 1} as span_len
+from isl
+group by doc_id, grp
+"""
+
+
+def duplicated_span_stats_sql(
+    table: str, key: str, val: str, span_tokens: int = 20
+) -> str:
+    """dedup.duplicated_span_stats twin: interval-union sweep over
+    the per-doc spans (running max of end over preceding rows), then
+    a left join back to every document."""
+    spans = duplicated_spans_sql(table, key, val, span_tokens)
+    return f"""
+with spans as ({spans}),
+swept as (
+  select doc_id,
+         greatest(CAST(0 AS BIGINT),
+                  end_pos - greatest(
+                    coalesce(max(end_pos) over (
+                       partition by doc_id order by start_pos
+                       rows between unbounded preceding and 1 preceding),
+                      CAST(0 AS BIGINT)),
+                    start_pos - 1)) as inc
+  from spans),
+agg as (select doc_id, sum(inc) as dup_tokens from swept group by doc_id),
+docs as (select {key} as doc_id,
+                CAST(len({_ws_bag_sql(val)}) AS BIGINT) as n_tokens
+         from {table})
+select d.doc_id,
+       d.n_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) as dup_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+         / CAST(greatest(d.n_tokens, 1) AS DOUBLE) as dup_ratio
+from docs d left join agg a on d.doc_id = a.doc_id
+"""

@@ -623,3 +623,86 @@ class TestKeepClusterRepresentatives:
         clusters = spark.createDataFrame([(5, 5), (7, 5), (9, 5)], ["id", "comp"])
         kept = keep_cluster_representatives(docs, "doc_id", clusters)
         assert [r["doc_id"] for r in kept.collect()] == [5]
+
+
+class TestDuplicatedSpans:
+    """ExactSubstr-style spans: crafted corpora with known repeats
+    (the hash gate covers oracle parity on real data; these pin the
+    SEMANTICS — maximality, within-doc repeats, overlap coverage)."""
+
+    def _spans(self, spark, rows, n):
+        from jaccard_join_duckdb_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            (r.doc_id, r.start_pos, r.end_pos, r.span_len)
+            for r in duplicated_spans(df, "doc_id", "text", n).collect()
+        }
+
+    def test_cross_doc_maximal_span(self, spark):
+        # docs 1 and 2 share the 5-token run "p q r s t"; with n=3 the
+        # dup-start positions are consecutive and merge to ONE span
+        got = self._spans(
+            spark,
+            [(1, "a b p q r s t c"), (2, "x p q r s t y z")],
+            3,
+        )
+        assert got == {(1, 3, 7, 5), (2, 2, 6, 5)}
+
+    def test_no_duplicates_empty(self, spark):
+        assert self._spans(
+            spark, [(1, "a b c d e"), (2, "f g h i j")], 3
+        ) == set()
+
+    def test_within_doc_repeat_counts(self, spark):
+        # "u v w" twice inside ONE doc -> both occurrences are spans
+        got = self._spans(spark, [(1, "u v w x x u v w")], 3)
+        assert got == {(1, 1, 3, 3), (1, 6, 8, 3)}
+
+    def test_short_docs_contribute_nothing(self, spark):
+        assert self._spans(spark, [(1, "a b"), (2, "a b")], 3) == set()
+
+    def test_stats_overlap_interval_union(self, spark):
+        # doc 1: positions 1 and 3 are dup-starts (not 2) with n=3 ->
+        # two islands covering tokens [1,3] and [3,5]; the union is 5
+        # tokens, NOT 6 — pins the running-max sweep.
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a a b q q q"),   # grams at 1:"a b a" 3:"a a b"
+                (2, "a b a z a a b z"),   # repeats both grams elsewhere
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_ratio)
+            for r in duplicated_span_stats(df, "doc_id", "text", 3).collect()
+        }
+        assert got[1][0] == 8 and got[2][0] == 8
+        assert got[1][1] == 5          # tokens 1..5 union, not 3+3
+        assert got[1][2] == 5 / 8
+        assert got[2][1] == 6          # starts 1,5 -> [1,3] u [5,7] = 6
+
+    def test_stats_cover_every_doc(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "n o p q"), (2, "n o p q"), (3, "lonely text here")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.dup_ratio
+            for r in duplicated_span_stats(df, "doc_id", "text", 4).collect()
+        }
+        assert got == {1: 1.0, 2: 1.0, 3: 0.0}
+
+    def test_span_tokens_validation(self):
+        from jaccard_join_duckdb_spark.operators.dedup import duplicated_spans
+
+        with pytest.raises(ValueError):
+            duplicated_spans(None, "id", "t", 1)
