@@ -990,6 +990,32 @@ def q_text_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering (Wenzek et al. 2020): every doc
+    scored under the corpus bigram LM, tertile-cut into head / middle
+    / tail quality buckets (functions/text.py perplexity_buckets —
+    cutoffs are one exact-percentile scalar broadcast back, no global
+    sort)."""
+    from jaccard_join_duckdb_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): docs with
+    doc_id % 10 == 0 play the target distribution, the rest the raw
+    source; every source doc gets logp_target - logp_source as its
+    selection weight (functions/text.py dsir_weights)."""
+    from jaccard_join_duckdb_spark.functions.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "doc_id", "text",
+    )
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word trigram counts with count-pruning at 2 —
     the n-gram-LM (KenLM) prep primitive
@@ -1398,6 +1424,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "text_lm_score": q_text_lm_score,
         "text_lm_score_backoff": q_text_lm_score_backoff,
+        "text_ppl_buckets": q_text_ppl_buckets,
+        "dsir_weights": q_dsir_weights,
         "contamination_report": q_contamination_report,
         "winnow_passages": q_winnow_passages,
         "embedding_stats": q_embedding_stats,
@@ -1801,6 +1829,14 @@ from orders group by 1
             "(select * from documents where doc_id % 10 != 0)",
             "doc_id", "text", n=2, smoothing="stupid_backoff",
             score_table="(select * from documents where doc_id % 10 = 0)",
+        ),
+        "text_ppl_buckets": oracle_ext.perplexity_buckets_sql(
+            "documents", "doc_id", "text"
+        ),
+        "dsir_weights": oracle_ext.dsir_weights_sql(
+            "(select * from documents where doc_id % 10 = 0)",
+            "(select * from documents where doc_id % 10 != 0)",
+            "doc_id", "text",
         ),
         "contamination_report": oracle_ext.contamination_report_sql(
             "(select * from documents where doc_id % 50 = 0)",

@@ -37,6 +37,8 @@ __all__ = [
     "lm_score_apply",
     "train_ngram_lm",
     "NgramLM",
+    "perplexity_buckets",
+    "dsir_weights",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -1112,4 +1114,85 @@ def lm_score_apply(
             F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
             F.col("lm_logp"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus LM (:func:`lm_score`) and label
+    the best-scoring third ``head``, the next ``middle``, the rest
+    ``tail`` — the standard quality-tiering step before sampling
+    training data by tier. Documents too short to produce an n-gram
+    are labeled ``unscored``.
+
+    Output: ``(doc_id, n_ngrams, lm_logp, bucket)``.
+
+    Scale: the two tertile cutoffs are ONE exact-percentile aggregate
+    attached back as a broadcast 1-row scalar — no global sort, no
+    ntile window over a single partition; bucketing itself is a
+    column expression.
+    """
+    scored = lm_score(df, id_col, text_col, n=n, k=k)
+    cuts = scored.filter(F.col("lm_logp").isNotNull()).agg(
+        F.percentile("lm_logp", 2.0 / 3.0).alias("c_head"),
+        F.percentile("lm_logp", 1.0 / 3.0).alias("c_mid"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_ngrams",
+        "lm_logp",
+        F.when(F.col("lm_logp").isNull(), F.lit("unscored"))
+        .when(F.col("lm_logp") >= F.col("c_head"), F.lit("head"))
+        .when(F.col("lm_logp") >= F.col("c_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def dsir_weights(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    SOURCE document under an n-gram LM of the TARGET distribution and
+    one of the source distribution; the per-token log-ratio
+    ``logw = logp_target - logp_source`` is the importance weight the
+    paper Gumbel-top-k samples on (positive = looks more like the
+    target than like typical source text). Mean-per-ngram log-probs
+    (:func:`lm_score`'s contract) make the ratio length-normalized.
+
+    Output: ``(doc_id, n_ngrams, logp_target, logp_source, logw)``;
+    documents too short to score carry NULLs.
+
+    Scale: two :func:`train_ngram_lm` count tables (map-side-partial
+    groupBys) + two broadcast-scalar-attached scoring passes + one
+    equi-join on doc id — no pairwise work anywhere.
+    """
+    tgt = lm_score_apply(
+        train_ngram_lm(target_df, id_col, text_col, n=n, k=k),
+        source_df, id_col, text_col,
+    ).select(
+        "doc_id", "n_ngrams", F.col("lm_logp").alias("logp_target")
+    )
+    src = lm_score_apply(
+        train_ngram_lm(source_df, id_col, text_col, n=n, k=k),
+        source_df, id_col, text_col,
+    ).select("doc_id", F.col("lm_logp").alias("logp_source"))
+    return tgt.join(src, "doc_id").select(
+        "doc_id",
+        "n_ngrams",
+        "logp_target",
+        "logp_source",
+        F.round(F.col("logp_target") - F.col("logp_source"), 6).alias("logw"),
     )

@@ -1785,3 +1785,48 @@ select d.doc_id,
          / CAST(greatest(d.n_tokens, 1) AS DOUBLE) as dup_ratio
 from docs d left join agg a on d.doc_id = a.doc_id
 """
+
+
+def perplexity_buckets_sql(
+    table: str, key: str, val: str, n: int = 2, k: float = 1.0
+) -> str:
+    """functions.text.perplexity_buckets twin (CCNet tiering): corpus
+    LM scores + exact tertile cutoffs (quantile_cont matches Spark's
+    exact `percentile` linear interpolation on the same rounded-6dp
+    doubles) + CASE bucketing."""
+    scored = lm_score_sql(table, key, val, n=n, k=k)
+    return f"""
+with scored as ({scored}),
+cuts as (
+  select quantile_cont(lm_logp, 2.0/3.0) as c_head,
+         quantile_cont(lm_logp, 1.0/3.0) as c_mid
+  from scored where lm_logp is not null)
+select s.doc_id, s.n_ngrams, s.lm_logp,
+       case when s.lm_logp is null then 'unscored'
+            when s.lm_logp >= c.c_head then 'head'
+            when s.lm_logp >= c.c_mid then 'middle'
+            else 'tail' end as bucket
+from scored s cross join cuts c
+"""
+
+
+def dsir_weights_sql(
+    target_table: str, source_table: str, key: str, val: str,
+    n: int = 2, k: float = 1.0,
+) -> str:
+    """functions.text.dsir_weights twin: source docs scored under the
+    target-trained LM and the source-trained LM (two lm_score_sql
+    CTEs with score_table), joined on doc id."""
+    tgt = lm_score_sql(target_table, key, val, n=n, k=k,
+                       score_table=source_table)
+    src = lm_score_sql(source_table, key, val, n=n, k=k)
+    return f"""
+with tgt as ({tgt}),
+src as ({src})
+select t.doc_id,
+       t.n_ngrams,
+       t.lm_logp as logp_target,
+       s.lm_logp as logp_source,
+       round(t.lm_logp - s.lm_logp, 6) as logw
+from tgt t join src s on t.doc_id = s.doc_id
+"""

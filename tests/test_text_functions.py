@@ -662,3 +662,64 @@ class TestLmScore:
         with _pytest.raises(ValueError, match="n=2"):
             train_ngram_lm(df, "doc_id", "text", n=3,
                            smoothing="stupid_backoff")
+
+
+class TestPerplexityBuckets:
+    def test_tertile_labels_and_unscored(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import (
+            perplexity_buckets,
+        )
+
+        # six scoreable docs with distinct LM scores -> 2 head /
+        # 2 middle / 2 tail by the tertile cutoffs; the repetitive
+        # bigram-heavy docs score highest. One 1-token doc -> unscored.
+        rows = [
+            (1, "a a a a a a a a"),        # all "a a" bigrams: highest
+            (2, "a a a a a a b c"),
+            (3, "a a a a b c d e"),
+            (4, "a a b c d e f g"),
+            (5, "b c d e f g h i"),
+            (6, "j k l m n o p q"),        # all-rare bigrams: lowest
+            (7, "solo"),                   # no bigram -> unscored
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.bucket, r.lm_logp)
+            for r in perplexity_buckets(df, "doc_id", "text").collect()
+        }
+        assert got[7][0] == "unscored" and got[7][1] is None
+        buckets = [got[i][0] for i in range(1, 7)]
+        assert buckets.count("head") == 2
+        assert buckets.count("middle") == 2
+        assert buckets.count("tail") == 2
+        # ordering: scores are monotone down the list
+        scores = [got[i][1] for i in range(1, 7)]
+        assert scores == sorted(scores, reverse=True)
+        assert buckets == ["head", "head", "middle", "middle",
+                           "tail", "tail"]
+
+
+class TestDsirWeights:
+    def test_targetlike_source_doc_wins(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100 + i, "the cat sat on the mat") for i in range(4)],
+            ["doc_id", "text"],
+        )
+        source = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),      # looks like target
+                (2, "stock market index futures"),  # does not
+                (3, "x"),                           # unscoreable
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r
+            for r in dsir_weights(target, source, "doc_id", "text").collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[1].logw is not None and got[2].logw is not None
+        assert got[1].logw > got[2].logw      # importance ranks right
+        assert got[3].n_ngrams == 0 and got[3].logw is None
