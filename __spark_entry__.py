@@ -990,6 +990,16 @@ def q_text_lm_score_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher / MassiveWeb quality-filter rule set (Rae et al.
+    2021 App. A) as named per-rule booleans + the conjunction
+    (functions/text.py gopher_rules — scan-shaped expressions,
+    whole-stage codegen)."""
+    from jaccard_join_duckdb_spark.functions.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity tiering (Wenzek et al. 2020): every doc
     scored under the corpus bigram LM, tertile-cut into head / middle
@@ -1426,6 +1436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score_backoff": q_text_lm_score_backoff,
         "text_ppl_buckets": q_text_ppl_buckets,
         "dsir_weights": q_dsir_weights,
+        "gopher_rules": q_gopher_rules,
         "contamination_report": q_contamination_report,
         "winnow_passages": q_winnow_passages,
         "embedding_stats": q_embedding_stats,
@@ -1831,6 +1842,9 @@ from orders group by 1
             score_table="(select * from documents where doc_id % 10 = 0)",
         ),
         "text_ppl_buckets": oracle_ext.perplexity_buckets_sql(
+            "documents", "doc_id", "text"
+        ),
+        "gopher_rules": oracle_ext.gopher_rules_sql(
             "documents", "doc_id", "text"
         ),
         "dsir_weights": oracle_ext.dsir_weights_sql(

@@ -39,6 +39,7 @@ __all__ = [
     "NgramLM",
     "perplexity_buckets",
     "dsir_weights",
+    "gopher_rules",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -1195,4 +1196,131 @@ def dsir_weights(
         "logp_target",
         "logp_source",
         F.round(F.col("logp_target") - F.col("logp_source"), 6).alias("logw"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix
+    A: "MassiveWeb" filters), one boolean column per rule plus the
+    conjunction — the industry-standard pre-training heuristic gate,
+    kept as named rules (not a composite score) so a pipeline can
+    audit WHICH rule drops each document.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; '#'/'...' symbol-to-word ratio <= 0.1; <= 90% of lines
+    start with a bullet ('-', '*', '•'); <= 30% of lines end
+    with an ellipsis; >= 80% of words contain a letter; >= 2 distinct
+    hits from the required-stopword list (the, be, to, of, and, that,
+    have, with).
+
+    Output: ``(doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+    pass_words, pass_mean_len, pass_symbols, pass_bullets,
+    pass_ellipsis, pass_alpha, pass_stops, passes)``.
+
+    Scale: pure column expressions over one scan — whole-stage
+    codegen, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    toks = ws_token_array(t)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).cast("double")
+        / nw,
+        6,
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    )
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw, 6)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.ltrim(x).startswith("-")
+                | F.ltrim(x).startswith("*")
+                | F.ltrim(x).startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / nw,
+        6,
+    )
+    required = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in required]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+        ).alias("pass_words"),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("pass_mean_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("pass_symbols"),
+        (F.col("bullet_line_frac") <= max_bullet_line_frac).alias(
+            "pass_bullets"
+        ),
+        (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac).alias(
+            "pass_ellipsis"
+        ),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias("pass_alpha"),
+        (F.col("stop_hits") >= min_stop_hits).alias("pass_stops"),
+    ).withColumn(
+        "passes",
+        F.col("pass_words")
+        & F.col("pass_mean_len")
+        & F.col("pass_symbols")
+        & F.col("pass_bullets")
+        & F.col("pass_ellipsis")
+        & F.col("pass_alpha")
+        & F.col("pass_stops"),
     )

@@ -1830,3 +1830,72 @@ select t.doc_id,
        round(t.lm_logp - s.lm_logp, 6) as logw
 from tgt t join src s on t.doc_id = s.doc_id
 """
+
+
+def gopher_rules_sql(
+    table: str, key: str, val: str,
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3, min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """functions.text.gopher_rules twin (Rae et al. 2021 App. A):
+    identical expression shapes — list_sum/list_filter over the same
+    whitespace token bag, chr(10) line split, round-6 double ratios."""
+    stops = "['the','be','to','of','and','that','have','with']"
+    return f"""
+with base as (
+  select {key} as doc_id, {val} as t, {_ws_bag_sql(val)} as toks,
+         str_split({val}, chr(10)) as lines
+  from {table}),
+feat as (
+  select doc_id,
+         CAST(len(toks) AS BIGINT) as n_words,
+         round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) as mean_word_len,
+         round(CAST((len(t) - len(replace(t, '#', '')))
+                    + floor((len(t) - len(replace(t, '...', ''))) / 3.0)
+                    AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) as symbol_ratio,
+         round(CAST(len(list_filter(lines,
+                    x -> starts_with(ltrim(x), '-')
+                      or starts_with(ltrim(x), '*')
+                      or starts_with(ltrim(x), '•'))) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+           as bullet_line_frac,
+         round(CAST(len(list_filter(lines,
+                    x -> ends_with(rtrim(x), '...'))) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+           as ellipsis_line_frac,
+         round(CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+           as alpha_word_frac,
+         CAST(len(list_filter({stops},
+                    w -> list_contains(toks, w))) AS BIGINT) as stop_hits
+  from base)
+select *,
+       (pass_words and pass_mean_len and pass_symbols and pass_bullets
+        and pass_ellipsis and pass_alpha and pass_stops) as passes
+from (
+  select doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+         ellipsis_line_frac, alpha_word_frac, stop_hits,
+         (n_words >= {int(min_words)} and n_words <= {int(max_words)})
+           as pass_words,
+         (mean_word_len >= CAST({float(min_mean_word_len)!r} AS DOUBLE)
+          and mean_word_len <= CAST({float(max_mean_word_len)!r} AS DOUBLE))
+           as pass_mean_len,
+         (symbol_ratio <= CAST({float(max_symbol_ratio)!r} AS DOUBLE))
+           as pass_symbols,
+         (bullet_line_frac <= CAST({float(max_bullet_line_frac)!r} AS DOUBLE))
+           as pass_bullets,
+         (ellipsis_line_frac
+            <= CAST({float(max_ellipsis_line_frac)!r} AS DOUBLE))
+           as pass_ellipsis,
+         (alpha_word_frac >= CAST({float(min_alpha_word_frac)!r} AS DOUBLE))
+           as pass_alpha,
+         (stop_hits >= {int(min_stop_hits)}) as pass_stops
+  from feat) ruled
+"""

@@ -723,3 +723,39 @@ class TestDsirWeights:
         assert got[1].logw is not None and got[2].logw is not None
         assert got[1].logw > got[2].logw      # importance ranks right
         assert got[3].n_ngrams == 0 and got[3].logw is None
+
+
+class TestGopherRules:
+    def test_named_rules_fire_individually(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import gopher_rules
+
+        prose = ("the cat and the dog have been friends that live with "
+                 "people of this town and they like to be outside " * 3)
+        rows = [
+            (1, prose),                               # passes everything
+            (2, "short text"),                        # fails word count
+            (3, "## " * 30 + prose),                  # fails symbol ratio
+            (4, "- item\n- item\n- item"),            # bullets + words
+            (5, ("zzzzzzzzzzzzzzzz " * 60).strip()),  # mean len + stopwords
+            (6, prose + "\nwait...\nhm...\nok..."),   # ellipsis lines
+            (7, ("12 34 " * 40) + "the be to of"),    # fails alpha frac
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in
+               gopher_rules(df, "doc_id", "text").collect()}
+        assert got[1].passes
+        assert not got[2].pass_words and not got[2].passes
+        assert not got[3].pass_symbols
+        assert not got[4].pass_bullets and got[4].bullet_line_frac == 1.0
+        assert not got[5].pass_mean_len and not got[5].pass_stops
+        assert not got[6].pass_ellipsis
+        assert got[6].ellipsis_line_frac == 0.75
+        assert not got[7].pass_alpha and got[7].stop_hits == 4
+
+    def test_empty_text_all_zero_no_nan(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import gopher_rules
+
+        df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        r = gopher_rules(df, "doc_id", "text").collect()[0]
+        assert r.n_words == 0 and r.mean_word_len == 0.0
+        assert not r.passes
