@@ -665,6 +665,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, pair
+    only within clusters at cosine >= T_EMB_COS, merge chains via
+    connected components, keep the min-id survivor per component
+    (operators/similarity.py semantic_dedup; min_ids centroids keep
+    the whole pipeline SQL-reproducible)."""
+    from jaccard_join_duckdb_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", T_EMB_COS, n_lists=16
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas; fake kernels are
 # deterministic md5 derivations, so the full pipeline is oracle-graded
@@ -1399,6 +1413,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_banded_topk": q_ann_lsh_banded_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         # --- multimodal plumbing ---
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
@@ -1659,6 +1674,9 @@ where levenshtein(l.c_name, r.c_name) <= 1
         "ann_ivf_topk": oracle_ext.ivf_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K,
             n_lists=16, n_probe=4,
+        ),
+        "semantic_dedup": oracle_ext.semantic_dedup_sql(
+            "embeddings", "vec_id", "embedding", T_EMB_COS, n_lists=16
         ),
         "multimodal_decode": oracle_ext.multimodal_decode_sql(
             "documents", "doc_id", "text"

@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "text_rarity",
     "text_lang_id_trigram",
     "text_lm_score",
+    "text_lm_score_backoff",
+    "text_ppl_buckets",
+    "dsir_weights",
+    "gopher_rules",
+    "dup_spans",
+    "dup_span_stats",
+    "dedup_canonical",
     "pack_stats_bpe",
     "ngram_counts",
     "text_bm25_topk",

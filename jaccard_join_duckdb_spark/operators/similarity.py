@@ -46,6 +46,7 @@ __all__ = [
     "ivf_topk",
     "lsh_banded_topk",
     "lsh_bucket_topk",
+    "semantic_dedup",
 ]
 
 
@@ -207,6 +208,97 @@ def cosine_topk_pandas(
     )
 
 
+def _ivf_corpus_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    centroids: str,
+):
+    """Shared IVF corpus stage: pick centroids (min_ids / sample /
+    kmeans — see :func:`ivf_topk`) and assign every corpus vector to
+    its top-1 list with the vectorized numpy kernel (fold-order
+    bit-identical to the scalar ``_dot``/oracle folds; ties to the
+    LARGER centroid index, matching reverse(array_sort(...))).
+
+    Returns ``(assigned, cents)``: ``assigned`` has columns
+    ``(neighbor_id, cv, lst, nrm)`` — the row's id, vector, 0-based
+    list index, and echoed float64 norm; ``cents`` is the
+    ``[(index, centroid_vector)]`` list for query-side probing.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if centroids == "kmeans":
+        # Trained centroids (better list balance/recall on clustered
+        # corpora) — driver-side numpy on a bounded sample, not
+        # SQL-reproducible, so min_ids stays the oracle-graded default.
+        cents = list(
+            enumerate(_kmeans_centroids(base, id_col, vec_col, n_lists, seed))
+        )
+    else:
+        if centroids == "sample":
+            picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
+        elif centroids == "min_ids":
+            picked = (
+                base.orderBy(F.col(id_col).asc()).limit(int(n_lists)).collect()
+            )
+        else:
+            raise ValueError(f"unknown centroid rule: {centroids!r}")
+        cents = [(i, list(r[1])) for i, r in enumerate(picked)]
+
+    # (dim, n_lists) centroid matrix + driver-side norms (math.sqrt =
+    # correctly-rounded IEEE = np.sqrt = SQL sqrt).
+    cent_cols = np.array([cv for _, cv in cents], dtype=np.float64).T
+    cent_norms = np.array([_py_norm(cv) for _, cv in cents], dtype=np.float64)
+    n_dims = cent_cols.shape[0]
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            n_rows = c_mat.shape[0]
+            # Dimension-at-a-time accumulation: every element performs
+            # acc = acc + x_i*y_i in index order — the same float64
+            # operation sequence as the scalar left-to-right fold, just
+            # for all (row, centroid) cells at once.
+            dots = np.zeros((n_rows, cent_cols.shape[1]))
+            sq = np.zeros(n_rows)
+            for i in range(n_dims):
+                xi = c_mat[:, i]
+                dots = dots + xi[:, None] * cent_cols[i][None, :]
+                sq = sq + xi * xi
+            nrm = np.sqrt(sq)
+            scores = dots / (nrm[:, None] * cent_norms[None, :])
+            # argmax with ties to the LARGER centroid index — matches
+            # reverse(array_sort(struct(s, c))) which orders ties by c
+            # descending. (All-NaN rows also agree: both pick the max c.)
+            flipped = scores[:, ::-1]
+            best = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
+            # Echo the corpus norm (np.sqrt == math.sqrt == SQL sqrt,
+            # over the fold-order-identical sq) so verification scores
+            # with dot/(qnrm*nrm) instead of re-folding both norms per
+            # candidate pair.
+            yield pdf.assign(lst=best.astype("int32"), nrm=nrm)
+
+    c_in = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    # corpus rows land in exactly one list
+    assigned = c_in.mapInPandas(
+        assign_kernel,
+        StructType(
+            list(c_in.schema.fields)
+            + [StructField("lst", IntegerType()), StructField("nrm", DoubleType())]
+        ),
+    )
+    return assigned, cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -250,27 +342,9 @@ def ivf_topk(
     ``list_reduce`` — bit-identical assignment, hash-gate safe.
     Query-side probing (a handful of rows) stays a column expression.
     """
-    import numpy as np
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
-    base = corpus.select(F.col(id_col), F.col(vec_col))
-    if centroids == "kmeans":
-        # Trained centroids (better list balance/recall on clustered
-        # corpora) — driver-side numpy on a bounded sample, not
-        # SQL-reproducible, so min_ids stays the oracle-graded default.
-        cents = list(
-            enumerate(_kmeans_centroids(base, id_col, vec_col, n_lists, seed))
-        )
-    else:
-        if centroids == "sample":
-            picked = base.orderBy(F.rand(seed)).limit(int(n_lists)).collect()
-        elif centroids == "min_ids":
-            picked = (
-                base.orderBy(F.col(id_col).asc()).limit(int(n_lists)).collect()
-            )
-        else:
-            raise ValueError(f"unknown centroid rule: {centroids!r}")
-        cents = [(i, list(r[1])) for i, r in enumerate(picked)]
+    c, cents = _ivf_corpus_assign(
+        corpus, id_col, vec_col, n_lists, seed, centroids
+    )
 
     def nearest_lists(vec: Column, vnorm: Column, n: int) -> Column:
         """ids of the n closest centroids (by cosine), as an array.
@@ -294,53 +368,6 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(scored))
         return F.transform(F.slice(ordered, 1, n), lambda x: x["c"])
 
-    # (dim, n_lists) centroid matrix + driver-side norms (math.sqrt =
-    # correctly-rounded IEEE = np.sqrt = SQL sqrt).
-    cent_cols = np.array([cv for _, cv in cents], dtype=np.float64).T
-    cent_norms = np.array([_py_norm(cv) for _, cv in cents], dtype=np.float64)
-    n_dims = cent_cols.shape[0]
-
-    def assign_kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
-            n_rows = c_mat.shape[0]
-            # Dimension-at-a-time accumulation: every element performs
-            # acc = acc + x_i*y_i in index order — the same float64
-            # operation sequence as the scalar left-to-right fold, just
-            # for all (row, centroid) cells at once.
-            dots = np.zeros((n_rows, cent_cols.shape[1]))
-            sq = np.zeros(n_rows)
-            for i in range(n_dims):
-                xi = c_mat[:, i]
-                dots = dots + xi[:, None] * cent_cols[i][None, :]
-                sq = sq + xi * xi
-            nrm = np.sqrt(sq)
-            scores = dots / (nrm[:, None] * cent_norms[None, :])
-            # argmax with ties to the LARGER centroid index — matches
-            # reverse(array_sort(struct(s, c))) which orders ties by c
-            # descending. (All-NaN rows also agree: both pick the max c.)
-            flipped = scores[:, ::-1]
-            best = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
-            # Echo the corpus norm (np.sqrt == math.sqrt == SQL sqrt,
-            # over the fold-order-identical sq) so verification scores
-            # with dot/(qnrm*nrm) instead of re-folding both norms per
-            # candidate pair.
-            yield pdf.assign(lst=best.astype("int32"), nrm=nrm)
-
-    c_in = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-    )
-    # corpus rows land in exactly one list
-    c = c_in.mapInPandas(
-        assign_kernel,
-        StructType(
-            list(c_in.schema.fields)
-            + [StructField("lst", IntegerType()), StructField("nrm", DoubleType())]
-        ),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -373,6 +400,90 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    seed: int = 42,
+    centroids: str = "min_ids",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and comparing pairs ONLY
+    within a cluster — near-identical meaning without verbatim
+    overlap. Cluster assignment is the shared IVF stage
+    (:func:`_ivf_corpus_assign`; ``centroids="min_ids"`` keeps it
+    SQL-reproducible for the oracle, ``"kmeans"`` is the production
+    choice); within-cluster pairs at rounded cosine >=
+    ``threshold`` become edges, connected components merge chains,
+    and the min-id member of each component survives (a deterministic
+    stand-in for the paper's keep-farthest-from-centroid rule).
+
+    Output: ``(<id_col>, list_id, kept)`` — one row per input vector,
+    its cluster, and whether it survives.
+
+    Scale: the only quadratic term is within-cluster — cluster count
+    scales with corpus size (n_lists ~ N/target_cluster_size in the
+    paper), so pair work stays ~N * cluster_size; the assignment
+    stage is one Arrow-vectorized scan, norms are echoed (never
+    re-folded per pair), and components use the bounded hash-min
+    rounds. Cross-cluster near-dups are missed by design — the
+    paper's accepted approximation.
+    """
+    from .dedup import connected_components
+
+    assigned, _ = _ivf_corpus_assign(
+        corpus, id_col, vec_col, n_lists, seed, centroids
+    )
+    l = assigned.select(
+        "lst",
+        F.col("neighbor_id").alias("l_id"),
+        F.col("cv").alias("lv"),
+        F.col("nrm").alias("lnrm"),
+    )
+    r = assigned.select(
+        "lst",
+        F.col("neighbor_id").alias("r_id"),
+        F.col("cv").alias("rv"),
+        F.col("nrm").alias("rnrm"),
+    )
+    edges = (
+        l.join(r, "lst")
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select(
+            "l_id",
+            "r_id",
+            F.round(
+                _dot(F.col("lv"), F.col("rv"))
+                / (F.col("lnrm") * F.col("rnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    comps = connected_components(
+        edges, "l_id", "r_id", max_iterations=max_iterations
+    )
+    return (
+        assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("lst").cast("int").alias("list_id"),
+        )
+        .join(
+            comps.select(F.col("id").alias(id_col), "comp"), id_col, "left"
+        )
+        .select(
+            id_col,
+            "list_id",
+            (
+                F.col("comp").isNull() | (F.col("comp") == F.col(id_col))
+            ).alias("kept"),
+        )
     )
 
 

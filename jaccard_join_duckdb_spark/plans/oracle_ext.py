@@ -1899,3 +1899,46 @@ from (
          (stop_hits >= {int(min_stop_hits)}) as pass_stops
   from feat) ruled
 """
+
+
+def semantic_dedup_sql(
+    table: str, id_col: str, vec_col: str, threshold: float = 0.95,
+    n_lists: int = 16,
+) -> str:
+    """similarity.semantic_dedup twin (SemDeDup, min_ids centroids):
+    the ivf_topk_sql assignment CTE, within-list l<r pairs at rounded
+    cosine >= threshold, the recursive min-label component walk, and
+    min-id survivor selection."""
+    cos_raw = cosine_sql("v", "cv")
+    return f"""
+with recursive cents as (
+  select CAST(row_number() over (order by {id_col} asc) - 1 AS BIGINT) as c,
+         {vec_col} as cv
+  from (select {id_col}, {vec_col} from {table}
+        order by {id_col} asc limit {int(n_lists)})),
+corpus as (select {id_col} as vid, {vec_col} as v from {table}),
+c_ranked as (
+  select vid, v, c,
+         row_number() over (partition by vid
+                            order by {cos_raw} desc, c desc) as rn
+  from corpus, cents),
+c_assign as (select vid, v, c as lst from c_ranked where rn = 1),
+edges0 as (
+  select L.vid as l_id, R.vid as r_id
+  from c_assign L join c_assign R on L.lst = R.lst and L.vid < R.vid
+  where round({cosine_sql('L.v', 'R.v')}, 6)
+        >= CAST({float(threshold)!r} AS DOUBLE)),
+edges as (
+  select l_id as u, r_id as w from edges0
+  union
+  select r_id as u, l_id as w from edges0),
+walk(u, comp) as (
+  select u, u from edges
+  union
+  select e.w, k.comp from walk k join edges e on e.u = k.u),
+comps as (select u as vid, min(comp) as comp from walk group by u)
+select a.vid as {id_col},
+       CAST(a.lst AS INTEGER) as list_id,
+       (c.comp is null or c.comp = a.vid) as kept
+from c_assign a left join comps c on a.vid = c.vid
+"""

@@ -280,3 +280,62 @@ class TestEmbeddingStats:
         assert rows[2].n_nan == 1 and math.isnan(rows[2].sq_norm)
         assert rows[3].dim == -1 and rows[3].sq_norm is None
         assert rows[4].n_null == 1
+
+
+class TestSemanticDedup:
+    def test_within_cluster_chain_and_survivors(self, spark):
+        from jaccard_join_duckdb_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # two tight direction-clusters + one loner; ids 1 and 2 are the
+        # min_ids centroids. 1,2,3 are near-parallel (cosine ~1) and
+        # land in list 0; 4,5 near-parallel in list 1; 6 alone.
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.999, 0.01, 0.0]),     # duplicate of 1
+            (4, [0.01, 0.999, 0.0]),     # duplicate of 2
+            (5, [0.0, 0.995, 0.05]),     # duplicate of 2 (chain via 4)
+            (6, [0.5, 0.5, 0.7071]),     # similar to nobody at 0.95
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            r.vec_id: (r.list_id, r.kept)
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", 0.95, n_lists=2
+            ).collect()
+        }
+        assert len(got) == 6
+        assert got[1] == (0, True)       # min id of {1,3}
+        assert got[3] == (0, False)
+        assert got[2] == (1, True)       # min id of {2,4,5}
+        assert got[4][1] is False and got[5][1] is False
+        assert got[6][1] is True         # unclustered survivor
+
+    def test_cross_cluster_dups_missed_by_design(self, spark):
+        from jaccard_join_duckdb_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # identical vectors forced into different lists by n_lists=2
+        # centroids picked from ids 1,2: id 3 == id 1's vector lands
+        # with centroid 0 alongside 1 -> caught; but a pair split
+        # across lists is NOT caught. Construct: 4 is identical to 2
+        # (list 1), 3 identical to 1 (list 0) -> both caught; sanity
+        # that per-list pairing produced no cross-list edge is implied
+        # by kept flags staying per-component-min.
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", 0.99, n_lists=2
+            ).collect()
+        }
+        assert got == {1: True, 2: True, 3: False, 4: False}
