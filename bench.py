@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "dup_span_stats",
     "dedup_canonical",
+    "semantic_dedup",
     "pack_stats_bpe",
     "ngram_counts",
     "text_bm25_topk",

@@ -21,6 +21,7 @@ __all__ = [
     "decontaminate_ngram_stream",
     "dedup_stream",
     "embed_near_dedup_stream",
+    "gopher_rules_stream",
     "hourly_event_stats",
     "interval_join",
     "lm_score_stream",
@@ -644,3 +645,33 @@ def lm_score_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), lm
+
+
+def gopher_rules_stream(
+    stream_docs: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    **rule_params,
+):
+    """Streaming Gopher quality gating: every micro-batch of a
+    document ingest is scored by the full
+    :func:`..functions.text.gopher_rules` rule set — the live-ingest
+    hygiene filter that drops degenerate documents before they reach
+    a training shard. Entirely STATELESS (the rules are per-document
+    scan expressions), so this is a plain per-batch map: no state
+    store, no watermark, and micro-batch boundaries cannot change
+    results (stream==batch is test-pinned). ``rule_params`` forward
+    to ``gopher_rules`` (thresholds). ``sink(rules_df, epoch_id)``
+    receives each batch's per-rule booleans + ``passes``.
+    """
+    from ..functions.text import gopher_rules
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(gopher_rules(batch_df, id_col, text_col, **rule_params), epoch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
