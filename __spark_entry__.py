@@ -1297,6 +1297,148 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver grades exactly the names in _GATED (kept <= 50, the
 # driver's row window). The window ROTATES across rounds so every
+# --------------------------------------------------------------------------
+# canonicalization / chunking / graph (round-6 additions)
+# --------------------------------------------------------------------------
+
+# Deterministic mojibake suffixes for the normalize gate — the
+# synthetic corpus is clean ASCII, so the canonicalization pass needs
+# injected typographic/accent/control mess to have anything to do.
+# Index = doc_id % 4; identical literals on the SQL side.
+_MESS_SUFFIXES = [
+    " Héllo… “quoted” – dash",
+    " Ça-va déjà •bullet",
+    " ŁÓDŹ \x01ctl  many   spaces ",
+    "",
+]
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (functions.canon.normalize_text): accent
+    folding, typographic punctuation → ASCII, control-char strip,
+    whitespace collapse — over documents with injected mojibake
+    suffixes (see _MESS_SUFFIXES)."""
+    from jaccard_join_duckdb_spark.functions.canon import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _MESS_SUFFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    messy = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return normalize_text(messy, "doc_id", "text")
+
+
+def _mess_text_sql() -> str:
+    cases = " ".join(
+        f"when {i} then {oracle_ext._sql_str(s)}"
+        for i, s in enumerate(_MESS_SUFFIXES)
+    )
+    return (
+        "(select doc_id, text || case doc_id % 4 "
+        + cases
+        + " end as text from documents)"
+    )
+
+
+def q_dedup_lines_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (functions.canon.
+    dedup_lines_in_doc) over documents with an injected repeated
+    footer and a repeated leading excerpt — keep-first semantics,
+    blank lines preserved."""
+    from jaccard_join_duckdb_spark.functions.canon import (
+        dedup_lines_in_doc,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter\n"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\nSubscribe to our newsletter\n"),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    return dedup_lines_in_doc(lined, "doc_id", "text")
+
+
+_LINED_TEXT_SQL = (
+    "(select doc_id, text || chr(10) || 'Subscribe to our newsletter' "
+    "|| chr(10) || substring(text, 1, 40) || chr(10) || "
+    "'Subscribe to our newsletter' || chr(10) || "
+    "substring(text, 1, 40) as text from documents)"
+)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (functions.canon.chunk_documents)
+    — 64-token windows every 48 tokens (16-token overlap), the
+    RAG/long-context shard-prep pass."""
+    from jaccard_join_duckdb_spark.functions.canon import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        chunk_tokens=64, stride=48,
+    )
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators.graph.pagerank) over the
+    cites-next domain graph of documents with injected URLs: every doc
+    links site{id%7} → hub → mirror{id%5}, and every third doc closes
+    the loop mirror → site{(id+1)%7} — 13 nodes, ~47 edges, 10 exact
+    scaled-BIGINT iterations (hash-gateable: no float anywhere in the
+    recurrence)."""
+    from jaccard_join_duckdb_spark.operators.graph import (
+        domain_cooccurrence_edges,
+        pagerank,
+    )
+
+    docs = _docs(spark, sf_dir)
+    linked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" http://hub.example/h?x="),
+            F.col("doc_id").cast("string"),
+            F.lit(" https://mirror"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/m"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://site"),
+                    ((F.col("doc_id") + 1) % 7).cast("string"),
+                    F.lit(".example/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    edges = domain_cooccurrence_edges(linked, "doc_id", "text")
+    return pagerank(edges, iterations=10)
+
+
+_LINKED_TEXT_SQL = (
+    "(select doc_id, text "
+    "|| ' https://site' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.example/p/' || CAST(doc_id AS VARCHAR) "
+    "|| ' http://hub.example/h?x=' || CAST(doc_id AS VARCHAR) "
+    "|| ' https://mirror' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| '.example/m' "
+    "|| case when doc_id % 3 = 0 then ' https://site' "
+    "|| CAST((doc_id + 1) % 7 AS VARCHAR) || '.example/x' "
+    "else '' end as text from documents)"
+)
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1345,20 +1487,20 @@ _GATED = [
     "decontaminate_ngram",
     "edit_distance_join",
     "dedup_embed_cosine_lsh_banded",
-    "ann_lsh_banded_topk",
-    "ann_ivf_topk",
-    "multimodal_features",
-    "corpus_profile",
     "events_asof_join",
-    "events_sessionize",
     "dedup_stream_batch",
-    "data_split",
     # --- new round-6 operators ---
     "pack_stats_bpe",       # rows-only gate (pandas-UDF BPE kernel)
     "text_lang_id_trigram",
     "dedup_canonical",
     "text_lm_score",
     "text_lm_score_backoff",
+    "dup_spans",
+    "dup_span_stats",
+    "text_ppl_buckets",
+    "dsir_weights",
+    "gopher_rules",
+    "semantic_dedup",
 ]
 
 
@@ -1462,6 +1604,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pandas_topk": q_ann_pandas_topk,
+        # --- round-6 wave 2: canonicalization / chunking / graph ---
+        "text_normalize": q_text_normalize,
+        "dedup_lines_in_doc": q_dedup_lines_in_doc,
+        "chunk_documents": q_chunk_documents,
+        "domain_pagerank": q_domain_pagerank,
     }
 
 
@@ -1921,6 +2068,18 @@ where levenshtein(l.c_name, r.c_name) <= 1
                 "embeddings", "vec_id", "embedding", ANN_QUERY_PRED, ANN_K
             )
             + ")"
+        ),
+        "text_normalize": oracle_ext.normalize_text_sql(
+            _mess_text_sql(), "doc_id", "text"
+        ),
+        "dedup_lines_in_doc": oracle_ext.dedup_lines_in_doc_sql(
+            _LINED_TEXT_SQL, "doc_id", "text"
+        ),
+        "chunk_documents": oracle_ext.chunk_documents_sql(
+            "documents", "doc_id", "text", chunk_tokens=64, stride=48
+        ),
+        "domain_pagerank": oracle_ext.domain_pagerank_sql(
+            _LINKED_TEXT_SQL, "doc_id", "text", iterations=10
         ),
     }
 

@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "dedup_canonical",
     "semantic_dedup",
     "pack_stats_bpe",
+    "text_normalize",
+    "dedup_lines_in_doc",
+    "chunk_documents",
+    "domain_pagerank",
     "ngram_counts",
     "text_bm25_topk",
     "events_hourly",

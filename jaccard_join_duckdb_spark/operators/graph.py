@@ -1,0 +1,175 @@
+"""Iterative graph analytics over corpus-derived graphs.
+
+Beyond-reference operators (BASELINE.json north star): PageRank over
+the domain graph a crawl corpus induces — the standard
+crawl-frontier / source-quality prior (a domain linked from many
+well-ranked domains is a better crawl or mixing candidate than raw
+URL counts suggest). Complements ``operators.dedup.
+connected_components`` (the other iterative fixpoint in the repo)
+and ``functions.text.url_domain_stats`` (the flat per-domain counts).
+
+Determinism contract — the part that makes an iterative float
+algorithm hash-gateable against DuckDB: ranks are SCALED BIGINTs
+(``rank ≈ rank_scaled / 10^12``) and every update is integer
+arithmetic (integer division truncates identically in Spark and
+DuckDB; integer addition is associative-commutative), so the result
+is bit-identical regardless of partitioning, aggregation order, or
+engine. The DuckDB twin (plans.oracle_ext.pagerank_sql) runs the
+same recurrence as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["domain_cooccurrence_edges", "pagerank"]
+
+RANK_SCALE = 10**12
+
+
+def domain_cooccurrence_edges(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Directed domain-graph edges from a text corpus: for each
+    document, order the DISTINCT domains of its URLs by first
+    occurrence and emit an edge from each domain to the next —
+    "cites-next" adjacency, the cheap single-scan proxy for a link
+    graph when only page text (not crawl link structure) is
+    available. Self-loops dropped, edges deduplicated corpus-wide.
+    Uses the same URL/authority regexes as ``url_domain_stats`` so
+    the two can never disagree on what "the domain" is.
+
+    Scale: explode ≈ URL count, one groupBy for first positions, one
+    per-document window (partitioned by doc — no global ordering),
+    one distinct. Output: ``(src, dst)``.
+    """
+    from ..functions.text import PII_PATTERNS, URL_DOMAIN_PATTERN
+
+    url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(url_pat), F.lit(0))
+        ).alias("pos", "url"),
+    )
+    doms = urls.select(
+        "id",
+        "pos",
+        F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1)).alias(
+            "domain"
+        ),
+    ).filter(F.col("domain") != "")
+    first = doms.groupBy("id", "domain").agg(
+        F.min("pos").alias("first_pos")
+    )
+    w = Window.partitionBy("id").orderBy("first_pos")
+    nxt = first.select(
+        F.col("domain").alias("src"),
+        F.lead("domain").over(w).alias("dst"),
+    )
+    return (
+        nxt.filter(F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed simple graph, in
+    exact scaled-integer arithmetic. The recurrence per iteration::
+
+        contrib(v) = sum over edges (u, v) of  rank(u) div outdeg(u)
+        rank'(v)   = base + (damping_pct * contrib(v)) div 100
+        base       = ((100 - damping_pct) * SCALE) div (100 * N)
+
+    with ``SCALE = 10^12`` and all-integer ops, initialized at
+    ``rank = SCALE div N``. Dangling-node mass is dropped (ranks sum
+    to < 1), the common simplification — relative order, the quantity
+    pipelines consume, is unaffected. ``damping_pct`` is an integer
+    percent so the damping multiply stays exact.
+
+    Scale design: ``outdeg`` is joined into the edge list ONCE before
+    the loop and both are persisted — each of the ``iterations``
+    rounds is then exactly one shuffle (ranks ⋈ edges on the src key)
+    plus a sum-combine groupBy with map-side partials, the same
+    per-round shape as ``connected_components``. Ranks are
+    ``localCheckpoint()``-ed every ``checkpoint_interval`` rounds so
+    plan depth stays O(interval) instead of O(iterations), without
+    paying an eager materialization job EVERY round (a fixed-cost
+    tax that dominates on small graphs and is pure overhead on big
+    ones). ``N`` is one driver-side scalar count before the
+    loop (the reference's own scalar-action discipline, SURVEY.md
+    §2.5 A4). Hub skew (every domain links to google.com) lands in
+    the groupBy's partial aggregation, not in join fan-out.
+
+    Output: ``(node, rank_scaled, rank)`` where ``rank`` is the
+    display double ``round(rank_scaled / SCALE, 12)``.
+    """
+    if not 1 <= int(damping_pct) <= 99:
+        raise ValueError("damping_pct must be an integer in [1, 99]")
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1")
+    d = int(damping_pct)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()  # driver scalar: sizes base and the init rank
+    base = ((100 - d) * RANK_SCALE) // (100 * n)
+    init = RANK_SCALE // n
+    ranks = nodes.select(
+        "node", F.lit(init).cast("long").alias("rank_scaled")
+    ).localCheckpoint()
+    ck = max(1, int(checkpoint_interval))
+    checkpointed = [ranks]
+    for i in range(int(iterations)):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["u"])
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_scaled div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({d} * coalesce(contrib, 0)) div 100"
+                ).cast("long")
+            ).alias("rank_scaled"),
+        )
+        if (i + 1) % ck == 0 and (i + 1) < int(iterations):
+            ranks = ranks.localCheckpoint()
+            for old in checkpointed:
+                old.unpersist()
+            checkpointed = [ranks]
+    out = ranks.localCheckpoint()
+    for old in checkpointed:
+        old.unpersist()
+    nodes.unpersist()
+    ew.unpersist()
+    return out.select(
+        "node",
+        "rank_scaled",
+        F.round(
+            F.col("rank_scaled").cast("double") / F.lit(float(RANK_SCALE)), 12
+        ).alias("rank"),
+    )

@@ -56,6 +56,12 @@ __all__ = [
     "multimodal_features_sql",
     "bm25_top_terms_sql",
     "corpus_profile_sql",
+    "normalize_text_sql",
+    "dedup_lines_in_doc_sql",
+    "chunk_documents_sql",
+    "domain_cooccurrence_edges_sql",
+    "pagerank_sql",
+    "domain_pagerank_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -942,7 +948,7 @@ with urls as (
   select {key} as id, unnest(regexp_extract_all({val}, '{url_pat}')) as url
   from {table}),
 doms as (
-  select id, lower(regexp_extract(url, 'https?://([^/?#: \t\r\n]+)', 1))
+  select id, lower(regexp_extract(url, 'https?://([^/?# \t\r\n]+)', 1))
            as domain
   from urls)
 select domain, count(*) as n_urls,
@@ -1942,3 +1948,186 @@ select a.vid as {id_col},
        (c.comp is null or c.comp = a.vid) as kept
 from c_assign a left join comps c on a.vid = c.vid
 """
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal with quote doubling."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_text_sql(
+    table: str, key: str, val: str, lowercase: bool = False
+) -> str:
+    """Mirror of functions.canon.normalize_text: same replacement
+    order (ellipsis regex, shared translate maps, control strip,
+    horizontal-whitespace collapse, newline-adjacent trim, trim)."""
+    from ..functions.canon import (
+        ACCENT_FROM,
+        ACCENT_TO,
+        PUNCT_FROM,
+        PUNCT_TO,
+    )
+
+    frm = _sql_str(ACCENT_FROM + PUNCT_FROM)
+    to = _sql_str(ACCENT_TO + PUNCT_TO)
+    ctrl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    lo = "lower(x5)" if lowercase else "x5"
+    return f"""
+with t0 as (select {key} as id, coalesce({val}, '') as t from {table}),
+t1 as (select id, t,
+         regexp_replace(t, '…', '...', 'g') as x1 from t0),
+t2 as (select id, t, translate(x1, {frm}, {to}) as x2 from t1),
+t3 as (select id, t, regexp_replace(x2, '{ctrl}', '', 'g') as x3 from t2),
+t4 as (select id, t,
+         regexp_replace(x3, '[ \t\r]+', ' ', 'g') as x4 from t3),
+t5 as (select id, t,
+         trim(regexp_replace(x4, ' ?\n ?', chr(10), 'g')) as x5 from t4)
+select id, {lo} as norm_text,
+       CAST(length(t) AS INTEGER) as n_chars,
+       CAST(length({lo}) AS INTEGER) as n_chars_norm
+from t5
+"""
+
+
+def dedup_lines_in_doc_sql(table: str, key: str, val: str) -> str:
+    """Mirror of functions.canon.dedup_lines_in_doc: keep-first exact
+    line dedup via the indexed list_filter lambda (DuckDB's index and
+    list_position are both 1-based, matching Spark's
+    array_position == i+1 on the 0-based lambda index)."""
+    return f"""
+with d as (
+  select {key} as id,
+         string_split(coalesce({val}, ''), chr(10)) as lines
+  from {table}),
+k as (
+  select id, lines,
+         list_filter(lines,
+                     (x, i) -> x = '' or list_position(lines, x) = i)
+           as kept
+  from d)
+select id,
+       array_to_string(kept, chr(10)) as clean_text,
+       CAST(len(lines) AS INTEGER) as n_lines,
+       CAST(len(lines) - len(kept) AS INTEGER) as n_dropped
+from k
+"""
+
+
+def chunk_documents_sql(
+    table: str, key: str, val: str,
+    chunk_tokens: int = 128, stride: int = 64,
+) -> str:
+    """Mirror of functions.canon.chunk_documents: same tokenization
+    (case-preserving whitespace split), window count, and slicing
+    (DuckDB list_slice is begin/END-inclusive vs Spark's
+    begin/LENGTH — end = start + chunk_tokens - 1)."""
+    c, s = int(chunk_tokens), int(stride)
+    return f"""
+with d as (
+  select {key} as id,
+         list_filter(str_split_regex(coalesce({val}, ''), '[ \t\r\n]'),
+                     x -> trim(x) != '') as toks
+  from {table}),
+b as (select id, toks, len(toks) as n from d where len(toks) > 0),
+e as (
+  select id, toks,
+         unnest(generate_series(
+             0, case when n <= {c} then 0
+                     else (n - {c} + {s} - 1) // {s} end)) as chunk_id
+  from b)
+select id, CAST(chunk_id AS INTEGER) as chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {s} + 1,
+                           chunk_id * {s} + {c})) AS INTEGER) as n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {s} + 1,
+                                  chunk_id * {s} + {c}), ' ')
+         as chunk_text
+from e
+"""
+
+
+def domain_cooccurrence_edges_sql(table: str, key: str, val: str) -> str:
+    """Mirror of operators.graph.domain_cooccurrence_edges: same URL
+    and authority regexes (shared with url_domain_stats), first-
+    occurrence ordering, cites-next lead, self-loop drop, distinct."""
+    url_pat = next(p for n, p, _ in PII_PATTERNS if n == "url")
+    return f"""
+with urls as (
+  select {key} as id, u.url, u.pos
+  from {table},
+       lateral (select unnest(regexp_extract_all({val}, '{url_pat}'))
+                  as url,
+                unnest(generate_series(
+                    1, len(regexp_extract_all({val}, '{url_pat}'))))
+                  as pos) u),
+doms as (
+  select id, pos,
+         lower(regexp_extract(url, 'https?://([^/?# \t\r\n]+)', 1))
+           as domain
+  from urls),
+firsts as (
+  select id, domain, min(pos) as first_pos
+  from doms where domain != '' group by id, domain),
+nxt as (
+  select domain as src,
+         lead(domain) over (partition by id order by first_pos) as dst
+  from firsts)
+select distinct src, dst from nxt
+where dst is not null and src != dst
+"""
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """Mirror of operators.graph.pagerank as a recursive CTE: the
+    identical scaled-BIGINT recurrence (integer division truncation
+    included), iterated exactly ``iterations`` times. ``edges_sql``
+    must yield ``(src, dst)``."""
+    d, it, sc = int(damping_pct), int(iterations), int(scale)
+    return f"""
+with recursive
+edges0 as ({edges_sql}),
+e as (select distinct src as u, dst as v from edges0),
+nodes as (
+  -- union all + distinct, NOT bare UNION: DuckDB skips the implicit
+  -- duplicate-elimination of a union CTE inside WITH RECURSIVE
+  select distinct node from (
+    select u as node from e union all select v as node from e)),
+outd as (select u, count(*) as outdeg from e group by u),
+nn as (select count(*) as n from nodes),
+pr as (
+  select 0 as it, node,
+         CAST({sc} // (select n from nn) AS BIGINT) as rank_scaled
+  from nodes
+  union all
+  select cur.it + 1, n.node,
+         CAST((({100 - d} * {sc}) // (100 * (select n from nn)))
+              + ({d} * coalesce(c.contrib, 0)) // 100 AS BIGINT)
+  from (select distinct it from pr where it < {it}) cur
+  cross join nodes n
+  left join (
+    select pr.it as cit, e.v as node,
+           sum(pr.rank_scaled // o.outdeg) as contrib
+    from pr join e on pr.node = e.u join outd o on o.u = e.u
+    group by pr.it, e.v) c
+  on c.node = n.node and c.cit = cur.it)
+select node, rank_scaled,
+       round(CAST(rank_scaled AS DOUBLE)
+             / CAST({sc} AS DOUBLE), 12) as rank
+from pr where it = {it}
+"""
+
+
+def domain_pagerank_sql(
+    table: str, key: str, val: str,
+    iterations: int = 10, damping_pct: int = 85,
+) -> str:
+    """domain_cooccurrence_edges |> pagerank, composed."""
+    return pagerank_sql(
+        domain_cooccurrence_edges_sql(table, key, val),
+        iterations=iterations,
+        damping_pct=damping_pct,
+    )

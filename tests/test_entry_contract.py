@@ -57,13 +57,13 @@ def test_graded_inventory_fits_driver_window():
 # rotation into the driver window (each is already hash-verified every
 # round by tools/check_entry.py). Promote on the next window rotation
 # and remove from this list.
-PENDING_FIRST_DRIVER_ROW = {
-    "dup_spans",
-    "dup_span_stats",
-    "text_ppl_buckets",
-    "dsir_weights",
-    "gopher_rules",
-    "semantic_dedup",
+# Round-6 wave-2 additions — the 50-slot window was already full of
+# names owed their first driver row, so these four await round 7.
+PENDING_FIRST_DRIVER_ROW: set[str] = {
+    "text_normalize",
+    "dedup_lines_in_doc",
+    "chunk_documents",
+    "domain_pagerank",
 }
 
 
