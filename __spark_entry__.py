@@ -1439,6 +1439,57 @@ _LINKED_TEXT_SQL = (
 )
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (functions.text.c4_rules, Raffel et al.
+    2020 §2.2) over documents restructured into sentence-shaped lines
+    with injected rule triggers: a too-short line everywhere, an
+    enable-javascript line every 4th doc, 'lorem ipsum' every 5th, a
+    curly brace every 7th, and an unpunctuated trailing line."""
+    from jaccard_join_duckdb_spark.functions.text import c4_rules
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    d = F.col("doc_id")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 45), F.lit(" one."),
+            F.lit("\ntiny."),
+            F.lit("\n"), F.substring(t, 46, 45),
+            F.lit(" more tail words here!"),
+            F.lit("\nA third full sentence lives right here ok?"),
+            F.when(
+                d % 4 == 0,
+                F.lit("\nPlease enable javascript to view this site."),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("\ncode { brace }")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nno terminal punctuation on this line"),
+        ).alias("text"),
+    )
+    return c4_rules(lined, "doc_id", "text")
+
+
+_C4_TEXT_SQL = (
+    "(select doc_id, substring(text, 1, 45) || ' one.' "
+    "|| chr(10) || 'tiny.' "
+    "|| chr(10) || substring(text, 46, 45) || ' more tail words here!' "
+    "|| chr(10) || 'A third full sentence lives right here ok?' "
+    "|| case when doc_id % 4 = 0 then chr(10) || "
+    "'Please enable javascript to view this site.' else '' end "
+    "|| case when doc_id % 5 = 0 then chr(10) || "
+    "'lorem ipsum dolor sit amet.' else '' end "
+    "|| case when doc_id % 7 = 0 then chr(10) || 'code { brace }' "
+    "else '' end "
+    "|| chr(10) || 'no terminal punctuation on this line' as text "
+    "from documents)"
+)
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1609,6 +1660,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_in_doc": q_dedup_lines_in_doc,
         "chunk_documents": q_chunk_documents,
         "domain_pagerank": q_domain_pagerank,
+        "c4_rules": q_c4_rules,
     }
 
 
@@ -2080,6 +2132,9 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "domain_pagerank": oracle_ext.domain_pagerank_sql(
             _LINKED_TEXT_SQL, "doc_id", "text", iterations=10
+        ),
+        "c4_rules": oracle_ext.c4_rules_sql(
+            _C4_TEXT_SQL, "doc_id", "text"
         ),
     }
 

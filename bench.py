@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dedup_lines_in_doc",
     "chunk_documents",
     "domain_pagerank",
+    "c4_rules",
     "ngram_counts",
     "text_bm25_topk",
     "events_hourly",

@@ -40,6 +40,7 @@ __all__ = [
     "perplexity_buckets",
     "dsir_weights",
     "gopher_rules",
+    "c4_rules",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -1323,4 +1324,71 @@ def gopher_rules(
         & F.col("pass_ellipsis")
         & F.col("pass_alpha")
         & F.col("pass_stops"),
+    )
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    filters that produced the Colossal Clean Crawled Corpus), the
+    other canonical rule set next to :func:`gopher_rules`. Line
+    level: keep only lines that end in a terminal punctuation mark
+    (``. ! ? "``), contain at least ``min_line_words`` whitespace
+    words, and do not contain the word "javascript" (the enable-JS
+    boilerplate tell). Page level: flag any page containing
+    "lorem ipsum" (placeholder text) or a curly brace (code), and
+    require at least ``min_sentences`` sentences in the CLEANED text
+    (terminal-punctuation runs as the sentence proxy — C4 used a
+    sentence splitter; the run count is the deterministic,
+    oracle-exact stand-in). C4's three-sentence-span corpus dedup is
+    the separate :func:`~..operators.dedup.duplicated_spans` /
+    ``remove_boilerplate_lines`` family.
+
+    Kept as named audit columns plus the ``passes`` conjunction, the
+    same contract as ``gopher_rules``. Scale: pure array/column
+    expressions over one scan — whole-stage codegen, no shuffle, no
+    UDF, no explode (the line filter is a per-row lambda).
+
+    Output: ``(doc_id, n_lines, n_kept_lines, clean_text,
+    n_sentences, has_lorem_ipsum, has_curly_brace, pass_sentences,
+    passes)``.
+    """
+    mlw = int(min_line_words)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n", -1)
+
+    def line_ok(x):
+        words = F.size(
+            F.filter(
+                F.split(F.trim(x), "[ \t]+", -1),
+                lambda w: w != F.lit(""),
+            )
+        )
+        ends_ok = F.rtrim(x).rlike('[.!?"]$')
+        no_js = ~F.lower(x).rlike(r"\bjavascript\b")
+        return ends_ok & (words >= F.lit(mlw)) & no_js
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(clean, F.lit("[.!?]+"), F.lit(0))
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    pass_sent = n_sentences >= F.lit(int(min_sentences))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        pass_sent.alias("pass_sentences"),
+        (pass_sent & ~has_lorem & ~has_brace).alias("passes"),
     )

@@ -62,6 +62,7 @@ __all__ = [
     "domain_cooccurrence_edges_sql",
     "pagerank_sql",
     "domain_pagerank_sql",
+    "c4_rules_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -2131,3 +2132,48 @@ def domain_pagerank_sql(
         iterations=iterations,
         damping_pct=damping_pct,
     )
+
+
+def c4_rules_sql(
+    table: str, key: str, val: str,
+    min_line_words: int = 5, min_sentences: int = 3,
+) -> str:
+    """functions.text.c4_rules twin (Raffel et al. 2020 §2.2):
+    identical line predicate (terminal punctuation, min words, no
+    'javascript'), page flags, and terminal-run sentence proxy."""
+    mlw = int(min_line_words)
+    return f"""
+with base as (
+  select {key} as doc_id, coalesce({val}, '') as t,
+         string_split(coalesce({val}, ''), chr(10)) as lines
+  from {table}),
+k as (
+  select doc_id, t, lines,
+         list_filter(lines, x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           and len(list_filter(str_split_regex(trim(x), '[ \t]+'),
+                               w -> w != '')) >= {mlw}
+           and not regexp_matches(lower(x), '\\bjavascript\\b'))
+           as kept
+  from base),
+feat as (
+  select doc_id, t, lines, kept,
+         -- DuckDB array_to_string of an EMPTY list is NULL
+         coalesce(array_to_string(kept, chr(10)), '') as clean_text
+  from k)
+select doc_id,
+       CAST(len(lines) AS BIGINT) as n_lines,
+       CAST(len(kept) AS BIGINT) as n_kept_lines,
+       clean_text,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT)
+         as n_sentences,
+       contains(lower(t), 'lorem ipsum') as has_lorem_ipsum,
+       contains(t, '{{') as has_curly_brace,
+       (len(regexp_extract_all(clean_text, '[.!?]+'))
+          >= {int(min_sentences)}) as pass_sentences,
+       (len(regexp_extract_all(clean_text, '[.!?]+'))
+          >= {int(min_sentences)}
+        and not contains(lower(t), 'lorem ipsum')
+        and not contains(t, '{{')) as passes
+from feat
+"""

@@ -22,6 +22,7 @@ __all__ = [
     "dedup_stream",
     "embed_near_dedup_stream",
     "gopher_rules_stream",
+    "c4_rules_stream",
     "hourly_event_stats",
     "interval_join",
     "lm_score_stream",
@@ -670,6 +671,34 @@ def gopher_rules_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         sink(gopher_rules(batch_df, id_col, text_col, **rule_params), epoch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def c4_rules_stream(
+    stream_docs: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    **rule_params,
+):
+    """Streaming C4 cleaning: every micro-batch of a document ingest
+    is line-filtered and page-flagged by
+    :func:`..functions.text.c4_rules` — the other canonical live-
+    ingest hygiene gate next to :func:`gopher_rules_stream`. Entirely
+    STATELESS (per-document array expressions), so micro-batch
+    boundaries cannot change results (stream==batch is test-pinned).
+    ``rule_params`` forward to ``c4_rules``; ``sink(rules_df,
+    epoch_id)`` receives each batch's audit columns + ``passes``.
+    """
+    from ..functions.text import c4_rules
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(c4_rules(batch_df, id_col, text_col, **rule_params), epoch_id)
 
     writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:

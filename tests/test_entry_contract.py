@@ -64,6 +64,7 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "dedup_lines_in_doc",
     "chunk_documents",
     "domain_pagerank",
+    "c4_rules",
 }
 
 

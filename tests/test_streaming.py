@@ -705,3 +705,31 @@ def test_gopher_rules_stream_equals_batch(spark, tmp_path):
     q = gopher_rules_stream(stream, sink=sink)
     q.awaitTermination()
     assert sorted(got) == want and len(want) > 0
+
+
+def test_c4_rules_stream_equals_batch(spark, tmp_path):
+    """C4 rules are stateless per-doc expressions; the streamed union
+    must equal the one-shot batch result."""
+    from jaccard_join_duckdb_spark.functions.text import c4_rules
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import c4_rules_stream
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = sorted(map(tuple, c4_rules(docs, "doc_id", "text").collect()))
+
+    ddir = str(tmp_path / "c4_stream")
+    docs.repartition(3).write.parquet(ddir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(map(tuple, df.collect()))
+
+    q = c4_rules_stream(stream, sink=sink)
+    q.awaitTermination()
+    assert sorted(got) == want and len(want) > 0

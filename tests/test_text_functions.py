@@ -759,3 +759,87 @@ class TestGopherRules:
         r = gopher_rules(df, "doc_id", "text").collect()[0]
         assert r.n_words == 0 and r.mean_word_len == 0.0
         assert not r.passes
+
+
+class TestC4Rules:
+    def test_line_and_page_rules(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import c4_rules
+
+        df = spark.createDataFrame(
+            [
+                # 3 good sentences + a short line + an unpunctuated line
+                (1, "This is a good first sentence.\ntiny.\n"
+                    "Another full sentence with words!\n"
+                    "A third one right here ok?\nno punct"),
+                # javascript line dropped; still 3 sentences left
+                (2, "Please enable javascript to continue now.\n"
+                    "Real content sentence with many words.\n"
+                    "More content sentences right over here.\n"
+                    "Third full sentence is here now."),
+                # page flags
+                (3, "lorem ipsum dolor sit amet is filler.\n"
+                    "Good sentence number two right here.\n"
+                    "Good sentence number three right here."),
+                (4, "Code page with brace { inside it.\n"
+                    "Good sentence number two right here.\n"
+                    "Good sentence number three right here."),
+                # quote-terminated line counts as terminal punctuation
+                (5, 'He said the loud words"\n'
+                    "Second full sentence with words.\n"
+                    "Third full sentence with words."),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in c4_rules(df, "doc_id", "text").collect()}
+        assert rows[1]["n_kept_lines"] == 3
+        assert rows[1]["n_sentences"] == 3
+        assert rows[1]["passes"]
+        assert rows[2]["n_kept_lines"] == 3  # js line dropped
+        assert rows[2]["passes"]
+        assert rows[3]["has_lorem_ipsum"] and not rows[3]["passes"]
+        assert rows[4]["has_curly_brace"] and not rows[4]["passes"]
+        # the quote line is kept but contributes no [.!?] run
+        assert rows[5]["n_kept_lines"] == 3
+        assert rows[5]["n_sentences"] == 2
+        assert not rows[5]["passes"]
+
+    def test_empty_and_null(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import c4_rules
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        for r in c4_rules(df, "doc_id", "text").collect():
+            assert r["n_kept_lines"] == 0
+            assert r["clean_text"] == ""
+            assert not r["passes"]
+
+    def test_duckdb_parity_crafted(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from jaccard_join_duckdb_spark.functions.text import c4_rules
+        from jaccard_join_duckdb_spark.plans import oracle_ext as oe
+
+        rows = [
+            (1, "Good sentence one lives here.\nshort.\n"
+                "Second good sentence with words!\nThird one right here ok?"),
+            (2, "lorem ipsum dolor sit amet.\ncode { x }\n"
+                "Please enable javascript now friend."),
+            (3, ""), (4, None),
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf)
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        a = (
+            c4_rules(sdf, "doc_id", "text")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            con.sql(oe.c4_rules_sql("docs", "doc_id", "text"))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
