@@ -1490,6 +1490,77 @@ _C4_TEXT_SQL = (
 )
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions.canon.split_sentences) over
+    documents with injected terminal punctuation (the synthetic corpus
+    has none) — dense per-doc sentence numbering incl. the
+    unterminated trailing fragment."""
+    from jaccard_join_duckdb_spark.functions.canon import split_sentences
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    punctuated = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 60), F.lit(". "),
+            F.substring(t, 61, 60), F.lit("! Final bit? tail fragment"),
+        ).alias("text"),
+    )
+    return split_sentences(punctuated, "doc_id", "text")
+
+
+_PUNCT_TEXT_SQL = (
+    "(select doc_id, substring(text, 1, 60) || '. ' || "
+    "substring(text, 61, 60) || '! Final bit? tail fragment' as text "
+    "from documents)"
+)
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with cumulative coverage
+    (functions.text.build_vocab) — the tokenizer-prep view, ranked by
+    the two-level (count, first-char) scheme with NO row-bearing
+    SinglePartition exchange."""
+    from jaccard_join_duckdb_spark.functions.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), "doc_id", "text", top_k=100)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators.curate.corpus_diff) between documents
+    and a mutated copy: every 13th doc removed, every 7th doc's text
+    edited, new ids appended from every 11th doc — the incremental-
+    refresh audit view."""
+    from jaccard_join_duckdb_spark.operators.curate import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    d, t = F.col("doc_id"), F.col("text")
+    new = (
+        docs.filter(d % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 7 == 0, F.concat(t, F.lit(" v2 edit")))
+            .otherwise(t)
+            .alias("text"),
+        )
+        .union(
+            docs.filter(d % 11 == 0).select(
+                (d + 10000000).alias("doc_id"), t.alias("text")
+            )
+        )
+    )
+    return corpus_diff(docs, new, "doc_id", "text")
+
+
+_DIFF_NEW_SQL = (
+    "(select doc_id, case when doc_id % 7 = 0 then text || ' v2 edit' "
+    "else text end as text from documents where doc_id % 13 != 0 "
+    "union all "
+    "select doc_id + 10000000 as doc_id, text from documents "
+    "where doc_id % 11 = 0)"
+)
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1661,6 +1732,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "domain_pagerank": q_domain_pagerank,
         "c4_rules": q_c4_rules,
+        "split_sentences": q_split_sentences,
+        "build_vocab": q_build_vocab,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -2135,6 +2209,15 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "c4_rules": oracle_ext.c4_rules_sql(
             _C4_TEXT_SQL, "doc_id", "text"
+        ),
+        "split_sentences": oracle_ext.split_sentences_sql(
+            _PUNCT_TEXT_SQL, "doc_id", "text"
+        ),
+        "build_vocab": oracle_ext.build_vocab_sql(
+            "documents", "doc_id", "text", top_k=100
+        ),
+        "corpus_diff": oracle_ext.corpus_diff_sql(
+            "documents", _DIFF_NEW_SQL, "doc_id", "text"
         ),
     }
 

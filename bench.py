@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "domain_pagerank",
     "c4_rules",
+    "split_sentences",
+    "build_vocab",
+    "corpus_diff",
     "ngram_counts",
     "text_bm25_topk",
     "events_hourly",

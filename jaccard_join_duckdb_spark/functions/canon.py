@@ -38,6 +38,7 @@ __all__ = [
     "chunk_documents",
     "dedup_lines_in_doc",
     "normalize_text",
+    "split_sentences",
 ]
 
 # Whitespace char class — same class as WhitespaceTokzr.
@@ -194,4 +195,38 @@ def chunk_documents(
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def split_sentences(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Sentence segmentation — the unit extractor under C4-style
+    sentence-count gates and span-level dedup: a sentence is a
+    maximal run of non-terminal characters followed by a run of
+    terminal punctuation (``[.!?]+``), plus an unterminated trailing
+    fragment if present. Sentences are trimmed; whitespace-only
+    pieces are dropped BEFORE numbering, so ``sent_id`` is dense per
+    document.
+
+    This is the deterministic regex proxy for an NLP sentence
+    splitter (abbreviation handling — "Dr. Smith" — is out of scope;
+    at corpus scale the cheap proxy is what pipelines actually run).
+    Scale: regexp extraction + array ops per row, one generator
+    explode — scan-shaped, zero shuffle, output-proportional fan-out.
+    Output: ``(id, sent_id, sentence)``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    raw = F.regexp_extract_all(
+        t, F.lit("[^.!?]+[.!?]+|[^.!?]+$"), F.lit(0)
+    )
+    # explicit 1-arg lambda: F.trim itself takes an optional second
+    # parameter, so transform would feed it the ELEMENT INDEX as the
+    # trim-character set (silent no-op)
+    sents = F.filter(
+        F.transform(raw, lambda x: F.trim(x)), lambda x: x != F.lit("")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sents).alias("sent_id", "sentence"),
     )

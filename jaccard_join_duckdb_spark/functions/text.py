@@ -41,6 +41,7 @@ __all__ = [
     "dsir_weights",
     "gopher_rules",
     "c4_rules",
+    "build_vocab",
     "lang_id",
     "doc_fingerprint",
     "PII_PATTERNS",
@@ -1391,4 +1392,90 @@ def c4_rules(
         has_brace.alias("has_curly_brace"),
         pass_sent.alias("pass_sentences"),
         (pass_sent & ~has_lorem & ~has_brace).alias("passes"),
+    )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 1000
+) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary by occurrence count with
+    cumulative-coverage fractions — the tokenizer-prep / stopword-
+    discovery view (rank 1 = most frequent; ``cum_frac`` answers
+    "how much of the corpus do the first r words cover"). Rank order
+    is the total order (count DESC, token ASC), so the result is
+    unique and engine-independent.
+
+    Scale design: the naive ``row_number() over (order by count
+    desc)`` is an Exchange SinglePartition over the whole vocabulary
+    — the 100 TB killer this repo bans. Instead the global rank is
+    two-level, exploiting that the sort's MAJOR key is the count
+    itself: partition by ``(count, first-char)`` (an order-aligned
+    coarsening of the global order), rank locally by token, and add
+    dense offsets from the tiny per-group aggregate (ordered by the
+    same keys, cumulative-summed, broadcast back). Within a group the
+    count is CONSTANT, so the local cumulative occurrence sum is just
+    ``rn * count`` — no second window over rows. The Zipf head (one
+    token per group) and tail (count=1 spread over first-char groups)
+    both stay parallel. The corpus total rides a 1-row broadcast
+    crossJoin (the bm25 pattern). Output:
+    ``(vocab_rank, token, n_occ, n_docs, cum_frac)``.
+    """
+    k = int(top_k)
+    if k < 1:
+        raise ValueError("top_k must be >= 1")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_token_array(F.col(text_col))).alias("token"),
+    )
+    counts = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+    total = counts.agg(F.sum("n_occ").alias("__total"))
+    tagged = counts.withColumn("__pfx", F.substring("token", 1, 1))
+    local_w = Window.partitionBy("n_occ", "__pfx").orderBy("token")
+    ranked = tagged.withColumn("__rn", F.row_number().over(local_w))
+    # __g_sum computed INSIDE the aggregate (sum of the constant
+    # grouping key == rows * count) so the offset window's
+    # SinglePartition exchange is fed directly by the Aggregate —
+    # the structurally-benign shape (aggregate rows, never corpus
+    # rows; see tools/explain_audit.py)
+    groups = tagged.groupBy("n_occ", "__pfx").agg(
+        F.count(F.lit(1)).alias("__g_rows"),
+        F.sum("n_occ").alias("__g_sum"),
+    )
+    base_w = Window.orderBy(
+        F.col("n_occ").desc(), F.col("__pfx").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bases = groups.select(
+        "n_occ",
+        "__pfx",
+        F.coalesce(F.sum("__g_rows").over(base_w), F.lit(0)).alias(
+            "__base_rank"
+        ),
+        F.coalesce(F.sum("__g_sum").over(base_w), F.lit(0)).alias(
+            "__base_cum"
+        ),
+    )
+    out = (
+        ranked.join(F.broadcast(bases), ["n_occ", "__pfx"])
+        .withColumn(
+            "vocab_rank",
+            (F.col("__base_rank") + F.col("__rn")).cast("int"),
+        )
+        .filter(F.col("vocab_rank") <= k)
+        .withColumn(
+            "__cum", F.col("__base_cum") + F.col("__rn") * F.col("n_occ")
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "vocab_rank",
+        "token",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("__cum").cast("double") / F.col("__total").cast("double"),
+            6,
+        ).alias("cum_frac"),
     )

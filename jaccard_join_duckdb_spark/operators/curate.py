@@ -51,7 +51,7 @@ from .dedup import (
     minhash_near_duplicates,
 )
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "corpus_diff"]
 
 
 def curate_corpus(
@@ -168,4 +168,57 @@ def curate_corpus(
         survivors
         .join(kept_stats, id_col)
         .select(id_col, "n_tokens", "quality")
+    )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit view an
+    incremental ingest pipeline publishes with every refresh: per
+    document id, ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (both, content fingerprints differ), or ``unchanged``.
+    Content identity is :func:`..functions.text.doc_fingerprint`'s
+    whitespace-normalized md5, so formatting-only churn (same words,
+    different spacing) reads as unchanged — the signal that matters
+    for deciding what to re-embed / re-dedup.
+
+    Scale: each side collapses to ``(id, fingerprint)`` at scan time
+    (column-pruned — text never survives past the md5), then ONE
+    full-outer hash equi-join on id. Output:
+    ``(id, status, old_fingerprint, new_fingerprint)``.
+    """
+    from ..functions.text import doc_fingerprint
+
+    # presence markers, NOT fingerprint NULLness: a NULL text row has
+    # a NULL fingerprint but still EXISTS on its side
+    o = doc_fingerprint(old_df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.col("fingerprint").alias("old_fingerprint"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = doc_fingerprint(new_df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.col("fingerprint").alias("new_fingerprint"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            # null-safe: both-NULL fingerprints (two NULL texts) are
+            # equal, i.e. unchanged
+            ~F.col("old_fingerprint").eqNullSafe(
+                F.col("new_fingerprint")
+            ),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "id", status.alias("status"), "old_fingerprint", "new_fingerprint"
     )

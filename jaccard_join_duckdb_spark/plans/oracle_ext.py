@@ -63,6 +63,9 @@ __all__ = [
     "pagerank_sql",
     "domain_pagerank_sql",
     "c4_rules_sql",
+    "split_sentences_sql",
+    "build_vocab_sql",
+    "corpus_diff_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -2176,4 +2179,80 @@ select doc_id,
         and not contains(lower(t), 'lorem ipsum')
         and not contains(t, '{{')) as passes
 from feat
+"""
+
+
+def split_sentences_sql(table: str, key: str, val: str) -> str:
+    """functions.canon.split_sentences twin: same terminal-run regex,
+    trim-then-drop-empties before dense 0-based numbering."""
+    return f"""
+with d as (
+  select {key} as id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(coalesce({val}, ''),
+                                '[^.!?]+[.!?]+|[^.!?]+$'),
+             x -> trim(x)),
+           x -> x != '') as sents
+  from {table})
+select id, CAST(u.pos - 1 AS INTEGER) as sent_id, u.sentence
+from d,
+     lateral (select unnest(sents) as sentence,
+                     unnest(generate_series(1, len(sents))) as pos) u
+"""
+
+
+def build_vocab_sql(
+    table: str, key: str, val: str, top_k: int = 1000
+) -> str:
+    """functions.text.build_vocab twin: the single-node engine ranks
+    with a plain global window — legal here because (count DESC,
+    token ASC) is a total order, so the distributed two-level rank
+    and this window agree exactly."""
+    return f"""
+with ex as (
+  select {key} as id, unnest({_ws_bag_sql(val)}) as token
+  from {table}),
+counts as (
+  select token, count(*) as n_occ, count(distinct id) as n_docs
+  from ex group by token),
+tot as (select sum(n_occ) as total from counts),
+r as (
+  select token, n_occ, n_docs,
+         row_number() over (order by n_occ desc, token) as vocab_rank,
+         sum(n_occ) over (order by n_occ desc, token
+                          rows unbounded preceding) as cum
+  from counts)
+select CAST(vocab_rank AS INTEGER) as vocab_rank, token,
+       CAST(n_occ AS BIGINT) as n_occ,
+       CAST(n_docs AS BIGINT) as n_docs,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) as cum_frac
+from r, tot where vocab_rank <= {int(top_k)}
+"""
+
+
+def corpus_diff_sql(
+    old_table: str, new_table: str, key: str, val: str
+) -> str:
+    """operators.curate.corpus_diff twin: doc_fingerprint's
+    normalized md5 per side, full-outer on id, the same status
+    ladder."""
+    fp = (
+        "md5(trim(regexp_replace(lower({v}), '\\s+', ' ', 'g')))"
+    )
+    ofp = fp.format(v=val)
+    return f"""
+with o as (select {key} as id, {ofp} as old_fingerprint
+           from {old_table}),
+n as (select {key} as id, {ofp} as new_fingerprint
+      from {new_table})
+select coalesce(o.id, n.id) as id,
+       case when o.id is null then 'added'
+            when n.id is null then 'removed'
+            -- IS DISTINCT FROM = Spark ~eqNullSafe (NULL-text rows)
+            when old_fingerprint is distinct from new_fingerprint
+              then 'changed'
+            else 'unchanged' end as status,
+       old_fingerprint, new_fingerprint
+from o full outer join n on o.id = n.id
 """

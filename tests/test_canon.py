@@ -200,3 +200,46 @@ def test_chunk_duckdb_parity(spark):
         oe.chunk_documents_sql("docs", "doc_id", "text", 6, 4),
         ["id", "chunk_id"],
     )
+
+
+# ---------------------------------------------------------------- sentences
+
+def test_split_sentences_semantics(spark):
+    from jaccard_join_duckdb_spark.functions.canon import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second! Third?? trailing bit"),
+            (2, "no terminal punctuation"),
+            (3, ""),
+            (4, None),
+            (5, "Ellipsis... counts once. end."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in split_sentences(df, "doc_id", "text").collect():
+        got.setdefault(r["id"], []).append((r["sent_id"], r["sentence"]))
+    for sents in got.values():
+        assert [i for i, _ in sorted(sents)] == list(range(len(sents)))
+    assert [s for _, s in sorted(got[1])] == [
+        "First one.", "Second!", "Third??", "trailing bit",
+    ]
+    assert [s for _, s in sorted(got[2])] == ["no terminal punctuation"]
+    assert 3 not in got and 4 not in got
+    assert [s for _, s in sorted(got[5])] == [
+        "Ellipsis...", "counts once.", "end.",
+    ]
+
+
+def test_split_sentences_duckdb_parity(spark):
+    from jaccard_join_duckdb_spark.functions.canon import split_sentences
+
+    rows = MESSY + [(7, "A. B! C? D... E")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    _assert_parity(
+        split_sentences(sdf, "doc_id", "text"),
+        _duck(rows),
+        oe.split_sentences_sql("docs", "doc_id", "text"),
+        ["id", "sent_id"],
+    )

@@ -163,3 +163,65 @@ def test_curate_repetition_gate_composes(spark, documents):
         ).collect()
     }
     assert gated == manual
+
+
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from jaccard_join_duckdb_spark.operators.curate import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "will be removed"),
+             (4, None), (5, "spacing   only"), (6, None)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same text"), (2, "changed now"), (7, "brand new"),
+             (4, None), (5, "spacing only"), (6, "null became text")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: r["status"]
+            for r in corpus_diff(old, new, "doc_id", "text").collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "unchanged",   # NULL -> NULL
+            5: "unchanged",   # whitespace-only churn is not a change
+            6: "changed",     # NULL -> text
+            7: "added",
+        }
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from jaccard_join_duckdb_spark.operators.curate import corpus_diff
+        from jaccard_join_duckdb_spark.plans import oracle_ext as oe
+
+        old = pd.DataFrame(
+            [(1, "alpha beta"), (2, "gamma"), (3, None), (4, "keep")],
+            columns=["doc_id", "text"],
+        )
+        new = pd.DataFrame(
+            [(1, "ALPHA   beta"), (2, "different"), (3, "text now"),
+             (5, "added doc")],
+            columns=["doc_id", "text"],
+        )
+        con = duckdb.connect()
+        con.register("old_t", old)
+        con.register("new_t", new)
+        a = (
+            corpus_diff(
+                spark.createDataFrame(old), spark.createDataFrame(new),
+                "doc_id", "text",
+            ).toPandas().sort_values("id").reset_index(drop=True)
+        )
+        b = (
+            con.sql(oe.corpus_diff_sql("old_t", "new_t", "doc_id", "text"))
+            .df().sort_values("id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )

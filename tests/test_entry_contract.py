@@ -65,6 +65,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "chunk_documents",
     "domain_pagerank",
     "c4_rules",
+    "split_sentences",
+    "build_vocab",
+    "corpus_diff",
 }
 
 

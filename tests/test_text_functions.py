@@ -843,3 +843,103 @@ class TestC4Rules:
         pd.testing.assert_frame_equal(
             a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
         )
+
+
+class TestBuildVocab:
+    ROWS = [
+        (1, "the cat and the dog"),
+        (2, "the cat ran"),
+        (3, "a dog and a zebra the"),
+        (4, None),
+        (5, ""),
+    ]
+    # counts: the=4(3 docs), and=2(2), cat=2(2), dog=2(2), a=2(1),
+    #         ran=1(1), zebra=1(1)  -> total 14
+
+    def test_rank_counts_and_coverage(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import build_vocab
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        rows = sorted(
+            build_vocab(df, "doc_id", "text", top_k=4).collect(),
+            key=lambda r: r["vocab_rank"],
+        )
+        assert [(r["vocab_rank"], r["token"], r["n_occ"], r["n_docs"])
+                for r in rows] == [
+            (1, "the", 4, 3),
+            (2, "a", 2, 1),
+            (3, "and", 2, 2),
+            (4, "cat", 2, 2),
+        ]
+        assert rows[0]["cum_frac"] == round(4 / 14, 6)
+        assert rows[3]["cum_frac"] == round(10 / 14, 6)
+
+    def test_rank_is_dense_and_total_order(self, spark):
+        from jaccard_join_duckdb_spark.functions.text import build_vocab
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        rows = sorted(
+            build_vocab(df, "doc_id", "text", top_k=1000).collect(),
+            key=lambda r: r["vocab_rank"],
+        )
+        assert [r["vocab_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        key = [(-r["n_occ"], r["token"]) for r in rows]
+        assert key == sorted(key)
+        assert rows[-1]["cum_frac"] == 1.0
+
+    def test_no_single_partition_exchange_over_rows(self, spark):
+        """The vocabulary rank must not funnel token rows through one
+        task: any SinglePartition exchange in the plan must be fed by
+        an Aggregate (the tiny per-(count, prefix) offset table)."""
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        from jaccard_join_duckdb_spark.functions.text import build_vocab
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            build_vocab(df, "doc_id", "text").explain("formatted")
+        txt = buf.getvalue()
+        for m in re.finditer(
+            r"\((\d+)\) Exchange[^\n]*\nInput[^\n]*\n"
+            r"Arguments: SinglePartition", txt
+        ):
+            idx = int(m.group(1))
+            assert re.search(rf"\({idx - 1}\) (\w*Aggregate)\b", txt), (
+                "row-bearing SinglePartition exchange in build_vocab plan"
+            )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from jaccard_join_duckdb_spark.functions.text import build_vocab
+
+        with _pytest.raises(ValueError):
+            build_vocab(None, "doc_id", "text", top_k=0)
+
+    def test_duckdb_parity_crafted(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from jaccard_join_duckdb_spark.functions.text import build_vocab
+        from jaccard_join_duckdb_spark.plans import oracle_ext as oe
+
+        pdf = pd.DataFrame(self.ROWS, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        a = (
+            build_vocab(sdf, "doc_id", "text", top_k=5)
+            .toPandas().sort_values("vocab_rank").reset_index(drop=True)
+        )
+        b = (
+            con.sql(oe.build_vocab_sql("docs", "doc_id", "text", top_k=5))
+            .df().sort_values("vocab_rank").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
