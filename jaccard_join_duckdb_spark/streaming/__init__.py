@@ -23,6 +23,7 @@ __all__ = [
     "embed_near_dedup_stream",
     "gopher_rules_stream",
     "c4_rules_stream",
+    "corpus_diff_stream",
     "hourly_event_stats",
     "interval_join",
     "lm_score_stream",
@@ -699,6 +700,72 @@ def c4_rules_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         sink(c4_rules(batch_df, id_col, text_col, **rule_params), epoch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def corpus_diff_stream(
+    stream_docs: DataFrame,
+    old_fingerprints: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming snapshot diff — the change-data-capture half of
+    :func:`..operators.curate.corpus_diff`: every micro-batch of a
+    document ingest is classified ``added`` / ``changed`` /
+    ``unchanged`` against a STATIC prior-snapshot fingerprint table
+    (``(id, fingerprint)``, e.g. persisted by a previous batch run of
+    ``doc_fingerprint``). ``removed`` is inherently a whole-corpus
+    statement and cannot be emitted per-batch — run the batch
+    ``corpus_diff`` for that; this wrapper answers the ingest-time
+    question "is this document new or an edit, and does it need
+    re-embedding / re-dedup".
+
+    The static side is fingerprints only (narrow), joined per batch
+    with a left join — bounded state, no watermark needed, and
+    micro-batch boundaries cannot change per-document results
+    (stream==batch on the added/changed/unchanged subset is
+    test-pinned). ``sink(diff_df, epoch_id)`` receives
+    ``(id, status, old_fingerprint, new_fingerprint)``.
+    """
+    from ..functions.text import doc_fingerprint
+
+    old = old_fingerprints.select(
+        F.col("id"),
+        F.col("fingerprint").alias("old_fingerprint"),
+        F.lit(True).alias("__in_old"),
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        new = doc_fingerprint(batch_df, id_col, text_col).select(
+            F.col(id_col).alias("id"),
+            F.col("fingerprint").alias("new_fingerprint"),
+        )
+        j = new.join(old, "id", "left")
+        status = (
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(
+                ~F.col("old_fingerprint").eqNullSafe(
+                    F.col("new_fingerprint")
+                ),
+                F.lit("changed"),
+            )
+            .otherwise(F.lit("unchanged"))
+        )
+        sink(
+            j.select(
+                "id",
+                status.alias("status"),
+                "old_fingerprint",
+                "new_fingerprint",
+            ),
+            epoch_id,
+        )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
     if trigger_available_now:

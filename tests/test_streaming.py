@@ -733,3 +733,56 @@ def test_c4_rules_stream_equals_batch(spark, tmp_path):
     q = c4_rules_stream(stream, sink=sink)
     q.awaitTermination()
     assert sorted(got) == want and len(want) > 0
+
+
+def test_corpus_diff_stream_equals_batch(spark, tmp_path):
+    """CDC diff against a static fingerprint snapshot: the streamed
+    union must equal the batch corpus_diff restricted to the
+    added/changed/unchanged statuses (removed is whole-corpus-only)."""
+    from jaccard_join_duckdb_spark.functions.text import doc_fingerprint
+    from jaccard_join_duckdb_spark.operators.curate import corpus_diff
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import corpus_diff_stream
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    # old snapshot: drop every 9th doc (those become 'added'),
+    # pre-edit every 5th doc (those become 'changed')
+    old_docs = docs.filter(F.col("doc_id") % 9 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" old-rev")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    old_fps = doc_fingerprint(old_docs, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "fingerprint"
+    ).cache()
+
+    want = sorted(
+        map(
+            tuple,
+            corpus_diff(old_docs, docs, "doc_id", "text")
+            .filter(F.col("status") != "removed")
+            .collect(),
+        )
+    )
+
+    ddir = str(tmp_path / "diff_stream")
+    docs.repartition(3).write.parquet(ddir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(map(tuple, df.collect()))
+
+    q = corpus_diff_stream(stream, old_fps, sink=sink)
+    q.awaitTermination()
+    old_fps.unpersist()
+    assert sorted(got) == want and len(want) > 0
+    assert {t[1] for t in got} >= {"added", "changed", "unchanged"}
