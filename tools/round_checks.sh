@@ -17,6 +17,9 @@
 #                        baseline join output
 #   - search_bench:      phrase probes prune buckets
 #                        (SelectedBucketsCount 1-of-N)
+#   - graph_bench:       pagerank bit-exact vs the recursive-CTE twin,
+#                        SinglePartition-free plan, 10x-nodes growth
+#                        bounded
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -24,7 +27,7 @@
 set -e
 cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
-         ann_recall_bench skew_demo search_bench; do
+         ann_recall_bench skew_demo search_bench graph_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done
