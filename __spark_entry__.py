@@ -1561,6 +1561,75 @@ _DIFF_NEW_SQL = (
 )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (Spark's native pivot with an
+    explicit value list — one groupBy, no second scan): one count
+    column per type plus the total."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    out = p.select(*cols)
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total.cast("long"))
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x month revenue ROLLUP (DataFrame ``rollup`` — Spark
+    plans one shuffle with partial aggregation per grouping set):
+    subtotals per nation and the grand total ride along as NULL
+    grouping keys, like the reference's relational surface never
+    could."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp")
+            .alias("month"),
+            "o_totalprice",
+        )
+    )
+    return j.rollup("n_name", "month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 6-hour resampling per event type
+    (operators.temporal.resample_events): dense time grid x type,
+    zero rows where nothing happened (is_gap audit flag)."""
+    from jaccard_join_duckdb_spark.operators.temporal import (
+        resample_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_events(
+        ev, "ts", "event_type", value_col="value", step_hours=6
+    )
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1735,6 +1804,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "build_vocab": q_build_vocab,
         "corpus_diff": q_corpus_diff,
+        "events_pivot": q_events_pivot,
+        "orders_rollup": q_orders_rollup,
+        "events_resample": q_events_resample,
     }
 
 
@@ -2218,6 +2290,31 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "corpus_diff": oracle_ext.corpus_diff_sql(
             "documents", _DIFF_NEW_SQL, "doc_id", "text"
+        ),
+        "events_pivot": (
+            "select user_id, "
+            + ", ".join(
+                f"CAST(sum(case when event_type = '{t}' then 1 else 0 "
+                f"end) AS BIGINT) as n_{t}"
+                for t in _EVENT_TYPES
+            )
+            + ", count(*) as n_total from events group by user_id"
+        ),
+        "orders_rollup": """
+select n_name, CAST(month AS TIMESTAMP) as month,
+       count(*) as n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         as revenue
+from (
+  select n_name, date_trunc('month', o_orderdate) as month,
+         o_totalprice
+  from orders
+  join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey)
+group by rollup(n_name, month)
+""",
+        "events_resample": oracle_ext.resample_events_sql(
+            "events", "ts", "event_type", value="value", step_hours=6
         ),
     }
 

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "ngram_counts",
     "text_bm25_topk",
     "events_hourly",
+    "events_pivot",
+    "events_resample",
+    "orders_rollup",
     "events_sessionize",
     "events_running_totals",
     "events_asof_join",

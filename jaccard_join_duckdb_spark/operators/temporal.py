@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "resample_events"]
 
 
 def asof_join(
@@ -170,4 +170,82 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         F.col("__m.__ts").alias(f"{prefix}{ts_col}"),
         *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def resample_events(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str | None = None,
+    step_hours: int = 6,
+) -> DataFrame:
+    """Gap-filled time-grid resampling — the dashboard/monitoring view
+    Spark has no built-in for: bucket events into fixed ``step_hours``
+    windows, then LEFT-join those counts onto the DENSE grid
+    (every bucket from the corpus-min to the corpus-max bucket ×
+    every key), so silent gaps become explicit zero rows
+    (``is_gap = true``) instead of missing rows — the difference
+    between "no data" and "no row" that downstream anomaly detection
+    needs.
+
+    Scale: the actual aggregation is one map-side-partial groupBy on
+    (bucket, key); the grid is generated from a 1-row min/max
+    aggregate via ``sequence`` + explode crossed with the distinct
+    key values — grid size is (time-range / step) × |keys|, a
+    metadata-scale table that is BROADCAST onto the counts (the fact
+    side never reshuffles). Output: ``(bucket_start, <key_col>,
+    n_events, sum_value, is_gap)``.
+    """
+    step = int(step_hours)
+    if step < 1:
+        raise ValueError("step_hours must be >= 1")
+    ts = F.col(ts_col)
+    bucket = F.date_trunc("hour", ts) - F.expr(
+        f"make_interval(0, 0, 0, 0, hour({ts_col}) % {step}, 0, 0)"
+    )
+    facts = (
+        df.select(
+            bucket.alias("bucket_start"),
+            F.col(key_col),
+            *( [F.col(value_col)] if value_col else [] ),
+        )
+        .groupBy("bucket_start", key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .cast("double")
+                if value_col
+                else F.max(F.lit(None).cast("double"))
+            ).alias("sum_value"),
+        )
+    )
+    bounds = df.select(bucket.alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid_times = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"),
+                F.col("hi"),
+                F.expr(f"interval {step} hours"),
+            )
+        ).alias("bucket_start")
+    )
+    keys = df.select(F.col(key_col)).filter(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    grid = grid_times.crossJoin(keys)
+    out = F.broadcast(grid).join(
+        facts, ["bucket_start", key_col], "left"
+    )
+    return out.select(
+        "bucket_start",
+        key_col,
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        F.col("n_events").isNull().alias("is_gap"),
     )

@@ -66,6 +66,7 @@ __all__ = [
     "split_sentences_sql",
     "build_vocab_sql",
     "corpus_diff_sql",
+    "resample_events_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -2255,4 +2256,42 @@ select coalesce(o.id, n.id) as id,
             else 'unchanged' end as status,
        old_fingerprint, new_fingerprint
 from o full outer join n on o.id = n.id
+"""
+
+
+def resample_events_sql(
+    table: str, ts: str, key: str, value: str | None = None,
+    step_hours: int = 6,
+) -> str:
+    """operators.temporal.resample_events twin: same day-anchored
+    bucketing (trunc-to-hour minus hour-of-day mod step), dense
+    generate_series grid x distinct keys, zero-filled left join."""
+    s = int(step_hours)
+    b = (
+        f"date_trunc('hour', {ts}) "
+        f"- to_hours(CAST(extract(hour from {ts}) % {s} AS BIGINT))"
+    )
+    val = (
+        f"CAST(sum(CAST({value} AS DECIMAL(18,2))) AS DOUBLE)"
+        if value
+        else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+with facts as (
+  select {b} as bucket_start, {key} as k,
+         count(*) as n_events, {val} as sum_value
+  from {table} group by 1, 2),
+bounds as (select min({b}) as lo, max({b}) as hi from {table}),
+grid_times as (
+  select unnest(generate_series(lo, hi, interval {s} hours))
+    as bucket_start
+  from bounds),
+keys as (select distinct {key} as k from {table} where {key} is not null),
+grid as (select g.bucket_start, k.k from grid_times g cross join keys k)
+select g.bucket_start, g.k as {key},
+       CAST(coalesce(f.n_events, 0) AS BIGINT) as n_events,
+       coalesce(f.sum_value, 0.0) as sum_value,
+       (f.n_events is null) as is_gap
+from grid g left join facts f
+  on g.bucket_start = f.bucket_start and g.k = f.k
 """

@@ -68,6 +68,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "split_sentences",
     "build_vocab",
     "corpus_diff",
+    "events_pivot",
+    "orders_rollup",
+    "events_resample",
 }
 
 

@@ -136,3 +136,52 @@ def test_default_tie_is_payload_deterministic(spark):
         if expect is None:
             expect = got
         assert got == expect == {(1, 105)}  # greatest (ts, rid) payload
+
+
+class TestResampleEvents:
+    def test_gap_filled_grid(self, spark):
+        from datetime import datetime
+
+        from jaccard_join_duckdb_spark.operators.temporal import (
+            resample_events,
+        )
+
+        rows = [
+            (datetime(2024, 1, 1, 1, 30), "a", 10.0),
+            (datetime(2024, 1, 1, 4, 0), "a", 5.0),   # same 6h bucket
+            (datetime(2024, 1, 2, 13, 0), "b", 2.0),  # 1.5 days later
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+        out = {
+            (r["bucket_start"].isoformat(), r["k"]): r
+            for r in resample_events(
+                df, "ts", "k", value_col="v", step_hours=6
+            ).collect()
+        }
+        # grid: buckets 2024-01-01T00 .. 2024-01-02T12 (7 buckets) x 2 keys
+        assert len(out) == 14
+        hot = out[("2024-01-01T00:00:00", "a")]
+        assert hot["n_events"] == 2 and hot["sum_value"] == 15.0
+        assert not hot["is_gap"]
+        gap = out[("2024-01-01T06:00:00", "a")]
+        assert gap["n_events"] == 0 and gap["sum_value"] == 0.0
+        assert gap["is_gap"]
+        b = out[("2024-01-02T12:00:00", "b")]
+        assert b["n_events"] == 1 and not b["is_gap"]
+        # day-anchored buckets: every bucket hour is a multiple of 6
+        assert all(
+            int(k[0][11:13]) % 6 == 0 for k in out
+        )
+        # zero-filled rows dominate: exactly 2 non-gap cells (the two
+        # 'a' events share one bucket)
+        assert sum(1 for r in out.values() if not r["is_gap"]) == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from jaccard_join_duckdb_spark.operators.temporal import (
+            resample_events,
+        )
+
+        with _pytest.raises(ValueError):
+            resample_events(None, "ts", "k", step_hours=0)

@@ -61,6 +61,10 @@ CROSS_OK = {
     "boilerplate_lines",
     # 1-row corpus-total-occurrences scalar attach (cum_frac divisor)
     "build_vocab",
+    # dense-grid construction: (time buckets from a 1-row min/max
+    # aggregate) x (distinct keys) — both metadata-scale; the fact
+    # table joins the broadcast grid by hash, never cross.
+    "events_resample",
 }
 
 
