@@ -34,6 +34,7 @@ __all__ = [
     "write_training_shards",
     "write_bucketed",
     "read_table",
+    "read_binary_assets",
 ]
 
 
@@ -59,6 +60,41 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     with predicate pushdown + column pruning, same as parquet —
     relevant for lakes standardized on ORC."""
     return spark.read.orc(path)
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion for the multimodal pipeline: Spark's
+    built-in ``binaryFile`` source reads a directory tree of image /
+    audio / arbitrary blobs into ``(path, modificationTime, length,
+    content)`` — the on-ramp that turns a crawl dump of files into
+    the opaque-payload asset table ``sources.multimodal`` decodes
+    (payloads stay executor-side end to end; the driver never sees
+    bytes). ``glob`` filters by filename pattern (e.g. ``*.png``);
+    ``max_bytes`` guards against whale files blowing executor memory
+    (``spark.sql.sources.binaryFile.maxLength`` hard-errors instead
+    of skipping, so the predicate filter here is the skip-don't-die
+    path — it is pushed down to the file listing, not applied after
+    a doomed read).
+
+    Output: ``(asset_id, asset_len, payload)`` — ``asset_id`` is the
+    file path, matching the multimodal asset schema.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df.select(
+        F.col("path").alias("asset_id"),
+        F.col("length").cast("long").alias("asset_len"),
+        F.col("content").alias("payload"),
+    )
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

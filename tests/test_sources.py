@@ -370,3 +370,87 @@ def test_read_jsonl_gzip_transparent(spark, tmp_path):
     a = sorted(map(tuple, read_jsonl(spark, str(plain)).collect()))
     b = sorted(map(tuple, read_jsonl(spark, str(gz)).collect()))
     assert a == b and len(a) == 20
+
+
+class TestBinaryAssets:
+    def test_reads_files_as_payload_rows(self, spark, tmp_path):
+        from jaccard_join_duckdb_spark.sources import read_binary_assets
+
+        (tmp_path / "a.png").write_bytes(b"\x89PNG" + b"x" * 60)
+        (tmp_path / "b.png").write_bytes(b"\x89PNG" + b"y" * 10)
+        (tmp_path / "c.txt").write_bytes(b"not a png")
+        out = read_binary_assets(spark, str(tmp_path), glob="*.png")
+        rows = {r["asset_id"].split("/")[-1]: r for r in out.collect()}
+        assert set(rows) == {"a.png", "b.png"}
+        assert rows["a.png"]["asset_len"] == 64
+        assert bytes(rows["b.png"]["payload"]).startswith(b"\x89PNG")
+
+    def test_max_bytes_skips_whales(self, spark, tmp_path):
+        from jaccard_join_duckdb_spark.sources import read_binary_assets
+
+        (tmp_path / "small.bin").write_bytes(b"s" * 10)
+        (tmp_path / "whale.bin").write_bytes(b"w" * 10_000)
+        out = read_binary_assets(spark, str(tmp_path), max_bytes=100)
+        names = [r["asset_id"].split("/")[-1] for r in out.collect()]
+        assert names == ["small.bin"]
+
+    def test_feeds_multimodal_decode(self, spark, tmp_path):
+        """End-to-end on-ramp: files on disk -> binaryFile scan ->
+        the existing Arrow decode kernel."""
+        import struct
+
+        from jaccard_join_duckdb_spark.sources import read_binary_assets
+        from jaccard_join_duckdb_spark.sources.multimodal import (
+            decode_image_meta,
+        )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+            + b"\x00" * 4
+        )
+        (tmp_path / "img.png").write_bytes(png)
+        from pyspark.sql import functions as F
+
+        assets = read_binary_assets(spark, str(tmp_path), glob="*.png")
+        # the asset schema keys on a LONG id: hash the path (the
+        # standard path->id bridge for file-sourced assets)
+        meta = decode_image_meta(
+            assets.select(
+                F.xxhash64("asset_id").alias("asset_id"), "payload"
+            ),
+            fake=False,
+        ).collect()
+        assert len(meta) == 1
+        r = meta[0]
+        assert (r["width"], r["height"]) == (640, 480)
+
+
+def test_shard_read_prunes_partitions(spark, documents, tmp_path):
+    """Reading one shard back must PRUNE the others at the file
+    listing (PartitionFilters on the scan), not read-then-filter —
+    the property that makes shard-addressed reads O(shard) at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from jaccard_join_duckdb_spark.sources import write_training_shards
+
+    p = str(tmp_path / "shards")
+    write_training_shards(documents, "doc_id", p, n_shards=4)
+    one = spark.read.parquet(p).filter(F.col("shard") == 2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt
+    # the shard predicate must appear in PartitionFilters, and the
+    # post-scan data filter must NOT carry it
+    pf_line = next(
+        line for line in txt.splitlines() if "PartitionFilters" in line
+    )
+    assert "shard" in pf_line
+    n_total = spark.read.parquet(p).count()
+    n_one = one.count()
+    assert 0 < n_one < n_total
