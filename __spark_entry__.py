@@ -1630,6 +1630,20 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted Jaccard near-dup (operators.dedup.
+    weighted_jaccard_near_duplicates): rare-token-weighted overlap in
+    exact scaled-integer arithmetic — the boilerplate-resistant dedup
+    flavor."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        weighted_jaccard_near_duplicates,
+    )
+
+    return weighted_jaccard_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text", T_SELF
+    )
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1807,6 +1821,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "orders_rollup": q_orders_rollup,
         "events_resample": q_events_resample,
+        "dedup_weighted": q_dedup_weighted,
     }
 
 
@@ -2315,6 +2330,9 @@ group by rollup(n_name, month)
 """,
         "events_resample": oracle_ext.resample_events_sql(
             "events", "ts", "event_type", value="value", step_hours=6
+        ),
+        "dedup_weighted": oracle_ext.weighted_jaccard_neardup_sql(
+            "documents", "doc_id", "text", T_SELF
         ),
     }
 

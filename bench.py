@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "phrase_search_many",
     "phrase_search",
     "dedup_minhash",
+    # dedup_weighted is gate-graded but not benched: on the 31-word
+    # synthetic vocabulary weighted Jaccard at t=0.8 genuinely
+    # qualifies ~2.5M pairs at sf0.1 (output-bound, ~141 s) — the
+    # dedup_containment precedent (density artifact, not plan).
     "dedup_simhash",
     "dedup_ngram",
     "decontaminate",

@@ -55,6 +55,7 @@ __all__ = [
     "drop_exact_duplicates",
     "minhash_params",
     "minhash_near_duplicates",
+    "weighted_jaccard_near_duplicates",
     "MinHashIndex",
     "minhash_index",
     "minhash_match",
@@ -1958,3 +1959,120 @@ def duplicated_span_stats(
             / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
         ).alias("dup_ratio"),
     )
+
+
+# integer weight scale for the rational IDF (see weighted_jaccard_*)
+W_SCALE = 10**6
+
+
+def weighted_jaccard_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokenizer: Tokenizer | None = None,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """TF-IDF-WEIGHTED set-Jaccard near-dup pairs — the dedup flavor
+    that stops stopword-heavy boilerplate from gluing unrelated
+    documents together: each distinct token carries a rarity weight
+    and ``J_w(x,y) = W(x ∩ y) / W(x ∪ y)``, so two docs sharing only
+    "the and of to" score near 0 while docs sharing rare content
+    score near their unweighted Jaccard.
+
+    Determinism contract (the hash-gate requirement that rules out
+    ``ln``-based IDF — libm is not bit-identical across engines): the
+    weight is the RATIONAL probabilistic IDF, scaled to integers::
+
+        w(t) = ((2N - 2df + 1) * 10^6) div (2df + 1)   [BM25's idf
+                shape, floor-scaled; strictly decreasing in df]
+
+    and every accumulation is BIGINT addition (associative-exact),
+    with the threshold test as integer cross-multiplication
+    (``shared * 10^6 >= round(t * 10^6) * union``) — no float enters
+    until the final display score.
+
+    Scale shape: doc frequencies are one map-side-partial groupBy;
+    candidates come from the shared-token inverted-index equi-join
+    with per-pair integer SUM (map-side combine); per-doc total
+    weights broadcast back onto pairs (two narrow joins). Hot tokens
+    bound the pair fan-out — ``max_df_frac < 1`` drops tokens present
+    in more than that fraction of docs from CANDIDATE GENERATION ONLY
+    (their weight still counts in the totals); a pair sharing nothing
+    but capped tokens is missed, which is exactly the boilerplate
+    this operator exists to ignore. Default 1.0 = exact.
+
+    Output: ``(l_id, r_id, wjaccard)`` (double, round 6).
+    """
+    t_scaled = int(round(float(threshold) * W_SCALE))
+    if not 0 < t_scaled <= W_SCALE:
+        raise ValueError("threshold must be in (0, 1]")
+    if not 0.0 < float(max_df_frac) <= 1.0:
+        raise ValueError("max_df_frac must be in (0, 1]")
+    tokenizer = tokenizer or WhitespaceTokzr()
+    toks = _token_sets(df, id_col, text_col, tokenizer).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            "n",
+            F.expr(
+                f"((2 * n - 2 * df + 1) * {W_SCALE}) div (2 * df + 1)"
+            ).alias("w"),
+        )
+    )
+    tw = toks.join(weighted, "token").select(
+        "id", "token", "w", "df", "n"
+    )
+    totals = tw.groupBy("id").agg(F.sum("w").alias("wtotal"))
+    cand_toks = tw.filter(
+        F.col("df").cast("double")
+        <= F.lit(float(max_df_frac)) * F.col("n").cast("double")
+    ).select("id", "token", "w")
+    l = cand_toks.select(
+        F.col("id").alias("l_id"), "token", F.col("w").alias("lw")
+    )
+    r = cand_toks.select(
+        F.col("id").alias("r_id"), "token", F.col("w")
+    )
+    shared = (
+        l.join(r, "token")
+        .filter(F.col("l_id") < F.col("r_id"))
+        .groupBy("l_id", "r_id")
+        .agg(F.sum("lw").alias("shared_w"))
+    )
+    lt = totals.select(
+        F.col("id").alias("l_id"), F.col("wtotal").alias("l_total")
+    )
+    rt = totals.select(
+        F.col("id").alias("r_id"), F.col("wtotal").alias("r_total")
+    )
+    out = (
+        shared.join(lt, "l_id")
+        .join(rt, "r_id")
+        .withColumn(
+            "union_w",
+            F.col("l_total") + F.col("r_total") - F.col("shared_w"),
+        )
+        .filter(
+            F.col("shared_w") * F.lit(W_SCALE)
+            >= F.lit(t_scaled) * F.col("union_w")
+        )
+        .select(
+            "l_id",
+            "r_id",
+            F.round(
+                F.col("shared_w").cast("double")
+                / F.col("union_w").cast("double"),
+                6,
+            ).alias("wjaccard"),
+        )
+    )
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out

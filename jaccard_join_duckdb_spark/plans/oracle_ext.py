@@ -67,6 +67,7 @@ __all__ = [
     "build_vocab_sql",
     "corpus_diff_sql",
     "resample_events_sql",
+    "weighted_jaccard_neardup_sql",
 ]
 
 _WS_CLASS = "[ \t\r\n]"
@@ -2294,4 +2295,51 @@ select g.bucket_start, g.k as {key},
        (f.n_events is null) as is_gap
 from grid g left join facts f
   on g.bucket_start = f.bucket_start and g.k = f.k
+"""
+
+
+def weighted_jaccard_neardup_sql(
+    table: str, key: str, val: str, threshold: float,
+    max_df_frac: float = 1.0,
+) -> str:
+    """operators.dedup.weighted_jaccard_near_duplicates twin: same
+    distinct lowercased token sets, the same scaled-integer rational
+    IDF, integer cross-multiplied threshold, round-6 display score."""
+    scale = 10**6
+    t_scaled = int(round(float(threshold) * scale))
+    return f"""
+with toks as (
+  select distinct {key} as id, t.tok as token
+  from {table},
+       lateral (select unnest(list_distinct(list_filter(
+           str_split_regex(lower({val}), '[ \t\r\n]'),
+           x -> trim(x) != ''))) as tok) t),
+nd as (select count(*) as n from {table}),
+dfreq as (select token, count(*) as df from toks group by token),
+weighted as (
+  select token, df, n,
+         ((2 * n - 2 * df + 1) * {scale}) // (2 * df + 1) as w
+  from dfreq, nd),
+tw as (select t.id, t.token, w.w, w.df, w.n
+       from toks t join weighted w on t.token = w.token),
+totals as (select id, sum(w) as wtotal from tw group by id),
+cand as (select id, token, w from tw
+         where CAST(df AS DOUBLE)
+               <= CAST({float(max_df_frac)!r} AS DOUBLE)
+                  * CAST(n AS DOUBLE)),
+shared as (
+  select l.id as l_id, r.id as r_id, sum(l.w) as shared_w
+  from cand l join cand r on l.token = r.token and l.id < r.id
+  group by l.id, r.id),
+scored as (
+  select s.l_id, s.r_id, s.shared_w,
+         lt.wtotal + rt.wtotal - s.shared_w as union_w
+  from shared s
+  join totals lt on s.l_id = lt.id
+  join totals rt on s.r_id = rt.id)
+select l_id, r_id,
+       round(CAST(shared_w AS DOUBLE) / CAST(union_w AS DOUBLE), 6)
+         as wjaccard
+from scored
+where shared_w * {scale} >= {t_scaled} * union_w
 """

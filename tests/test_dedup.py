@@ -706,3 +706,111 @@ class TestDuplicatedSpans:
 
         with pytest.raises(ValueError):
             duplicated_spans(None, "id", "t", 1)
+
+
+class TestWeightedJaccard:
+    def test_stopword_overlap_discounted(self, spark):
+        """Two docs sharing only ubiquitous tokens must score far
+        below two docs sharing the same NUMBER of rare tokens."""
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            weighted_jaccard_near_duplicates,
+        )
+
+        rows = [
+            # 'the and of to' appear in EVERY doc (df=6) — boilerplate
+            (1, "the and of to zebra quark"),
+            (2, "the and of to zebra quark"),     # rare overlap with 1
+            (3, "the and of to xylem vortex"),
+            (4, "the and of to gнome jolt"),
+            (5, "the and of to brine clef"),
+            (6, "the and of to stopwordsonly a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["l_id"], r["r_id"]): r["wjaccard"]
+            for r in weighted_jaccard_near_duplicates(
+                df, "doc_id", "text", 0.01
+            ).collect()
+        }
+        # identical docs -> 1.0
+        assert out[(1, 2)] == 1.0
+        # stopword-only pairs score WELL below the identical pair and
+        # below any unweighted Jaccard of the same overlap (4/8 = 0.5)
+        assert out[(3, 4)] < 0.35
+        assert all(
+            v < 0.35 for k, v in out.items() if k not in {(1, 2)}
+        )
+
+    def test_max_df_cap_drops_boilerplate_only_pairs(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            weighted_jaccard_near_duplicates,
+        )
+
+        rows = [
+            (1, "common alpha"),
+            (2, "common beta"),
+            (3, "common gamma"),
+            (4, "common alpha"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # 'common' is in 4/4 docs; cap at 0.5 removes it from candidate
+        # generation, so only the alpha-sharing pair survives
+        got = {
+            (r["l_id"], r["r_id"])
+            for r in weighted_jaccard_near_duplicates(
+                df, "doc_id", "text", 0.01, max_df_frac=0.5
+            ).collect()
+        }
+        assert got == {(1, 4)}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            weighted_jaccard_near_duplicates,
+        )
+
+        with _pytest.raises(ValueError):
+            weighted_jaccard_near_duplicates(None, "id", "t", 0.0)
+        with _pytest.raises(ValueError):
+            weighted_jaccard_near_duplicates(None, "id", "t", 0.5,
+                                             max_df_frac=0.0)
+
+    def test_duckdb_parity_crafted(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            weighted_jaccard_near_duplicates,
+        )
+        from jaccard_join_duckdb_spark.plans import oracle_ext as oe
+
+        rows = [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brown fox jumps low"),
+            (3, "the the the and and of to in"),
+            (4, "and of to in the it is was"),
+            (5, "quick brown fox"),
+            (6, None), (7, ""),
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf)
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        for t, cap in ((0.5, 1.0), (0.3, 0.6), (0.01, 1.0)):
+            a = (
+                weighted_jaccard_near_duplicates(
+                    sdf, "doc_id", "text", t, max_df_frac=cap
+                ).toPandas()
+                .sort_values(["l_id", "r_id"]).reset_index(drop=True)
+            )
+            b = (
+                con.sql(oe.weighted_jaccard_neardup_sql(
+                    "docs", "doc_id", "text", t, max_df_frac=cap
+                )).df()
+                .sort_values(["l_id", "r_id"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                a[sorted(a.columns)], b[sorted(b.columns)],
+                check_dtype=False,
+            )

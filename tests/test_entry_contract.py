@@ -71,6 +71,7 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "events_pivot",
     "orders_rollup",
     "events_resample",
+    "dedup_weighted",
 }
 
 
