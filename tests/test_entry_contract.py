@@ -57,22 +57,10 @@ def test_graded_inventory_fits_driver_window():
 # rotation into the driver window (each is already hash-verified every
 # round by tools/check_entry.py). Promote on the next window rotation
 # and remove from this list.
-# Round-6 wave-2 additions — the 50-slot window was already full of
-# names owed their first driver row, so these four await round 7.
-PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "text_normalize",
-    "dedup_lines_in_doc",
-    "chunk_documents",
-    "domain_pagerank",
-    "c4_rules",
-    "split_sentences",
-    "build_vocab",
-    "corpus_diff",
-    "events_pivot",
-    "orders_rollup",
-    "events_resample",
-    "dedup_weighted",
-}
+# Empty: the final round-6 rotation promoted every wave-2 operator
+# into the window (demoting r5-graded keepers that hold their driver
+# rows in CORRECTNESS_r05), so no declared query lacks coverage.
+PENDING_FIRST_DRIVER_ROW: set[str] = set()
 
 
 def test_rotation_union_covers_inventory():
