@@ -1644,6 +1644,59 @@ def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar documents PER document (k=3) — the
+    "related items" kNN view over the scored prefix-filtered
+    self-join: symmetrize the unordered pairs, rank neighbors per
+    source by (jaccard desc, neighbor asc), keep rn <= k. The window
+    partitions by source doc — parallel, no global ordering."""
+    pairs = jaccard_self_join(
+        _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF,
+        with_score=True,
+    )
+    sym = pairs.select(
+        F.col("l_doc_id").alias("src"),
+        F.col("r_doc_id").alias("neighbor"),
+        "jaccard",
+    ).union(
+        pairs.select(
+            F.col("r_doc_id").alias("src"),
+            F.col("l_doc_id").alias("neighbor"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "src", "neighbor", "jaccard",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def _jaccard_knn_sql() -> str:
+    scored = ref_sql.self_filtered_sql(
+        "documents", "doc_id", "text", _WS, T_SELF,
+        "l_doc_id", "r_doc_id", score=True,
+    )
+    return f"""
+with pairs as ({scored}),
+sym as (
+  select l_doc_id as src, r_doc_id as neighbor, jaccard from pairs
+  union all
+  select r_doc_id, l_doc_id, jaccard from pairs)
+select src, neighbor, jaccard, CAST(rn AS INTEGER) as rn from (
+  select src, neighbor, jaccard,
+         row_number() over (partition by src
+                            order by jaccard desc, neighbor asc) as rn
+  from sym) where rn <= 3
+"""
+
+
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promotes every round-5 extra plus the five new
@@ -1825,6 +1878,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "events_resample": q_events_resample,
         "dedup_weighted": q_dedup_weighted,
+        "jaccard_knn": q_jaccard_knn,
     }
 
 
@@ -2337,6 +2391,7 @@ group by rollup(n_name, month)
         "dedup_weighted": oracle_ext.weighted_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_SELF
         ),
+        "jaccard_knn": _jaccard_knn_sql(),
     }
 
 

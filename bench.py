@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "jaccard_self_ws_brute",
     "jaccard_self_qgram",
     "jaccard_inner_ws",
+    "jaccard_knn",
     "dedup_exact",
     "winnow_pairs",
     "phrase_search_many",

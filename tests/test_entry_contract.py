@@ -57,10 +57,9 @@ def test_graded_inventory_fits_driver_window():
 # rotation into the driver window (each is already hash-verified every
 # round by tools/check_entry.py). Promote on the next window rotation
 # and remove from this list.
-# Empty: the final round-6 rotation promoted every wave-2 operator
-# into the window (demoting r5-graded keepers that hold their driver
-# rows in CORRECTNESS_r05), so no declared query lacks coverage.
-PENDING_FIRST_DRIVER_ROW: set[str] = set()
+# jaccard_knn landed after the final round-6 rotation filled the
+# window; it awaits round 7 (hash-verified now by check_entry+pytest).
+PENDING_FIRST_DRIVER_ROW: set[str] = {"jaccard_knn"}
 
 
 def test_rotation_union_covers_inventory():
@@ -74,10 +73,15 @@ def test_rotation_union_covers_inventory():
 
     import __spark_entry__ as e
 
-    r5_path = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r05.json"
-    r5 = set(json.loads(r5_path.read_text()))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    graded: set[str] = set()
+    # union EVERY past round's driver rows (r5 onward — the rotation
+    # era), so the invariant stays correct as new rounds accumulate
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        if f.name >= "CORRECTNESS_r05.json":
+            graded |= set(json.loads(f.read_text()))
     declared = set(e.queries()) | set(e.extra_queries())
-    uncovered = set(declared - r5 - set(e.queries()))
+    uncovered = set(declared - graded - set(e.queries()))
     unexplained = sorted(uncovered - PENDING_FIRST_DRIVER_ROW)
     assert not unexplained, (
         f"declared queries with no driver row in r5, not in the current "
