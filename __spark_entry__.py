@@ -1578,12 +1578,13 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
         for t in _EVENT_TYPES
     ]
-    out = p.select(*cols)
-    total = None
-    for t in _EVENT_TYPES:
-        c = F.col(f"n_{t}")
-        total = c if total is None else total + c
-    return out.withColumn("n_total", total.cast("long"))
+    # n_total is a TRUE count(*) per user (matching the oracle), not
+    # the sum of the pivoted columns — a new or NULL event_type must
+    # still count toward the total even though it gets no pivot column
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return p.select(*cols).join(totals, "user_id")
 
 
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,6 +1628,23 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return resample_events(
         ev, "ts", "event_type", value_col="value", step_hours=6
+    )
+
+
+def q_events_resample_7h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 7-HOUR resampling — 24 % 7 != 0, the step class
+    where a uniform from-the-minimum grid diverges from the
+    day-anchored fact buckets after the first midnight and silently
+    drops events (round-7 advisor fix): the grid is now derived from
+    the same per-day anchored offsets as the buckets, so every fact
+    row lands on a grid row for ANY step."""
+    from jaccard_join_duckdb_spark.operators.temporal import (
+        resample_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_events(
+        ev, "ts", "event_type", value_col="value", step_hours=7
     )
 
 
@@ -1877,6 +1895,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "orders_rollup": q_orders_rollup,
         "events_resample": q_events_resample,
+        "events_resample_7h": q_events_resample_7h,
         "dedup_weighted": q_dedup_weighted,
         "jaccard_knn": q_jaccard_knn,
     }
@@ -2387,6 +2406,9 @@ group by rollup(n_name, month)
 """,
         "events_resample": oracle_ext.resample_events_sql(
             "events", "ts", "event_type", value="value", step_hours=6
+        ),
+        "events_resample_7h": oracle_ext.resample_events_sql(
+            "events", "ts", "event_type", value="value", step_hours=7
         ),
         "dedup_weighted": oracle_ext.weighted_jaccard_neardup_sql(
             "documents", "doc_id", "text", T_SELF

@@ -130,6 +130,16 @@ def pagerank(
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = e.join(outdeg, "u").persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # driver scalar: sizes base and the init rank
+    if n == 0:
+        # empty edge list => no nodes; return an empty frame with the
+        # contract schema instead of a ZeroDivisionError from base//n
+        nodes.unpersist()
+        ew.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
     base = ((100 - d) * RANK_SCALE) // (100 * n)
     init = RANK_SCALE // n
     ranks = nodes.select(

@@ -189,13 +189,20 @@ def resample_events(
     between "no data" and "no row" that downstream anomaly detection
     needs.
 
+    Buckets are DAY-ANCHORED (``hour(ts) - hour(ts) % step``), so the
+    dense grid is derived from the same anchoring: per-day offsets
+    ``0, step, 2*step, … < 24``, NOT a uniform sequence from the
+    corpus minimum — a uniform sequence diverges from the fact
+    buckets after the first midnight whenever ``24 % step != 0`` and
+    silently drops matching fact rows from the left join.
+
     Scale: the actual aggregation is one map-side-partial groupBy on
-    (bucket, key); the grid is generated from a 1-row min/max
-    aggregate via ``sequence`` + explode crossed with the distinct
-    key values — grid size is (time-range / step) × |keys|, a
-    metadata-scale table that is BROADCAST onto the counts (the fact
-    side never reshuffles). Output: ``(bucket_start, <key_col>,
-    n_events, sum_value, is_gap)``.
+    (bucket, key); both the grid and the post-aggregation counts are
+    metadata-scale ((time-range / step) × |keys| rows at most), so
+    the counts are BROADCAST onto the streamed grid (left-outer
+    builds the right side — the only direction Spark's
+    BroadcastHashJoin honors for a preserved left). Output:
+    ``(bucket_start, <key_col>, n_events, sum_value, is_gap)``.
     """
     step = int(step_hours)
     if step < 1:
@@ -224,21 +231,48 @@ def resample_events(
     bounds = df.select(bucket.alias("b")).agg(
         F.min("b").alias("lo"), F.max("b").alias("hi")
     )
-    grid_times = bounds.select(
-        F.explode(
-            F.sequence(
-                F.col("lo"),
-                F.col("hi"),
-                F.expr(f"interval {step} hours"),
-            )
-        ).alias("bucket_start")
+    # day-anchored grid: every day in range × the in-day offsets the
+    # fact bucketing can produce (hour - hour % step), clipped to the
+    # observed bucket range — exact for ANY step, divisor of 24 or not
+    offsets = list(range(0, 24, step)) if step < 24 else [0]
+    grid_times = (
+        bounds.select(
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col("lo")),
+                    F.date_trunc("day", F.col("hi")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+        .select(
+            "lo",
+            "hi",
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("off"),
+            "day",
+        )
+        .select(
+            "lo",
+            "hi",
+            (
+                F.col("day")
+                + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")
+            ).alias("bucket_start"),
+        )
+        .filter(
+            (F.col("bucket_start") >= F.col("lo"))
+            & (F.col("bucket_start") <= F.col("hi"))
+        )
+        .select("bucket_start")
     )
     keys = df.select(F.col(key_col)).filter(
         F.col(key_col).isNotNull()
     ).distinct()
     grid = grid_times.crossJoin(keys)
-    out = F.broadcast(grid).join(
-        facts, ["bucket_start", key_col], "left"
+    out = grid.join(
+        F.broadcast(facts), ["bucket_start", key_col], "left"
     )
     return out.select(
         "bucket_start",

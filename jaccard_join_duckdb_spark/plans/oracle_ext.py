@@ -2266,12 +2266,17 @@ def resample_events_sql(
 ) -> str:
     """operators.temporal.resample_events twin: same day-anchored
     bucketing (trunc-to-hour minus hour-of-day mod step), dense
-    generate_series grid x distinct keys, zero-filled left join."""
+    day-anchored grid (per-day offsets 0, step, … < 24, clipped to
+    the observed bucket range — NOT a uniform series from lo, which
+    diverges from the fact buckets when 24 % step != 0) x distinct
+    keys, zero-filled left join."""
     s = int(step_hours)
     b = (
         f"date_trunc('hour', {ts}) "
         f"- to_hours(CAST(extract(hour from {ts}) % {s} AS BIGINT))"
     )
+    offsets = list(range(0, 24, s)) if s < 24 else [0]
+    off_list = ", ".join(str(o) for o in offsets)
     val = (
         f"CAST(sum(CAST({value} AS DECIMAL(18,2))) AS DOUBLE)"
         if value
@@ -2284,9 +2289,13 @@ with facts as (
   from {table} group by 1, 2),
 bounds as (select min({b}) as lo, max({b}) as hi from {table}),
 grid_times as (
-  select unnest(generate_series(lo, hi, interval {s} hours))
-    as bucket_start
-  from bounds),
+  select d.day + to_hours(CAST(o.off AS BIGINT)) as bucket_start
+  from bounds,
+       lateral (select unnest(generate_series(
+           date_trunc('day', lo), date_trunc('day', hi),
+           interval 1 day)) as day) d,
+       lateral (select unnest([{off_list}]) as off) o
+  where d.day + to_hours(CAST(o.off AS BIGINT)) between lo and hi),
 keys as (select distinct {key} as k from {table} where {key} is not null),
 grid as (select g.bucket_start, k.k from grid_times g cross join keys k)
 select g.bucket_start, g.k as {key},

@@ -102,6 +102,15 @@ def test_pagerank_validation(spark):
         pagerank(sdf, iterations=0)
 
 
+def test_pagerank_empty_edges(spark):
+    """Empty edge list => empty result with the contract schema, not
+    a ZeroDivisionError from RANK_SCALE // 0 (round-7 advisor fix)."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank_scaled", "rank"]
+    assert out.count() == 0
+
+
 DOCS = [
     # site1 twice (dedup to first), three domains in order
     (1, "x https://Site1.example/a y http://hub.example/b "

@@ -185,3 +185,40 @@ class TestResampleEvents:
 
         with _pytest.raises(ValueError):
             resample_events(None, "ts", "k", step_hours=0)
+
+    def test_non_divisor_step_conserves_events(self, spark):
+        """step_hours=7 (24 % 7 != 0): the round-7 advisor repro. A
+        uniform grid stepped from the corpus minimum diverges from
+        the day-anchored fact buckets after the first midnight and
+        the left join silently DROPPED matching fact rows (2 events
+        in, 1 out). The day-anchored grid must conserve every event
+        for any step, and every grid bucket hour must be an anchored
+        offset (hour % step == hour of some event-day anchor)."""
+        from datetime import datetime
+
+        from jaccard_join_duckdb_spark.operators.temporal import (
+            resample_events,
+        )
+
+        rows = [
+            # the advisor's shape: events either side of a midnight
+            (datetime(2024, 1, 1, 23, 0), "a", 1.0),
+            (datetime(2024, 1, 2, 1, 0), "a", 1.0),
+            # plus extras across more days and a second key
+            (datetime(2024, 1, 3, 22, 30), "b", 2.0),
+            (datetime(2024, 1, 1, 0, 0), "b", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+        for step in (5, 7, 9, 11, 24):
+            got = resample_events(
+                df, "ts", "k", value_col="v", step_hours=step
+            ).collect()
+            assert sum(r["n_events"] for r in got) == len(rows), (
+                f"step={step} dropped events"
+            )
+            # grid hours are exactly the day-anchored offsets
+            offs = set(range(0, 24, step)) if step < 24 else {0}
+            assert all(r["bucket_start"].hour in offs for r in got)
+            # dense: both keys present at every grid time
+            times = {r["bucket_start"] for r in got}
+            assert len(got) == 2 * len(times)
