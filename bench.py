@@ -30,10 +30,14 @@ BENCH_QUERIES = [
     "phrase_search_many",
     "phrase_search",
     "dedup_minhash",
-    # dedup_weighted is gate-graded but not benched: on the 31-word
-    # synthetic vocabulary weighted Jaccard at t=0.8 genuinely
-    # qualifies ~2.5M pairs at sf0.1 (output-bound, ~141 s) — the
-    # dedup_containment precedent (density artifact, not plan).
+    # dedup_weighted is gate-graded but not benched here: on the
+    # 31-word synthetic vocabulary EVERY threshold is density-
+    # degenerate (t=0.95 still qualifies ~190k pairs at sf0.1 —
+    # output-bound; the dedup_containment precedent). Its timing +
+    # fan-out evidence lives in tools/weighted_bench.py (exit-gated
+    # in round_checks.sh): on a realistic stopword-heavy Zipf corpus
+    # the round-7 weighted-PPJoin prefix filter generates 0.04% of
+    # the raw inverted-index candidates with results exactly equal.
     "dedup_simhash",
     "dedup_ngram",
     "decontaminate",

@@ -404,6 +404,59 @@ def test_containment_prefix_filter_lossless(_spark, texts, t):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    texts=_corpus,
+    t=st.sampled_from([0.2, 0.5, 0.8, 1.0]),
+    cap=st.sampled_from([1.0, 0.6]),
+)
+def test_weighted_prefix_filter_lossless(_spark, texts, t, cap):
+    """weighted_jaccard_near_duplicates' weighted-PPJoin prefix filter
+    (round 7) must be lossless on arbitrary corpora: output == the
+    DuckDB twin, which generates candidates from the UN-prefixed
+    all-shared-token inverted index — for every threshold (including
+    t=1.0, minimal prefixes) and with/without the df cap (the cap is
+    shared deliberate semantics, the prefix is Spark-side-only
+    pruning the oracle never does)."""
+    import duckdb
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        weighted_jaccard_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.plans.oracle_ext import (
+        weighted_jaccard_neardup_sql,
+    )
+
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        (r.l_id, r.r_id, r.wjaccard)
+        for r in weighted_jaccard_near_duplicates(
+            df, "id", "text", t, max_df_frac=cap
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from (values "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(texts))
+        + ") v(id, text)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            weighted_jaccard_neardup_sql(
+                "documents", "id", "text", t, max_df_frac=cap
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     q_texts=st.lists(
         st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4).map(" ".join),
         min_size=1,

@@ -23,6 +23,11 @@
 #   - dedup_recall_bench: MinHash-LSH recall vs the exact brute pair
 #                        set >= 0.95 at t=0.9 (and >= 0.80 off-design
 #                        at t=0.8), precision exactly 1.0
+#   - weighted_bench:    weighted-PPJoin prefix filter result ==
+#                        exact all-shared-token baseline on a
+#                        stopword-heavy Zipf corpus, candidate
+#                        fan-out <= 20% of the raw inverted index
+#                        (measured ~0.04%)
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -31,7 +36,7 @@ set -e
 cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench graph_bench \
-         dedup_recall_bench; do
+         dedup_recall_bench weighted_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done
