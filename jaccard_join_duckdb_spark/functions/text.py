@@ -1139,9 +1139,13 @@ def perplexity_buckets(
     Scale: the two tertile cutoffs are ONE exact-percentile aggregate
     attached back as a broadcast 1-row scalar — no global sort, no
     ntile window over a single partition; bucketing itself is a
-    column expression.
+    column expression. The scored frame (one narrow row per doc) is
+    ``localCheckpoint``-ed before the cutoff aggregate so the whole
+    LM train+score subtree — with its own vocab scalar attach — runs
+    ONCE instead of once per consumer (round 7; previously the plan
+    carried 6 scalar BNLJ attaches, now 1).
     """
-    scored = lm_score(df, id_col, text_col, n=n, k=k)
+    scored = lm_score(df, id_col, text_col, n=n, k=k).localCheckpoint()
     cuts = scored.filter(F.col("lm_logp").isNotNull()).agg(
         F.percentile("lm_logp", 2.0 / 3.0).alias("c_head"),
         F.percentile("lm_logp", 1.0 / 3.0).alias("c_mid"),
@@ -1178,26 +1182,104 @@ def dsir_weights(
     Output: ``(doc_id, n_ngrams, logp_target, logp_source, logw)``;
     documents too short to score carry NULLs.
 
-    Scale: two :func:`train_ngram_lm` count tables (map-side-partial
-    groupBys) + two broadcast-scalar-attached scoring passes + one
-    equi-join on doc id — no pairwise work anywhere.
+    Scale: two :func:`train_ngram_lm` count-table pairs (map-side-
+    partial groupBys), but ONE shared explode-and-score pass (round
+    7): the per-position (gram, ctx) table is identical for both
+    scorings, so the source corpus is tokenized/exploded once, joined
+    against both LMs' count tables (four narrow equi-joins), and both
+    vocab scalars ride a SINGLE broadcast 1-row attach — previously
+    two independent scoring pipelines exploded the corpus twice,
+    attached two scalars, and re-joined on doc id (4 BNLJ rounds, now
+    1 against the wide side).
     """
-    tgt = lm_score_apply(
-        train_ngram_lm(target_df, id_col, text_col, n=n, k=k),
-        source_df, id_col, text_col,
+    from ..tokenizers import _ensure_parallelism
+
+    lm_t = train_ngram_lm(target_df, id_col, text_col, n=n, k=k)
+    lm_s = train_ngram_lm(source_df, id_col, text_col, n=n, k=k)
+    kk = float(k)
+
+    docs = _ensure_parallelism(source_df.select(id_col, text_col))
+    toks = ws_token_array(F.col(text_col))
+    positions = F.when(
+        F.size(toks) - F.lit(n - 1) >= 1,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.explode(positions).alias("i"),
     ).select(
-        "doc_id", "n_ngrams", F.col("lm_logp").alias("logp_target")
-    )
-    src = lm_score_apply(
-        train_ngram_lm(source_df, id_col, text_col, n=n, k=k),
-        source_df, id_col, text_col,
-    ).select("doc_id", F.col("lm_logp").alias("logp_source"))
-    return tgt.join(src, "doc_id").select(
         "doc_id",
-        "n_ngrams",
-        "logp_target",
-        "logp_source",
-        F.round(F.col("logp_target") - F.col("logp_source"), 6).alias("logw"),
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), F.lit(n))).alias(
+            "gram"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("i"), F.lit(n - 1))
+        ).alias("ctx"),
+    )
+
+    def _renamed(tbl: DataFrame, key: str, cnt: str) -> DataFrame:
+        return tbl.select(
+            F.col("ngram").alias(key), F.col("n_count").alias(cnt)
+        )
+
+    counted = (
+        exploded.join(
+            _renamed(lm_t.grams, "tg", "t_gram_count"),
+            exploded["gram"] == F.col("tg"), "left",
+        ).drop("tg")
+        .join(
+            _renamed(lm_t.ctxs, "tc", "t_ctx_count"),
+            F.col("ctx") == F.col("tc"), "left",
+        ).drop("tc")
+        .join(
+            _renamed(lm_s.grams, "sg", "s_gram_count"),
+            F.col("gram") == F.col("sg"), "left",
+        ).drop("sg")
+        .join(
+            _renamed(lm_s.ctxs, "sc", "s_ctx_count"),
+            F.col("ctx") == F.col("sc"), "left",
+        ).drop("sc")
+    )
+    scalars = lm_t.vocab.select(
+        F.col("vocab").alias("t_vocab")
+    ).crossJoin(lm_s.vocab.select(F.col("vocab").alias("s_vocab")))
+
+    def _logp(gram_c: str, ctx_c: str, vocab_c: str):
+        return F.log(
+            (F.coalesce(F.col(gram_c), F.lit(0)).cast("double") + F.lit(kk))
+            / (
+                F.coalesce(F.col(ctx_c), F.lit(0)).cast("double")
+                + F.lit(kk) * F.col(vocab_c).cast("double")
+            )
+        )
+
+    scored = (
+        counted.crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            _logp("t_gram_count", "t_ctx_count", "t_vocab").alias("lpt"),
+            _logp("s_gram_count", "s_ctx_count", "s_vocab").alias("lps"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(F.avg("lpt"), 6).alias("logp_target"),
+            F.round(F.avg("lps"), 6).alias("logp_source"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            "logp_target",
+            "logp_source",
+            F.round(
+                F.col("logp_target") - F.col("logp_source"), 6
+            ).alias("logw"),
+        )
     )
 
 

@@ -51,7 +51,10 @@ CROSS_OK = {
     # 1-row vocabulary-size scalar attach (same class as text_bm25_topk)
     "text_lm_score",
     "text_lm_score_backoff",
-    # 1-row tertile-cutoff / vocabulary scalar attaches
+    # 1-row scalar attaches, folded in round 7 to ONE each: the
+    # tertile-cutoff attach (LM subtree now localCheckpoint-ed) and
+    # the combined two-LM vocabulary attach (single shared scoring
+    # pass)
     "text_ppl_buckets",
     "dsir_weights",
     "dedup_embed_cosine",
@@ -61,10 +64,12 @@ CROSS_OK = {
     "boilerplate_lines",
     # 1-row corpus-total-occurrences scalar attach (cum_frac divisor)
     "build_vocab",
-    # dense-grid construction: (time buckets from a 1-row min/max
-    # aggregate) x (distinct keys) — both metadata-scale; the fact
-    # table joins the broadcast grid by hash, never cross.
+    # dense-grid construction: (day-anchored time buckets from a
+    # 1-row min/max aggregate) x (distinct keys) — both metadata-
+    # scale; the aggregated facts broadcast onto the grid by hash,
+    # never cross.
     "events_resample",
+    "events_resample_7h",
 }
 
 
