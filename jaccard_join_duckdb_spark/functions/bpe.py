@@ -70,27 +70,58 @@ def train_bpe(
     count symbol-pair frequencies over the word-frequency table and
     repeatedly merge the most frequent pair. Ties break
     lexicographically — the whole table is a deterministic function
-    of the input corpus."""
+    of the input corpus.
+
+    Implementation (round 7): indexed-incremental with a
+    lazy-invalidation max-heap — per merge, only the word forms that
+    actually CONTAIN the merged pair are touched and the best pair is
+    popped from a heap instead of a full pair-table rescan, so
+    production-scale tables (8k+ merges over tens of thousands of
+    word forms) train in seconds instead of hours. Output is
+    bit-identical to the naive per-iteration-rescan algorithm
+    (pinned by tests/test_bpe.py::test_fast_trainer_matches_naive):
+    the heap key ``(-count, pair)`` selects the same
+    max-count-then-lexicographically-first pair."""
+    import heapq
+
     vocab: dict[tuple[str, ...], int] = {}
     for text in texts:
         for w in _words(text or ""):
             sym = tuple(w) + (_EOW,)
             vocab[sym] = vocab.get(sym, 0) + 1
+
+    words: list[tuple[tuple[str, ...], int]] = list(vocab.items())
+    pair_counts: dict[tuple[str, str], int] = {}
+    # pair -> word indices that contained it at some point (lazily
+    # filtered on use — stale entries are cheap, rescans are not)
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def _count(idx: int, sym: tuple[str, ...], freq: int, sign: int) -> None:
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + sign * freq
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+            heapq.heappush(heap, (-pair_counts[p], p))
+
+    for i, (sym, freq) in enumerate(words):
+        _count(i, sym, freq, +1)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, freq in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + freq
-        if not pairs:
-            break
-        # deterministic: max frequency, then lexicographically first
-        top = max(pairs.values())
-        best = min(p for p, c in pairs.items() if c == top)
+    while len(merges) < int(n_merges) and heap:
+        neg, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0 or -neg != cur:
+            continue  # stale heap entry (count changed since push)
         merges.append(best)
         merged = best[0] + best[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for sym, freq in vocab.items():
+        for idx in list(pair_words.get(best, ())):
+            sym, freq = words[idx]
+            if not any(
+                a == best[0] and b == best[1] for a, b in zip(sym, sym[1:])
+            ):
+                continue  # stale index
+            _count(idx, sym, freq, -1)
             out: list[str] = []
             i = 0
             while i < len(sym):
@@ -104,8 +135,11 @@ def train_bpe(
                 else:
                     out.append(sym[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
-        vocab = new_vocab
+            words[idx] = (tuple(out), freq)
+            _count(idx, tuple(out), freq, +1)
+        # the merged pair is fully consumed
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 

@@ -39,6 +39,68 @@ def test_train_first_merge_is_most_frequent_pair():
     assert merges == [("a", "t")]
 
 
+def _train_bpe_naive(texts, n_merges):
+    """The per-iteration full-rescan reference trainer (Sennrich et
+    al. 2016, Alg. 1 verbatim — the pre-round-7 implementation).
+    train_bpe's indexed/heap fast path must match it bit-for-bit."""
+    import re
+
+    vocab = {}
+    for text in texts:
+        for w in re.findall(r"\w+|[^\w\s]", (text or "").lower()):
+            sym = tuple(w) + ("</w>",)
+            vocab[sym] = vocab.get(sym, 0) + 1
+    merges = []
+    for _ in range(int(n_merges)):
+        pairs = {}
+        for sym, freq in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_fast_trainer_matches_naive():
+    """Round 7 swapped train_bpe to an indexed-incremental + lazy-heap
+    algorithm to make 8k-merge tables trainable; it must produce the
+    SAME merge list as the naive rescan on corpora that exercise tie
+    breaks, pair re-emergence, and merge exhaustion."""
+    corpora = [
+        CORPUS,
+        ["aaaa aaab abab baba", "abc abc abc", "zzz zz z"],
+        ["x"],
+        [""],
+        ["the quick brown fox jumps over the lazy dog " * 3,
+         "pack my box with five dozen liquor jugs"],
+    ]
+    for texts in corpora:
+        for n in (1, 7, 40, 500):
+            assert train_bpe(texts, n) == _train_bpe_naive(texts, n), (
+                texts, n,
+            )
+
+
 def test_encode_is_lossless():
     merges = train_bpe(CORPUS, n_merges=30)
     for text in CORPUS + ["completely unseen wordforms zz9!"]:
