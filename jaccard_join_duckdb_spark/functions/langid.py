@@ -36,8 +36,10 @@ from pyspark.sql import functions as F
 __all__ = ["LANG_PROFILES", "PROFILE_NORMS", "lang_id_trigram"]
 
 # Seed prose written for this repo (generic sentences, public
-# knowledge of each language only). ~6 sentences per language is
-# plenty for trigram separation at 4 languages.
+# knowledge of each language only — no downloads). ~6 sentences per
+# language; round 7 widens the set from 4 to 12 languages including
+# two non-Latin scripts (Russian Cyrillic, Greek), where the script
+# itself makes the trigram profiles nearly orthogonal.
 _SEEDS = {
     "de": """
 der schnelle braune fuchs springt über den faulen hund und die kinder
@@ -78,6 +80,80 @@ jour un grand modèle de langue apprend à partir de textes recueillis
 documents avant le début de l'entraînement nous devons aussi
 construire une meilleure société pour nos enfants
 """,
+    "it": """
+la veloce volpe marrone salta sopra il cane pigro e i bambini tornano
+a casa da scuola attraverso il parco mentre il vecchio gatto dorme al
+caldo sole del pomeriggio la gente compra pane e latte al mercato e
+parla del tempo e delle notizie del giorno un grande modello di
+linguaggio impara dai testi raccolti su larga scala e il sistema deve
+pulire filtrare e dividere i documenti prima che inizi
+l'addestramento dobbiamo anche costruire una società migliore per i
+nostri figli
+""",
+    "nl": """
+de snelle bruine vos springt over de luie hond en de kinderen lopen
+naar huis van school door het park terwijl de oude kat slaapt in de
+warme middagzon de mensen kopen brood en melk op de markt en praten
+over het weer en het nieuws van de dag een groot taalmodel leert van
+teksten die op grote schaal verzameld zijn en het systeem moet de
+documenten schoonmaken filteren en opdelen voordat de training begint
+wij moeten ook een betere samenleving voor onze kinderen bouwen
+""",
+    "pl": """
+szybki brązowy lis skacze nad leniwym psem a dzieci wracają do domu
+ze szkoły przez park podczas gdy stary kot śpi w ciepłym popołudniowym
+słońcu ludzie kupują chleb i mleko na rynku i rozmawiają o pogodzie i
+wiadomościach dnia duży model językowy uczy się z tekstów zebranych
+na wielką skalę a system musi oczyścić przefiltrować i podzielić
+dokumenty zanim rozpocznie się trening musimy także zbudować lepsze
+społeczeństwo dla naszych dzieci
+""",
+    "pt": """
+a rápida raposa marrom salta sobre o cão preguiçoso e as crianças
+voltam para casa da escola pelo parque enquanto o velho gato dorme ao
+sol quente da tarde as pessoas compram pão e leite no mercado e falam
+sobre o tempo e as notícias do dia um grande modelo de linguagem
+aprende com textos coletados em grande escala e o sistema deve limpar
+filtrar e dividir os documentos antes que o treinamento comece
+devemos também construir uma sociedade melhor para os nossos filhos
+""",
+    "sv": """
+den snabba bruna räven hoppar över den lata hunden och barnen går hem
+från skolan genom parken medan den gamla katten sover i den varma
+eftermiddagssolen folk köper bröd och mjölk på torget och pratar om
+vädret och dagens nyheter en stor språkmodell lär sig av texter som
+samlats in i stor skala och systemet måste rensa filtrera och dela
+upp dokumenten innan träningen börjar vi måste också bygga ett bättre
+samhälle för våra barn
+""",
+    "tr": """
+hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve çocuklar
+okuldan eve parkın içinden yürürler bu sırada yaşlı kedi sıcak öğleden
+sonra güneşinde uyur insanlar pazardan ekmek ve süt alır hava durumu
+ve günün haberleri hakkında konuşurlar büyük bir dil modeli geniş
+ölçekte toplanan metinlerden öğrenir ve sistem eğitim başlamadan önce
+belgeleri temizlemeli filtrelemeli ve bölmelidir çocuklarımız için
+daha iyi bir toplum da kurmalıyız
+""",
+    "ru": """
+быстрая коричневая лиса прыгает через ленивую собаку а дети идут
+домой из школы через парк пока старый кот спит под тёплым полуденным
+солнцем люди покупают хлеб и молоко на рынке и говорят о погоде и
+новостях дня большая языковая модель учится на текстах собранных в
+большом масштабе и система должна очистить отфильтровать и разделить
+документы прежде чем начнётся обучение мы должны также построить
+лучшее общество для наших детей
+""",
+    "el": """
+η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο και τα παιδιά
+γυρίζουν σπίτι από το σχολείο μέσα από το πάρκο ενώ η γριά γάτα
+κοιμάται στον ζεστό απογευματινό ήλιο οι άνθρωποι αγοράζουν ψωμί και
+γάλα στην αγορά και μιλούν για τον καιρό και τα νέα της ημέρας ένα
+μεγάλο γλωσσικό μοντέλο μαθαίνει από κείμενα που συλλέγονται σε
+μεγάλη κλίμακα και το σύστημα πρέπει να καθαρίσει να φιλτράρει και να
+χωρίσει τα έγγραφα πριν αρχίσει η εκπαίδευση πρέπει επίσης να
+χτίσουμε μια καλύτερη κοινωνία για τα παιδιά μας
+""",
 }
 
 _TOP_K = 96
@@ -109,16 +185,18 @@ LANG_PROFILES: dict[str, dict[str, int]] = _build_profiles()
 PROFILE_NORMS: dict[str, int] = {
     lang: sum(c * c for c in p.values()) for lang, p in LANG_PROFILES.items()
 }
-_LANGS = sorted(LANG_PROFILES)  # de, en, es, fr
+_LANGS = sorted(LANG_PROFILES)  # de, el, en, es, fr, it, nl, pl, pt, ru, sv, tr
 
 
 def lang_id_trigram(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """``(id, cos_de, cos_en, cos_es, cos_fr, pred_lang)`` — trigram
-    cosine per language (round 6 decimals) and the argmax label
-    (alphabetical tie order, zero-trigram docs score 0.0 everywhere
-    and label 'de' — the same >=-chain as the stopword scorer)."""
+    """``(id, cos_<lang>..., pred_lang)`` — trigram cosine per
+    language (round 6 decimals, one column per profile in
+    alphabetical order) and the argmax label (alphabetical tie
+    order, zero-trigram docs score 0.0 everywhere and label the
+    first language — the same >=-chain as the stopword scorer,
+    generated over however many profiles are loaded)."""
     norm = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     )
@@ -179,13 +257,18 @@ def lang_id_trigram(
         for lang in _LANGS
     ]
     agg = scored.groupBy("id").agg(*per_lang)
-    de, en, es, fr = (F.col(f"cos_{lang}") for lang in _LANGS)
-    pred = (
-        F.when((de >= en) & (de >= es) & (de >= fr), "de")
-        .when((en >= es) & (en >= fr), "en")
-        .when(es >= fr, "es")
-        .otherwise("fr")
-    )
+    # >=-chain argmax over all profiles: lang_i wins iff its cosine
+    # is >= every LATER language's (alphabetical tie preference)
+    pred = None
+    for i, lang in enumerate(_LANGS[:-1]):
+        cond = None
+        for other in _LANGS[i + 1:]:
+            c = F.col(f"cos_{lang}") >= F.col(f"cos_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    pred = pred.otherwise(_LANGS[-1])
     # docs with zero trigrams never enter `counts`; re-attach them
     # from the source with all-zero scores (left anti shape)
     base = df.select(F.col(id_col).alias("id"))
@@ -196,5 +279,8 @@ def lang_id_trigram(
             for lang in _LANGS
         ],
     )
-    return out.select("id", "cos_de", "cos_en", "cos_es", "cos_fr",
-                      pred.alias("pred_lang"))
+    return out.select(
+        "id",
+        *[f"cos_{lang}" for lang in _LANGS],
+        pred.alias("pred_lang"),
+    )

@@ -754,6 +754,17 @@ def lang_id_trigram_sql(table: str, key: str, val: str) -> str:
         f"coalesce(cos_{lang}, CAST(0.0 AS DOUBLE)) as cos_{lang}"
         for lang in langs
     )
+    cos_list = ", ".join(f"cos_{lang}" for lang in langs)
+    # same >=-chain the Spark side generates: lang_i wins iff its
+    # cosine >= every later language's (alphabetical tie preference)
+    pred_chain = "\n       ".join(
+        "when "
+        + " and ".join(
+            f"cos_{lang} >= cos_{other}" for other in langs[i + 1:]
+        )
+        + f" then '{lang}'"
+        for i, lang in enumerate(langs[:-1])
+    )
     return f"""
 with base as (
   select {key} as id,
@@ -780,11 +791,9 @@ agg as (
 flat as (
   select base.id, {zero_cos}
   from base left join agg on base.id = agg.id)
-select id, cos_de, cos_en, cos_es, cos_fr,
-  case when cos_de >= cos_en and cos_de >= cos_es and cos_de >= cos_fr then 'de'
-       when cos_en >= cos_es and cos_en >= cos_fr then 'en'
-       when cos_es >= cos_fr then 'es'
-       else 'fr' end as pred_lang
+select id, {cos_list},
+  case {pred_chain}
+       else '{langs[-1]}' end as pred_lang
 from flat
 """
 

@@ -1,9 +1,10 @@
 """Trigram language ID: accuracy on crafted multilingual sentences
 NOT in the seed profiles — including the short / stopword-free docs
-the stopword heuristic mislabels (its round-5 verdict blind spot) —
-plus edge semantics (zero-trigram docs) and profile determinism.
-DuckDB hash parity is enforced by the driver gate
-(text_lang_id_trigram); these tests pin accuracy and contract."""
+the stopword heuristic mislabels (its round-5 verdict blind spot) and
+(round 7) eight more languages with two non-Latin scripts — plus edge
+semantics (zero-trigram docs) and profile determinism. DuckDB hash
+parity is enforced by the driver gate (text_lang_id_trigram); these
+tests pin accuracy and contract."""
 
 from pyspark.sql import functions as F
 
@@ -12,6 +13,8 @@ from jaccard_join_duckdb_spark.functions.langid import (
     PROFILE_NORMS,
     lang_id_trigram,
 )
+
+ALL_LANGS = sorted(LANG_PROFILES)
 
 # held-out sentences (none appear in the seed texts)
 FIXTURE = [
@@ -30,6 +33,24 @@ FIXTURE = [
     (8, "de", "geschwindigkeitsbegrenzung autobahn ausfahrt"),
     (9, "en", "weather forecast thursday morning"),
     (10, "es", "ayuntamiento estación ferrocarril"),
+    # round-7 languages, held-out sentences
+    (11, "it", "la scienza va avanti quando delle persone attente "
+               "misurano le cose con cura ogni giorno"),
+    (12, "pt", "a ciência avança quando pessoas cuidadosas medem as "
+               "coisas com atenção todos os dias"),
+    (13, "nl", "de wetenschap gaat vooruit wanneer zorgvuldige mensen "
+               "dingen nauwkeurig meten elke dag opnieuw"),
+    (14, "sv", "vetenskapen går framåt när noggranna människor mäter "
+               "saker varje dag under hela året"),
+    (15, "pl", "nauka idzie naprzód kiedy uważni ludzie dokładnie "
+               "mierzą rzeczy każdego dnia przez cały rok"),
+    (16, "tr", "dikkatli insanlar her gün bir şeyleri özenle "
+               "ölçtüğünde bilim ileriye doğru gider"),
+    # non-Latin scripts
+    (17, "ru", "наука движется вперёд когда внимательные люди "
+               "тщательно измеряют вещи каждый день"),
+    (18, "el", "η επιστήμη προχωρά μπροστά όταν προσεκτικοί άνθρωποι "
+               "μετρούν τα πράγματα κάθε μέρα"),
 ]
 
 
@@ -52,7 +73,7 @@ def test_beats_stopword_heuristic_on_stopword_free_docs(spark):
     trigram scorer gets them right."""
     from jaccard_join_duckdb_spark.functions.text import lang_id
 
-    short = [(i, lang, t) for i, lang, t in FIXTURE if i >= 8]
+    short = [(i, lang, t) for i, lang, t in FIXTURE if 8 <= i <= 10]
     df = spark.createDataFrame(
         [(i, t) for i, _, t in short], ["doc_id", "text"]
     )
@@ -78,17 +99,32 @@ def test_zero_trigram_docs_all_zero_scores(spark):
     assert len(rows) == 4  # every doc survives
     for i in range(4):
         r = rows[i]
-        assert (r["cos_de"], r["cos_en"], r["cos_es"], r["cos_fr"]) \
-            == (0.0, 0.0, 0.0, 0.0)
-        assert r["pred_lang"] == "de"  # alphabetical tie order
+        assert all(r[f"cos_{lang}"] == 0.0 for lang in ALL_LANGS)
+        assert r["pred_lang"] == ALL_LANGS[0]  # alphabetical tie order
 
 
 def test_profiles_deterministic_and_normed():
-    assert sorted(LANG_PROFILES) == ["de", "en", "es", "fr"]
+    assert ALL_LANGS == [
+        "de", "el", "en", "es", "fr", "it",
+        "nl", "pl", "pt", "ru", "sv", "tr",
+    ]
     for lang, prof in LANG_PROFILES.items():
         assert 32 <= len(prof) <= 96
         assert PROFILE_NORMS[lang] == sum(c * c for c in prof.values())
         assert all(isinstance(w, int) and w > 0 for w in prof.values())
+
+
+def test_non_latin_profiles_nearly_orthogonal():
+    """Cyrillic/Greek profiles share (almost) no trigrams with the
+    Latin-script ones — the script itself separates them, so a
+    Russian doc can never be confused with e.g. Polish."""
+    latin = [lang for lang in ALL_LANGS if lang not in ("ru", "el")]
+    for nl_lang in ("ru", "el"):
+        prof = set(LANG_PROFILES[nl_lang])
+        for lang in latin:
+            shared = prof & set(LANG_PROFILES[lang])
+            # spaces around short words can coincide; no real overlap
+            assert len(shared) <= 3, (nl_lang, lang, shared)
 
 
 def test_scores_are_cosines_in_unit_range(spark):
@@ -96,8 +132,8 @@ def test_scores_are_cosines_in_unit_range(spark):
         [(i, t) for i, _, t in FIXTURE], ["doc_id", "text"]
     )
     out = lang_id_trigram(df, "doc_id", "text")
+    cols = [f"cos_{lang}" for lang in ALL_LANGS]
     bad = out.filter(
-        (F.least("cos_de", "cos_en", "cos_es", "cos_fr") < 0)
-        | (F.greatest("cos_de", "cos_en", "cos_es", "cos_fr") > 1)
+        (F.least(*cols) < 0) | (F.greatest(*cols) > 1)
     ).count()
     assert bad == 0
