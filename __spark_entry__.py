@@ -1648,6 +1648,56 @@ def q_events_resample_7h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Non-toy PageRank gate graph (round-7 verdict #5): ~10k nodes where
+# convergence genuinely matters, vs domain_pagerank's 13-node toy.
+# Deterministic pure-function-of-id edges (reproducible in both
+# engines, no randomness): two multiplicative ring hops for mixing
+# plus a Zipf-ish hub family dst = src % 2^(src % 11) — power-of-two
+# moduli concentrate in-degree on the low ids with a roughly
+# geometric (power-law-binned) tail, the web-graph skew shape.
+# 5 iterations (reduced so the DuckDB recursive-CTE twin, which
+# materializes iterations x N rows, stays cheap) — enough rounds that
+# rank mass visibly propagates through the hub hierarchy.
+_ZIPF_N = 10_000
+
+
+def q_domain_pagerank_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators.graph.pagerank) over a
+    deterministic ~10k-node Zipf-skewed digraph: ring hops
+    (src*7+1, src*13+5 mod N) + hub edges src % 2^(src % 11). The
+    scaled-BIGINT recurrence is bit-identical to the recursive-CTE
+    twin regardless of partitioning (sf_dir unused — the graph is
+    synthetic by design, like the bench graphs)."""
+    from jaccard_join_duckdb_spark.operators.graph import pagerank
+
+    n = _ZIPF_N
+    s = F.col("src")
+    base = spark.range(n).select(F.col("id").alias("src"))
+    # F.shiftleft only takes a literal bit count — expr for the
+    # column-valued shift
+    hub_mod = F.expr(
+        "cast(shiftleft(1, cast(src % 11 as int)) as long)"
+    )
+    edges = (
+        base.select(s.alias("src"), ((s * 7 + 1) % n).alias("dst"))
+        .union(base.select(s, ((s * 13 + 5) % n).cast("long").alias("dst")))
+        .union(base.select(s, (s % hub_mod).cast("long").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+_ZIPF_EDGES_SQL = f"""
+select src, dst from (
+  select i as src, (i * 7 + 1) % {_ZIPF_N} as dst from range({_ZIPF_N}) t(i)
+  union all
+  select i, (i * 13 + 5) % {_ZIPF_N} from range({_ZIPF_N}) t(i)
+  union all
+  select i, i % (1 << (i % 11)) from range({_ZIPF_N}) t(i))
+where src != dst
+"""
+
+
 def q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-weighted Jaccard near-dup (operators.dedup.
     weighted_jaccard_near_duplicates): rare-token-weighted overlap in
@@ -1717,18 +1767,23 @@ select src, neighbor, jaccard, CAST(rn AS INTEGER) as rn from (
 
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
-# names; round 6 promotes every round-5 extra plus the five new
-# round-6 queries and keeps the most load-bearing round-5 names, so
-# the union of CORRECTNESS_r05 + CORRECTNESS_r06 covers the full
-# 80-name inventory (verified in tests/test_entry_contract.py).
+# names; round 6 promoted every round-5 extra plus the round-6
+# queries; round 8 rotates in jaccard_knn + events_resample_7h (the
+# two names awaiting their first driver rows, round-7 verdict #1) and
+# the new non-toy pagerank gate, demoting three round-7-signed
+# keepers (deterministic_shuffle, multimodal_audio,
+# boilerplate_lines — each holds a green CORRECTNESS_r07 row). The
+# union of CORRECTNESS_r05..r07 + this window covers the full
+# inventory (verified in tests/test_entry_contract.py).
 # Everything NOT in _GATED is still hash-verified every round by
 # ``tools/check_entry.py`` (merges both dicts) and pytest.
 _GATED = [
     # --- promoted from round-5 extras (first driver-signed rows) ---
     "stratified_sample",
-    "deterministic_shuffle",
-    "multimodal_audio",
-    "boilerplate_lines",
+    # --- first driver rows: round-8 rotation (round-7 verdict #1) ---
+    "jaccard_knn",
+    "events_resample_7h",
+    "domain_pagerank_zipf",
     "url_domains",
     "pack_sequences",
     "corpus_curate_clean",
@@ -1888,6 +1943,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_in_doc": q_dedup_lines_in_doc,
         "chunk_documents": q_chunk_documents,
         "domain_pagerank": q_domain_pagerank,
+        "domain_pagerank_zipf": q_domain_pagerank_zipf,
         "c4_rules": q_c4_rules,
         "split_sentences": q_split_sentences,
         "build_vocab": q_build_vocab,
@@ -2369,6 +2425,9 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "domain_pagerank": oracle_ext.domain_pagerank_sql(
             _LINKED_TEXT_SQL, "doc_id", "text", iterations=10
+        ),
+        "domain_pagerank_zipf": oracle_ext.pagerank_sql(
+            _ZIPF_EDGES_SQL, iterations=5
         ),
         "c4_rules": oracle_ext.c4_rules_sql(
             _C4_TEXT_SQL, "doc_id", "text"

@@ -57,9 +57,10 @@ def test_graded_inventory_fits_driver_window():
 # rotation into the driver window (each is already hash-verified every
 # round by tools/check_entry.py). Promote on the next window rotation
 # and remove from this list.
-# jaccard_knn landed after the final round-6 rotation filled the
-# window; it awaits round 7 (hash-verified now by check_entry+pytest).
-PENDING_FIRST_DRIVER_ROW: set[str] = {"jaccard_knn"}
+# Round 8: empty — jaccard_knn and events_resample_7h were rotated
+# into _GATED (round-7 verdict #1), and the new domain_pagerank_zipf
+# entered _GATED directly on declaration.
+PENDING_FIRST_DRIVER_ROW: set[str] = set()
 
 
 def test_rotation_union_covers_inventory():
