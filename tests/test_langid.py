@@ -51,6 +51,23 @@ FIXTURE = [
                "тщательно измеряют вещи каждый день"),
     (18, "el", "η επιστήμη προχωρά μπροστά όταν προσεκτικοί άνθρωποι "
                "μετρούν τα πράγματα κάθε μέρα"),
+    # round-8 confusable-pair stress (round-7 verdict #2): the SAME
+    # sentence rendered in each language of the historically-colliding
+    # pairs (de/nl, es/pt, fr/it) — near-parallel content is exactly
+    # the input class that broke the round-7 parallel-seed profiles,
+    # so these pin that the non-parallel seeds keep the pairs apart
+    # even when the documents themselves are parallel.
+    (19, "nl", "de kinderen spelen elke middag in het park bij het "
+               "water"),
+    (20, "de", "die kinder spielen jeden nachmittag im park am wasser"),
+    (21, "pt", "as crianças brincam todas as tardes no parque perto "
+               "da água"),
+    (22, "es", "los niños juegan todas las tardes en el parque cerca "
+               "del agua"),
+    (23, "fr", "les enfants jouent tous les après midi dans le parc "
+               "près de l'eau"),
+    (24, "it", "i bambini giocano ogni pomeriggio nel parco vicino "
+               "all'acqua"),
 ]
 
 
@@ -109,7 +126,7 @@ def test_profiles_deterministic_and_normed():
         "nl", "pl", "pt", "ru", "sv", "tr",
     ]
     for lang, prof in LANG_PROFILES.items():
-        assert 32 <= len(prof) <= 96
+        assert 96 <= len(prof) <= 192
         assert PROFILE_NORMS[lang] == sum(c * c for c in prof.values())
         assert all(isinstance(w, int) and w > 0 for w in prof.values())
 
