@@ -1584,7 +1584,13 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_total")
     )
-    return p.select(*cols).join(totals, "user_id")
+    # null-safe equi-join: DuckDB's GROUP BY retains a NULL user_id
+    # group, and both sides here would carry it — a plain inner join
+    # would silently drop that row (round-7 advisor)
+    pv = p.select(*cols)
+    return pv.join(
+        totals, pv["user_id"].eqNullSafe(totals["user_id"])
+    ).select(pv["user_id"], *[f"n_{t}" for t in _EVENT_TYPES], "n_total")
 
 
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

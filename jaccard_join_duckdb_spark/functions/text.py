@@ -1144,6 +1144,15 @@ def perplexity_buckets(
     LM train+score subtree — with its own vocab scalar attach — runs
     ONCE instead of once per consumer (round 7; previously the plan
     carried 6 scalar BNLJ attaches, now 1).
+
+    .. note:: the ``localCheckpoint`` makes THIS CALL EAGER: the full
+       LM train+score job fires when the frame is built, not when it
+       is first consumed, and the checkpointed blocks stay persisted
+       until the returned frame's RDD is garbage-collected. Call it
+       when you intend to execute the result — don't build the frame
+       speculatively. This is the deliberate trade for collapsing the
+       6 scalar-attach broadcasts to 1 (round-7 advisor, adjudicated
+       acceptable).
     """
     scored = lm_score(df, id_col, text_col, n=n, k=k).localCheckpoint()
     cuts = scored.filter(F.col("lm_logp").isNotNull()).agg(

@@ -2142,9 +2142,14 @@ def weighted_jaccard_near_duplicates(
             "union_w",
             F.col("l_total") + F.col("r_total") - F.col("shared_w"),
         )
+        # decimal(38,0) like the prefix-selection comparison above:
+        # on extreme corpora (very long docs of rare tokens, w up to
+        # ~n*W_SCALE) shared_w * W_SCALE can exceed BIGINT; the
+        # comparison is exact integers either way, and the oracle
+        # twin widens to HUGEINT for the same range (round-7 advisor)
         .filter(
-            F.col("shared_w") * F.lit(W_SCALE)
-            >= F.lit(t_scaled) * F.col("union_w")
+            F.col("shared_w").cast(dec) * F.lit(W_SCALE).cast(dec)
+            >= F.lit(t_scaled).cast(dec) * F.col("union_w").cast(dec)
         )
         .select(
             "l_id",

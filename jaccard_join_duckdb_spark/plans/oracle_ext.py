@@ -2359,5 +2359,6 @@ select l_id, r_id,
        round(CAST(shared_w AS DOUBLE) / CAST(union_w AS DOUBLE), 6)
          as wjaccard
 from scored
-where shared_w * {scale} >= {t_scaled} * union_w
+where CAST(shared_w AS HUGEINT) * {scale}
+      >= CAST({t_scaled} AS HUGEINT) * union_w
 """

@@ -287,6 +287,7 @@ def near_dedup_stream(
     text_col: str = "text",
     threshold: float = 0.9,
     trigger_available_now: bool = True,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming near-duplicate detection of an unbounded document
     ingest against a static corpus: each micro-batch is MinHash-LSH
@@ -307,6 +308,13 @@ def near_dedup_stream(
     ``sink(matches_df, epoch_id)`` receives each batch's
     ``(q_id, c_id, jaccard)``. Returns the started StreamingQuery
     (caller awaits/stops).
+
+    ``checkpoint_dir`` enables kill-and-resume: a restarted query on
+    the same checkpoint resumes from the committed source offsets, so
+    batches whose ``foreachBatch`` already committed are NOT
+    re-delivered to the sink (test-pinned in
+    ``tests/test_streaming.py`` — the exactly-once story for the
+    crawl-dedup ingest shape).
     """
     from ..operators.dedup import minhash_match
 
@@ -317,6 +325,8 @@ def near_dedup_stream(
         )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -93,7 +93,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    sections = []
+    sections = {}
     bad = []
     all_queries = {**e.queries(), **getattr(e, "extra_queries", dict)()}
     for name, fn in all_queries.items():
@@ -132,16 +132,40 @@ def main() -> int:
         print(f"  [{verdict}]{soft} {name}")
         if flags:
             bad.append(name)
-        sections.append(f"## {name}\n\n```\n{txt}\n```\n")
+        sections[name] = f"## {name}\n\n```\n{txt}\n```\n"
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    # Targeted runs MERGE into the existing PLANS.md instead of
+    # truncating it to the targeted sections (round-7 verdict #2: a
+    # targeted run committed a 6-query PLANS.md and silently dropped
+    # the other 94 plans). Sections are re-emitted in declared-query
+    # order; a fresh full run ignores the old file entirely.
+    if only and os.path.exists(out):
+        old = open(out).read()
+        for m in re.finditer(
+            r"^## (\S+)\n\n```\n(.*?)\n```\n", old, re.M | re.S
+        ):
+            sections.setdefault(m.group(1), m.group(0))
+    ordered = [sections[n] for n in all_queries if n in sections]
     with open(out, "w") as f:
         f.write(
             "# Physical plans (explain formatted) per entry query\n\n"
             "Generated by tools/explain_audit.py — regenerate after plan-"
-            "affecting changes.\n\n" + "\n".join(sections)
+            "affecting changes.\n\n" + "\n".join(ordered)
         )
     print(f"\nplans written to {out}")
+    # Completeness gate: the committed PLANS.md must hold ONE section
+    # per declared query — a truncated file now fails the audit (and
+    # round_checks.sh) instead of shipping silently.
+    missing = sorted(set(all_queries) - set(sections))
+    if missing:
+        print(
+            f"AUDIT FAIL: PLANS.md incomplete — {len(missing)} declared "
+            f"queries have no plan section (run FULL to backfill): "
+            + ", ".join(missing[:10])
+            + ("..." if len(missing) > 10 else "")
+        )
+        return 1
     print("AUDIT FAIL: " + ", ".join(bad) if bad else "AUDIT CLEAN")
     return 1 if bad else 0
 

@@ -81,6 +81,12 @@ QUALITY = [
      (1.0, 0.164, 0.282)),
     ("inner db50 ws t=0.2", "db50",  "inner", "ws", 0.2,
      (0.704, 0.910, 0.794)),
+    # inner cells the reference timed but did not publish quality
+    # for (ref = None -> rendered as em-dashes): completes the
+    # inner-join quality curve (round-6 brief #9 / round-7 #7)
+    ("inner db10 ws t=0.5", "db10",  "inner", "ws", 0.5, None),
+    ("inner db10 ws t=0.2", "db10",  "inner", "ws", 0.2, None),
+    ("inner db50 ws t=0.5", "db50",  "inner", "ws", 0.5, None),
 ]
 
 
@@ -154,6 +160,7 @@ def _duckdb_sql(dataset: str, mode: str, tok_name: str, t: float) -> str:
 def main() -> int:
     quick = "--quick" in sys.argv
     run_duckdb = "--no-duckdb" not in sys.argv
+    quality_only = "--quality-only" in sys.argv
     cell_filter = None
     if "--cell" in sys.argv:
         cell_filter = sys.argv[sys.argv.index("--cell") + 1]
@@ -176,6 +183,8 @@ def main() -> int:
     spark.catalog.clearCache()
 
     cells = CELLS
+    if quality_only:
+        cells = []
     if cell_filter:
         cells = [c for c in cells if cell_filter in c[0]]
     results = []
@@ -261,7 +270,9 @@ def main() -> int:
                 "cell": cell + " quality",
                 "pr": round(m["pr"], 3), "rc": round(m["rc"], 3),
                 "f1": round(m["fm"], 3),
-                "ref_pr": ref[0], "ref_rc": ref[1], "ref_f1": ref[2],
+                "ref_pr": ref[0] if ref else None,
+                "ref_rc": ref[1] if ref else None,
+                "ref_f1": ref[2] if ref else None,
             }
             print(json.dumps(rec), flush=True)
             qual.append(rec)
@@ -282,13 +293,24 @@ def main() -> int:
         )
     lines.append("")
     for r in qual:
+        ref_txt = (
+            f"ref pr {r['ref_pr']} rc {r['ref_rc']} f1 {r['ref_f1']}"
+            if r["ref_pr"] is not None
+            else "ref — (not published)"
+        )
         lines.append(
             f"| {r['cell']} | pr {r['pr']} rc {r['rc']} f1 {r['f1']} | "
-            f"ref pr {r['ref_pr']} rc {r['ref_rc']} f1 {r['ref_f1']} |"
+            f"{ref_txt} |"
         )
     table = "\n".join(lines)
-    with open(os.path.join(DATA, "RESULTS.md"), "w") as f:
-        f.write(table + "\n")
+    # only a FULL run may replace RESULTS.md — partial runs
+    # (--quick/--cell/--quality-only) print their table without
+    # truncating the committed full-grid evidence (the same
+    # partial-run-overwrites-the-file trap explain_audit.py had,
+    # round-7 verdict #2)
+    if not (quick or cell_filter or quality_only):
+        with open(os.path.join(DATA, "RESULTS.md"), "w") as f:
+            f.write(table + "\n")
     print(table)
 
     within2 = [r for r in results
