@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_lines_in_doc",
     "chunk_documents",
     "domain_pagerank",
+    "domain_pagerank_zipf",
     "c4_rules",
     "split_sentences",
     "build_vocab",
@@ -91,6 +92,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_pivot",
     "events_resample",
+    "events_resample_7h",
     "orders_rollup",
     "events_sessionize",
     "events_running_totals",
