@@ -268,6 +268,46 @@ _MAX_BITSET_VOCAB = 4096
 # rows probed by the cheap pre-gate before the exact vocabulary count
 _VOCAB_PROBE_ROWS = 50_000
 
+# Verification-side broadcast gate (round 8). The verification attach
+# tables are ONE ROW PER DOCUMENT (pos-ordered token arrays, bitsets,
+# or (id, len) pairs), while the candidate set they attach to is
+# quadratic-ish in corpus density — at low thresholds it dwarfs the
+# doc tables by orders of magnitude (refscale inner db100 t=0.3: 82M
+# candidate pairs vs 50K docs/side). A sort-merge attach shuffles and
+# SORTS every candidate row twice, spilling once a partition's sort
+# exceeds memory — measured 510 s → 78 s at that cell (identical
+# 16,505 output rows) when the doc tables broadcast instead: the
+# candidate stream never leaves its map side. Broadcast only when the
+# side's DOCUMENT COUNT is known small (one scalar count on the base
+# frame — the reference's own scalar-action discipline); at corpus
+# scale the gate leaves the shuffle join in place, which is then the
+# right plan (a 100 TB corpus' doc table cannot broadcast).
+_MAX_BROADCAST_VERIFY_DOCS = 250_000
+# The generic (bag-mode) verification is the reference's pairs x
+# tokens three-way join — its attach tables are TOKEN-level (one row
+# per (doc, token)), so they get their own, higher-row gate (~60 MB
+# serialized at the cap; the candidate stream the broadcast saves
+# from shuffling is orders of magnitude larger). Measured at the
+# refscale inner stress cell (db100 t=0.3, 82M candidates, 692K-row
+# token tables): 508 s → 119 s, identical rows. Token counts are
+# read off the PERSISTED tkdf (already materialized by the widow /
+# vocab scalar jobs) — when the caller opts out of persist, the count
+# would recompute the tokenize chain, so the gate is skipped and the
+# shuffle join kept.
+_MAX_BROADCAST_VERIFY_TOKENS = 2_000_000
+
+
+def _verify_attach(
+    per_doc: DataFrame, n_rows: int, cap: int = _MAX_BROADCAST_VERIFY_DOCS
+) -> DataFrame:
+    """A verification attach table, broadcast when its row count
+    clears the gate (doc-level tables use the default cap; the
+    generic path's token-level tables pass
+    _MAX_BROADCAST_VERIFY_TOKENS)."""
+    if 0 < n_rows <= cap:
+        return F.broadcast(per_doc)
+    return per_doc
+
 
 def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
     """tokens → ``(id, len, token, df, tid, pos, l_id)`` where ``tid``
@@ -514,6 +554,9 @@ def jaccard_self_join(
         f"{l_out_prefix}{key_attr}",
         f"{r_out_prefix}{key_attr}",
     )
+    # doc count for the verification-side broadcast gate (one scalar
+    # on the base frame; see _MAX_BROADCAST_VERIFY_DOCS)
+    n_docs = df.count()
 
     if n_words:
         # Bitset verification: within a doc pos is increasing in tid,
@@ -534,19 +577,19 @@ def jaccard_self_join(
         docbits = _doc_bitsets(tkdf, n_words)
         return (
             cand.join(
-                docbits.select(
+                _verify_attach(docbits.select(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ),
+                ), n_docs),
                 "lid",
             )
             .join(
-                docbits.select(
+                _verify_attach(docbits.select(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ),
+                ), n_docs),
                 "rid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -594,19 +637,19 @@ def jaccard_self_join(
         arrs = _pos_token_arrays(tkdf)
         return (
             cand.join(
-                arrs.select(
+                _verify_attach(arrs.select(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     F.col("arr").alias("la"),
-                ),
+                ), n_docs),
                 "lid",
             )
             .join(
-                arrs.select(
+                _verify_attach(arrs.select(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("ra"),
-                ),
+                ), n_docs),
                 "rid",
             )
             .filter(
@@ -645,8 +688,12 @@ def jaccard_self_join(
     # three-way join, preceded by the same sound candidate pre-filter.
     lens = tkdf.select("id", "len").distinct()
     cand = (
-        cand.join(lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")), "lid")
-        .join(lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
+        cand.join(_verify_attach(
+            lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")),
+            n_docs), "lid")
+        .join(_verify_attach(
+            lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
+            n_docs), "rid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1
@@ -659,12 +706,18 @@ def jaccard_self_join(
         )
         .drop("_ll", "_rl")
     )
+    # token-level attach gate: counting recomputes tokenize when not
+    # persisted, so only a cached tkdf pays the scalar
+    n_tok = tkdf.count() if persist else 0
     Lv = tkdf.alias("VL")
     Rv = tkdf.alias("VR")
     matches = (
-        cand.join(Lv, F.col("lid") == F.col("VL.id"))
+        cand.join(
+            _verify_attach(Lv, n_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            F.col("lid") == F.col("VL.id"),
+        )
         .join(
-            Rv,
+            _verify_attach(Rv, n_tok, _MAX_BROADCAST_VERIFY_TOKENS),
             (F.col("rid") == F.col("VR.id"))
             & (F.col("VL.token") == F.col("VR.token"))
             & (F.col("VL.pos") >= F.col("lmaxpos"))
@@ -855,6 +908,10 @@ def jaccard_inner_join(
     r_pfx = _indexing_prefix(r_tkdf)
     l_widows = l_pfx.filter(F.col("df") == widow_placeholder).count()
     r_widows = r_pfx.filter(F.col("df") == widow_placeholder).count()
+    # per-side doc counts for the verification-side broadcast gate
+    # (two scalar base-frame counts; see _MAX_BROADCAST_VERIFY_DOCS)
+    n_l_docs = l_df.count()
+    n_r_docs = r_df.count()
 
     # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
     # S = probing side (rebuilt with the longer t prefix).
@@ -862,10 +919,12 @@ def jaccard_inner_join(
         R_tkdf, S_tkdf = l_tkdf, r_tkdf
         R_pfx = l_pfx
         r_prefix_out = (l_out_prefix, r_out_prefix)
+        n_R_docs, n_S_docs = n_l_docs, n_r_docs
     else:
         R_tkdf, S_tkdf = r_tkdf, l_tkdf
         R_pfx = r_pfx
         r_prefix_out = (r_out_prefix, l_out_prefix)
+        n_R_docs, n_S_docs = n_r_docs, n_l_docs
     S_pfx = S_tkdf.filter(_probing_prefix_cond(F.col("len"), F.col("pos"), t))
 
     # Candidates (jaccard_join.py:364-384): two-sided length filter +
@@ -900,19 +959,19 @@ def jaccard_inner_join(
         s_bits = _doc_bitsets(S_tkdf, n_words)
         return (
             cand.join(
-                r_bits.select(
+                _verify_attach(r_bits.select(
                     F.col("id").alias("rid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ),
+                ), n_R_docs),
                 "rid",
             )
             .join(
-                s_bits.select(
+                _verify_attach(s_bits.select(
                     F.col("id").alias("sid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ),
+                ), n_S_docs),
                 "sid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -947,19 +1006,19 @@ def jaccard_inner_join(
         s_arrs = _pos_token_arrays(S_tkdf)
         return (
             cand.join(
-                r_arrs.select(
+                _verify_attach(r_arrs.select(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("rarr"),
-                ),
+                ), n_R_docs),
                 "rid",
             )
             .join(
-                s_arrs.select(
+                _verify_attach(s_arrs.select(
                     F.col("id").alias("sid"),
                     F.col("len").alias("slen"),
                     F.col("arr").alias("sarr"),
-                ),
+                ), n_S_docs),
                 "sid",
             )
             .filter(
@@ -997,8 +1056,12 @@ def jaccard_inner_join(
     r_lens = R_tkdf.select("id", "len").distinct()
     s_lens = S_tkdf.select("id", "len").distinct()
     cand = (
-        cand.join(r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")), "rid")
-        .join(s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")), "sid")
+        cand.join(_verify_attach(
+            r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
+            n_R_docs), "rid")
+        .join(_verify_attach(
+            s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")),
+            n_S_docs), "sid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1
@@ -1011,12 +1074,19 @@ def jaccard_inner_join(
         )
         .drop("_rl", "_sl")
     )
+    # token-level attach gate (see _MAX_BROADCAST_VERIFY_TOKENS):
+    # counts are cached-tkdf scans; skipped when not persisted
+    n_R_tok = R_tkdf.count() if persist else 0
+    n_S_tok = S_tkdf.count() if persist else 0
     Rv = R_tkdf.alias("VR")
     Sv = S_tkdf.alias("VS")
     return (
-        cand.join(Rv, F.col("rid") == F.col("VR.id"))
+        cand.join(
+            _verify_attach(Rv, n_R_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            F.col("rid") == F.col("VR.id"),
+        )
         .join(
-            Sv,
+            _verify_attach(Sv, n_S_tok, _MAX_BROADCAST_VERIFY_TOKENS),
             (F.col("sid") == F.col("VS.id"))
             & (F.col("VR.token") == F.col("VS.token"))
             & (F.col("VR.pos") >= F.col("rmaxpos"))

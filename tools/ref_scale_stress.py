@@ -22,6 +22,11 @@ from tools.ref_scale_bench import DATA, _build, _duckdb_sql  # noqa: E402
 CELLS = [
     ("db100 self ws t=0.3", "db100", "self", "ws", 0.3),
     ("db100 self ws t=0.2", "db100", "self", "ws", 0.2),
+    # round 8: the INNER path at stress scale too — 50K x 50K halves
+    # at thresholds past the published grid (the reference's largest
+    # published inner cell is db50 t=0.3 = 32.6 s)
+    ("inner db100 ws t=0.3", "db100", "inner", "ws", 0.3),
+    ("inner db100 ws t=0.2", "db100", "inner", "ws", 0.2),
 ]
 
 
