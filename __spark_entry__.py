@@ -11,6 +11,7 @@ the driver's row-count + schema + value-hash comparison passes.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1830,7 +1831,7 @@ _GATED = [
     "events_pivot",
     "dedup_weighted",
     # --- new round-6 operators ---
-    "pack_stats_bpe",       # rows-only gate (pandas-UDF BPE kernel)
+    "pack_stats_bpe",       # hash gate via pre-encoded md5 fixture (r9)
     "text_lang_id_trigram",
     "dedup_canonical",
     "text_lm_score",
@@ -2135,6 +2136,19 @@ where levenshtein(l.c_name, r.c_name) <= 1
         ),
         "pack_stats": oracle_ext.packing_stats_sql(
             "documents", "doc_id", "text",
+            context_len=2048, bucket_width=16,
+        ),
+        # BPE counts come from a pre-encoded fixture keyed on
+        # md5(text) (tools/gen_bpe_fixture.py; pure-Python encoder
+        # pinned vs the Spark kernel in tests/test_bpe.py) — the
+        # packing aggregation is packing_stats' SQL verbatim.
+        "pack_stats_bpe": oracle_ext.bpe_packing_stats_sql(
+            "documents", "doc_id", "text",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "jaccard_join_duckdb_spark", "data",
+                "bpe_counts_md5.parquet",
+            ),
             context_len=2048, bucket_width=16,
         ),
         "text_redact_pii": oracle_ext.redact_pii_sql(

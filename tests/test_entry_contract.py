@@ -7,13 +7,10 @@ import inspect
 
 # Gated queries deliberately WITHOUT a DuckDB oracle (the driver
 # records its weaker rows-only check): each must be non-SQL-
-# expressible and carry its own pinning tests.
-ROWS_ONLY = {
-    # BPE encode is an iterative-merge pandas UDF; counts are pinned
-    # token-for-token vs the pure-Python encoder in tests/test_bpe.py
-    # and the packing arithmetic shares pack_stats' hash-gated model.
-    "pack_stats_bpe",
-}
+# expressible and carry its own pinning tests. Empty since round 9 —
+# pack_stats_bpe (the last member) gained a hash-strong oracle via a
+# pre-encoded md5(text)→count fixture (tools/gen_bpe_fixture.py).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():

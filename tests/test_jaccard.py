@@ -269,3 +269,95 @@ def test_empty_and_degenerate_corpora(spark):
 
     solo = spark.createDataFrame([(1, "only doc here")], "id long, val string")
     assert jaccard_self_join(solo, "id", "val", tok, 0.5).count() == 0
+
+
+def test_verify_attach_gate_unit(documents, monkeypatch):
+    """_verify_attach broadcast-gate semantics (round 9, VERDICT r8
+    next #3): above the cap the attach frame is returned UNHINTED
+    (same object — the shuffle join stays, the right plan at corpus
+    scale); caps resolve at call time so this very patching works; the
+    doc-count probe is limit-bounded, not a full scan; and the bitset
+    cap is width-aware (ADVICE r8 #1)."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    # identity above the cap, hint below it
+    assert J._verify_attach(documents, 6, 5) is documents
+    assert J._verify_attach(documents, 0, 5) is documents  # unknown count
+    assert J._verify_attach(documents, 5, 5) is not documents
+    # call-time cap resolution (default + token-level)
+    monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 0)
+    monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_TOKENS", 0)
+    assert J._verify_attach(documents, 1) is documents
+    assert J._verify_attach(documents, 1, token_level=True) is documents
+    # the probe stops at cap+1 rows instead of counting the frame
+    monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 3)
+    assert documents.count() > 4
+    assert J._doc_count_probe(documents) == 4
+    # width-aware bitset cap: 1-word tables keep the row cap, 64-word
+    # (4096-bit) tables shrink to the byte budget / 528 B rows
+    monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 250_000)
+    assert J._bitset_verify_cap(1) == 250_000
+    assert J._bitset_verify_cap(64) == (64 << 20) // (8 * 66)
+    assert J._bitset_verify_cap(64) < J._bitset_verify_cap(4)
+
+
+@pytest.mark.parametrize("tok", ["ws", "ws_fast", "qgram"])
+def test_verify_attach_above_gate_fallback(documents, monkeypatch, tok):
+    """Force the doc/token counts past the broadcast caps and pin the
+    fallback: the verification attach joins revert to shuffle joins
+    (strictly fewer BroadcastHashJoin nodes, strictly more
+    SortMergeJoin nodes in the static plan) and the pair set is
+    unchanged — the gate is a pure physical-plan decision. Covers all
+    three verification paths: generic pairs×tokens (ws), compiled
+    array-intersect (ws_fast), bitset (qgram).
+
+    autoBroadcastJoinThreshold is disabled for the comparison: that is
+    the 100 TB regime (no side clears the stats threshold), where the
+    gate's hint is the ONLY broadcast source — at test scale the
+    stats-based planner would otherwise broadcast everything and mask
+    the gate entirely."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    spark = documents.sparkSession
+    tokenizer = {
+        "ws": WhitespaceTokzr(),
+        "ws_fast": WhitespaceTokzr(distinct_rows=True),
+        "qgram": QGramsTokzr(3),
+    }[tok]
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def attach_joins(plan, node):
+        """Plan lines where ``node`` joins on an attach key — the
+        verification attaches are the only joins keyed on lid/rid
+        (whole-plan broadcast counts would be polluted by the bitset
+        path's tdim broadcast and by cross-test cache aliasing of the
+        persisted token frames)."""
+        return [
+            ln
+            for ln in plan.splitlines()
+            if node in ln and ("[lid#" in ln or "[rid#" in ln)
+        ]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = jaccard_self_join(documents, "doc_id", "text", tokenizer, 0.5)
+        gated_plan = plan_of(gated)
+        gated_pairs = pairs(gated)
+
+        monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 0)
+        monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_TOKENS", 0)
+        off = jaccard_self_join(documents, "doc_id", "text", tokenizer, 0.5)
+        off_plan = plan_of(off)
+
+        assert pairs(off) == gated_pairs
+        # gate on: every attach join is broadcast, none shuffles
+        assert attach_joins(gated_plan, "BroadcastHashJoin")
+        assert not attach_joins(gated_plan, "SortMergeJoin")
+        # gate declined: every attach join stays sort-merge
+        assert attach_joins(off_plan, "SortMergeJoin")
+        assert not attach_joins(off_plan, "BroadcastHashJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
