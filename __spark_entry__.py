@@ -1775,13 +1775,17 @@ select src, neighbor, jaccard, CAST(rn AS INTEGER) as rn from (
 # declared query earns a driver-signed CORRECTNESS row (round-5
 # verdict #2): round 5 graded the 50 reference-surface-plus-core
 # names; round 6 promoted every round-5 extra plus the round-6
-# queries; round 8 rotates in jaccard_knn + events_resample_7h (the
-# two names awaiting their first driver rows, round-7 verdict #1) and
-# the new non-toy pagerank gate, demoting three round-7-signed
-# keepers (deterministic_shuffle, multimodal_audio,
-# boilerplate_lines — each holds a green CORRECTNESS_r07 row). The
-# union of CORRECTNESS_r05..r07 + this window covers the full
-# inventory (verified in tests/test_entry_contract.py).
+# queries; round 8 rotated in jaccard_knn + events_resample_7h + the
+# non-toy pagerank gate. Round 9 (round-8 verdict #5) re-promotes the
+# three round-8 demotions (deterministic_shuffle, multimodal_audio,
+# boilerplate_lines — newest rows r7, the stalest recently-graded
+# names) plus seven r5-era extras whose newest driver rows date from
+# the round-5 full grade (jaccard_self_qgram — re-signing the bitset
+# path right after the round-9 broadcast-gate change — dedup_exact,
+# dedup_minhash, events_sessionize, sql_corr_subquery, ann_ivf_topk,
+# text_bm25_topk), demoting ten round-8-signed variants whose twins
+# stay in the window. The union of CORRECTNESS_r05..r08 + this window
+# covers the full inventory (verified in tests/test_entry_contract.py).
 # Everything NOT in _GATED is still hash-verified every round by
 # ``tools/check_entry.py`` (merges both dicts) and pytest.
 _GATED = [
@@ -1789,29 +1793,34 @@ _GATED = [
     "stratified_sample",
     # --- first driver rows: round-8 rotation (round-7 verdict #1) ---
     "jaccard_knn",
-    "events_resample_7h",
     "domain_pagerank_zipf",
-    "url_domains",
     "pack_sequences",
-    "corpus_curate_clean",
     "jaccard_inner_ws_scored",
     "edit_distance_link",
     "text_rarity",
     "winnow_fingerprints",
     "winnow_pairs",
     "phrase_search",
-    "phrase_search_many",
     "ngram_counts",
     "contamination_report",
-    "winnow_passages",
     "embedding_stats",
-    "jaccard_inner_ws_brute",
     "corpus_curate",
-    "jaccard_self_ws_bag_brute",
     "simhash_fingerprints",
     "dedup_embed_cosine_lsh",
     "ann_lsh_topk",
     "ann_pandas_topk",
+    # --- round-9 rotation: r7-signed keepers re-promoted + r5-era
+    # extras re-signed (round-8 verdict #5) ---
+    "deterministic_shuffle",
+    "multimodal_audio",
+    "boilerplate_lines",
+    "jaccard_self_qgram",
+    "dedup_exact",
+    "dedup_minhash",
+    "events_sessionize",
+    "sql_corr_subquery",
+    "ann_ivf_topk",
+    "text_bm25_topk",
     # --- round-5-graded keepers (the two flagship reference rows;
     # every other r5-graded name is hash-verified by check_entry and
     # holds its driver row in CORRECTNESS_r05) ---
@@ -1821,7 +1830,6 @@ _GATED = [
     "text_normalize",
     "dedup_lines_in_doc",
     "chunk_documents",
-    "split_sentences",
     "c4_rules",
     "build_vocab",
     "corpus_diff",
@@ -1835,9 +1843,7 @@ _GATED = [
     "text_lang_id_trigram",
     "dedup_canonical",
     "text_lm_score",
-    "text_lm_score_backoff",
     "dup_spans",
-    "dup_span_stats",
     "text_ppl_buckets",
     "dsir_weights",
     "gopher_rules",

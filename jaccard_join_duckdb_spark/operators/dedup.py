@@ -1964,6 +1964,49 @@ def duplicated_span_stats(
 # integer weight scale for the rational IDF (see weighted_jaccard_*)
 W_SCALE = 10**6
 
+# Rational probabilistic-IDF weight (BM25's idf shape, floor-scaled to
+# integers — see weighted_jaccard_near_duplicates). ONE definition
+# shared by the operator and tools/weighted_bench.py so the measured
+# growth gate can never drift from what the operator actually selects
+# (round-8 advisor #3). ``n`` is a SQL expression for the corpus size
+# (a column name or an integer literal).
+W_EXPR = "((2 * {n} - 2 * df + 1) * {scale}) div (2 * df + 1)"
+
+
+def weighted_prefix_tokens(
+    cand_toks: DataFrame, totals: DataFrame, t_scaled: int
+) -> DataFrame:
+    """``(id, token)`` prefix rows of the weighted-PPJoin filter: the
+    minimal leading set under descending-weight (rarest-first) order
+    whose remaining suffix weight still reaches ``t * W(doc)`` —
+    lossless (see weighted_jaccard_near_duplicates docstring).
+    ``cand_toks`` must carry ``(id, token, w)``; ``totals``
+    ``(id, wtotal)``. decimal(38,0) keeps the scaled comparison exact
+    with no BIGINT-overflow risk. Shared verbatim by the operator and
+    the growth-gate bench (tools/weighted_bench.py)."""
+    w_ord = Window.partitionBy("id").orderBy(
+        F.col("w").desc(), F.col("token").asc()
+    )
+    w_all = Window.partitionBy("id")
+    dec = "decimal(38,0)"
+    with_tot = cand_toks.join(totals, "id").select(
+        "id",
+        "token",
+        "w",
+        "wtotal",
+        F.sum("w")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("w").over(w_all).alias("cand_total"),
+    )
+    return with_tot.filter(
+        (
+            (F.col("cand_total") - F.col("cum") + F.col("w")).cast(dec)
+            * F.lit(W_SCALE).cast(dec)
+        )
+        >= F.lit(t_scaled).cast(dec) * F.col("wtotal").cast(dec)
+    ).select("id", "token")
+
 
 def weighted_jaccard_near_duplicates(
     df: DataFrame,
@@ -2039,9 +2082,7 @@ def weighted_jaccard_near_duplicates(
             "token",
             "df",
             "n",
-            F.expr(
-                f"((2 * n - 2 * df + 1) * {W_SCALE}) div (2 * df + 1)"
-            ).alias("w"),
+            F.expr(W_EXPR.format(n="n", scale=W_SCALE)).alias("w"),
         )
     )
     tw = toks.join(weighted, "token").select(
@@ -2065,35 +2106,11 @@ def weighted_jaccard_near_duplicates(
     # order candidate tokens rarest-first; token i is in the prefix
     # iff the candidate weight remaining AT it (suffix incl. itself)
     # still reaches t * W_full(doc) — once the remainder drops below
-    # the bound, no suffix-only overlap can qualify. decimal(38,0)
-    # keeps the scaled comparison exact with no BIGINT-overflow risk
-    # (prefix selection is Spark-internal; only the RESULT must match
-    # the oracle, so engine-identical arithmetic isn't needed here).
-    w_ord = Window.partitionBy("id").orderBy(
-        F.col("w").desc(), F.col("token").asc()
-    )
-    w_all = Window.partitionBy("id")
+    # the bound, no suffix-only overlap can qualify. Selection frame
+    # shared with the growth-gate bench via weighted_prefix_tokens.
     dec = "decimal(38,0)"
-    with_tot = cand_toks.join(totals, "id").select(
-        "id",
-        "token",
-        "w",
-        "wtotal",
-        F.sum("w")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("w").over(w_all).alias("cand_total"),
-    )
-    prefix = (
-        with_tot.filter(
-            (
-                (F.col("cand_total") - F.col("cum") + F.col("w")).cast(dec)
-                * F.lit(W_SCALE).cast(dec)
-            )
-            >= F.lit(t_scaled).cast(dec) * F.col("wtotal").cast(dec)
-        )
-        .select("id", "token")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = weighted_prefix_tokens(cand_toks, totals, t_scaled).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     prefix.count()  # materialize before the self-join's two readers
     cands = (

@@ -277,11 +277,13 @@ _VOCAB_PROBE_ROWS = 50_000
 # SORTS every candidate row twice, spilling once a partition's sort
 # exceeds memory — measured 510 s → 78 s at that cell (identical
 # 16,505 output rows) when the doc tables broadcast instead: the
-# candidate stream never leaves its map side. Broadcast only when the
-# side's DOCUMENT COUNT is known small (one scalar count on the base
-# frame — the reference's own scalar-action discipline); at corpus
-# scale the gate leaves the shuffle join in place, which is then the
-# right plan (a 100 TB corpus' doc table cannot broadcast).
+# candidate stream never leaves its map side. Broadcast only when
+# BOTH gates clear (round 9): the side's row count fits the size cap
+# below, AND the pre-join candidate bound says the broadcast pays
+# (see _BROADCAST_VERIFY_MIN_RATIO — on small/high-threshold corpora
+# the hint was measured a net LOSS). At corpus scale the gates leave
+# the shuffle join in place, which is then the right plan (a 100 TB
+# corpus' doc table cannot broadcast).
 _MAX_BROADCAST_VERIFY_DOCS = 250_000
 # The generic (bag-mode) verification is the reference's pairs x
 # tokens three-way join — its attach tables are TOKEN-level (one row
@@ -289,11 +291,10 @@ _MAX_BROADCAST_VERIFY_DOCS = 250_000
 # serialized at the cap; the candidate stream the broadcast saves
 # from shuffling is orders of magnitude larger). Measured at the
 # refscale inner stress cell (db100 t=0.3, 82M candidates, 692K-row
-# token tables): 508 s → 119 s, identical rows. Token counts are
-# read off the PERSISTED tkdf (already materialized by the widow /
-# vocab scalar jobs) — when the caller opts out of persist, the count
-# would recompute the tokenize chain, so the gate is skipped and the
-# shuffle join kept.
+# token tables): 508 s → 119 s, identical rows. Token counts come out
+# of the fused gate-stats aggregate over the PERSISTED tkdf — when
+# the caller opts out of persist, the scalars would recompute the
+# tokenize chain, so the gate is skipped and the shuffle join kept.
 _MAX_BROADCAST_VERIFY_TOKENS = 2_000_000
 # Serialized-size budget for ONE broadcast attach table. The row-count
 # caps above assume token-level widths (~30 B/row → ~60 MB at 2M rows);
@@ -315,6 +316,65 @@ def _doc_count_probe(df: DataFrame) -> int:
     return df.limit(_MAX_BROADCAST_VERIFY_DOCS + 1).count()
 
 
+# Benefit gate (round 9). Broadcasting an attach table costs one
+# collect+serialize+rebroadcast of the whole table per join; the win
+# that motivated the gate (r8 stress cells: inner db100 t=0.3,
+# 510 s → 108 s, rows bit-identical) comes specifically from keeping
+# the candidate stream OUT of a spilling sort-merge — when the sorted
+# candidate partitions fit in memory, a 32-core sort-merge of tens of
+# millions of rows is fast and the hint machinery is measured pure
+# overhead (interleaved A/B, BENCHMARKS.md round 9: +0.3–0.5 s on
+# 2 s cells, up to ~8 s LOST at db100 t=0.4 where the 1.4M-row token
+# broadcasts beat nothing). The candidate stream's size has an exact
+# pre-join upper bound — sum over tokens of (indexing-prefix df ×
+# probing-prefix df), one map-side-combined aggregate over the
+# persisted token table — and the spill regime starts around
+# bound/attach-rows ≈ 90+ (db100 t=0.3 self: 93, win; stress inner
+# t=0.3: ~118, win 4.7×; db100 t=0.4: 27, loss; db50 t=0.3: 47,
+# within noise either way). Broadcast only above this ratio.
+_BROADCAST_VERIFY_MIN_RATIO = 60
+
+# The gate-stats aggregate itself costs a fixed ~1.5–2.5 s job (a
+# serialized materialization pass over tkdf), which small corpora can
+# never earn back — their candidate streams cannot reach the spill
+# regime at all (25K docs × ~30-token prefixes tops out well under
+# memory). A limit-bounded probe (cheap at ANY scale) decides whether
+# the stats job is worth paying; below the floor no verification
+# attach broadcasts, which is the measured-best plan there.
+_GATE_STATS_MIN_DOCS = 25_000
+
+
+def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int]:
+    """``(n_docs, n_tok, cand_bound)`` for the self-join broadcast
+    gate, in ONE aggregate job over the persisted token table (no
+    separate doc count / token count jobs): per token, ``a`` rows in
+    the indexing prefix × ``b`` rows in the probing prefix bounds the
+    candidate equi-join's output; ``pos == 1`` rows count documents
+    exactly (every tokenized doc has one)."""
+    idx = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
+    prb = _probing_prefix_cond(F.col("len"), F.col("pos"), t)
+    row = (
+        tkdf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(idx.cast("long")).alias("a"),
+            F.sum(prb.cast("long")).alias("b"),
+            F.sum((F.col("pos") == 1).cast("long")).alias("d"),
+        )
+        .agg(
+            F.sum("d").alias("n_docs"),
+            F.sum("c").alias("n_tok"),
+            F.sum(F.col("a") * F.col("b")).alias("bound"),
+        )
+        .first()
+    )
+    return (
+        int(row["n_docs"] or 0),
+        int(row["n_tok"] or 0),
+        int(row["bound"] or 0),
+    )
+
+
 def _bitset_verify_cap(n_words: int) -> int:
     """Width-aware doc cap for the bitset attach tables: each row is
     ``id + len + n_words`` longs, so the cap is the byte budget divided
@@ -331,22 +391,28 @@ def _verify_attach(
     cap: int | None = None,
     *,
     token_level: bool = False,
+    bound: int | None = None,
 ) -> DataFrame:
-    """A verification attach table, broadcast when its row count
-    clears the gate. Doc-level tables use the module default cap
-    (bitset callers pass the width-aware ``_bitset_verify_cap``);
-    token-level tables resolve ``_MAX_BROADCAST_VERIFY_TOKENS``. Caps
-    are read at CALL time so tests can pin the above-gate fallback by
-    patching the module attributes."""
+    """A verification attach table, broadcast when BOTH gates clear:
+    the row count fits the size cap (doc-level tables use the module
+    default; bitset callers pass the width-aware ``_bitset_verify_cap``;
+    token-level tables resolve ``_MAX_BROADCAST_VERIFY_TOKENS``) AND
+    the candidate-stream bound says the broadcast pays
+    (``bound >= _BROADCAST_VERIFY_MIN_RATIO * n_rows`` — see the
+    calibration note at _BROADCAST_VERIFY_MIN_RATIO). Caps and ratio
+    are read at CALL time so tests can pin both fallbacks by patching
+    the module attributes."""
     if cap is None:
         cap = (
             _MAX_BROADCAST_VERIFY_TOKENS
             if token_level
             else _MAX_BROADCAST_VERIFY_DOCS
         )
-    if 0 < n_rows <= cap:
-        return F.broadcast(per_doc)
-    return per_doc
+    if not 0 < n_rows <= cap:
+        return per_doc
+    if bound is not None and bound < _BROADCAST_VERIFY_MIN_RATIO * n_rows:
+        return per_doc
+    return F.broadcast(per_doc)
 
 
 def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
@@ -594,10 +660,22 @@ def jaccard_self_join(
         f"{l_out_prefix}{key_attr}",
         f"{r_out_prefix}{key_attr}",
     )
-    # doc count for the verification-side broadcast gate — a
-    # limit-bounded probe, NOT a full count: corpus-scale inputs stop
-    # after cap+1 rows (see _doc_count_probe)
-    n_docs = _doc_count_probe(df)
+    # Broadcast-gate scalars: a bounded probe first — corpus-scale
+    # inputs stop scanning at cap+1 rows (their attach tables cannot
+    # broadcast anyway), small inputs stop under the stats floor
+    # (their candidate streams cannot reach the spill regime, and the
+    # stats job would cost more than any hint could save) — then ONE
+    # fused aggregate on the persisted tkdf for (n_docs, n_tok,
+    # candidate bound). An unpersisted tkdf would recompute the
+    # tokenize chain per scalar, so the gate is skipped (shuffle
+    # joins kept, correct at every scale) when persist=False.
+    n_docs = n_tok = bound = 0
+    if persist and (
+        _GATE_STATS_MIN_DOCS
+        <= _doc_count_probe(df)
+        <= _MAX_BROADCAST_VERIFY_DOCS
+    ):
+        n_docs, n_tok, bound = _self_gate_stats(tkdf, t)
 
     if n_words:
         # Bitset verification: within a doc pos is increasing in tid,
@@ -623,7 +701,7 @@ def jaccard_self_join(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_docs, bit_cap),
+                ), n_docs, bit_cap, bound=bound),
                 "lid",
             )
             .join(
@@ -631,7 +709,7 @@ def jaccard_self_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_docs, bit_cap),
+                ), n_docs, bit_cap, bound=bound),
                 "rid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -683,7 +761,7 @@ def jaccard_self_join(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     F.col("arr").alias("la"),
-                ), n_docs),
+                ), n_docs, bound=bound),
                 "lid",
             )
             .join(
@@ -691,7 +769,7 @@ def jaccard_self_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("ra"),
-                ), n_docs),
+                ), n_docs, bound=bound),
                 "rid",
             )
             .filter(
@@ -732,10 +810,10 @@ def jaccard_self_join(
     cand = (
         cand.join(_verify_attach(
             lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")),
-            n_docs), "lid")
+            n_docs, bound=bound), "lid")
         .join(_verify_attach(
             lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_docs), "rid")
+            n_docs, bound=bound), "rid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1
@@ -748,18 +826,17 @@ def jaccard_self_join(
         )
         .drop("_ll", "_rl")
     )
-    # token-level attach gate: counting recomputes tokenize when not
-    # persisted, so only a cached tkdf pays the scalar
-    n_tok = tkdf.count() if persist else 0
+    # token-level attach gate: n_tok came out of the same fused
+    # scalar job as n_docs/bound (zero when not persisted — declines)
     Lv = tkdf.alias("VL")
     Rv = tkdf.alias("VR")
     matches = (
         cand.join(
-            _verify_attach(Lv, n_tok, token_level=True),
+            _verify_attach(Lv, n_tok, token_level=True, bound=bound),
             F.col("lid") == F.col("VL.id"),
         )
         .join(
-            _verify_attach(Rv, n_tok, token_level=True),
+            _verify_attach(Rv, n_tok, token_level=True, bound=bound),
             (F.col("rid") == F.col("VR.id"))
             & (F.col("VL.token") == F.col("VR.token"))
             & (F.col("VL.pos") >= F.col("lmaxpos"))
@@ -948,12 +1025,26 @@ def jaccard_inner_join(
 
     l_pfx = _indexing_prefix(l_tkdf)
     r_pfx = _indexing_prefix(r_tkdf)
-    l_widows = l_pfx.filter(F.col("df") == widow_placeholder).count()
-    r_widows = r_pfx.filter(F.col("df") == widow_placeholder).count()
-    # per-side doc counts for the verification-side broadcast gate —
-    # limit-bounded probes, not full counts (see _doc_count_probe)
-    n_l_docs = _doc_count_probe(l_df)
-    n_r_docs = _doc_count_probe(r_df)
+
+    # Fused per-side scalars (round 9): the decision-bearing widow
+    # count (reference fetchall side swap), the doc count, and the
+    # token count come out of ONE aggregate per side — round 8 paid
+    # six scalar jobs here (2 widow counts + 2 full doc counts + 2
+    # token counts); this pays two, plus one small candidate-bound
+    # join below only when something could actually broadcast.
+    def _side_gate_stats(tkdf: DataFrame) -> tuple[int, int, int]:
+        idx = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
+        row = tkdf.agg(
+            F.sum(
+                (idx & (F.col("df") == widow_placeholder)).cast("long")
+            ).alias("w"),
+            F.sum((F.col("pos") == 1).cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+        return int(row["w"] or 0), int(row["d"] or 0), int(row["c"] or 0)
+
+    l_widows, n_l_docs, n_l_tok = _side_gate_stats(l_tkdf)
+    r_widows, n_r_docs, n_r_tok = _side_gate_stats(r_tkdf)
 
     # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
     # S = probing side (rebuilt with the longer t prefix).
@@ -962,12 +1053,36 @@ def jaccard_inner_join(
         R_pfx = l_pfx
         r_prefix_out = (l_out_prefix, r_out_prefix)
         n_R_docs, n_S_docs = n_l_docs, n_r_docs
+        n_R_tok, n_S_tok = n_l_tok, n_r_tok
     else:
         R_tkdf, S_tkdf = r_tkdf, l_tkdf
         R_pfx = r_pfx
         r_prefix_out = (r_out_prefix, l_out_prefix)
         n_R_docs, n_S_docs = n_r_docs, n_l_docs
+        n_R_tok, n_S_tok = n_r_tok, n_l_tok
     S_pfx = S_tkdf.filter(_probing_prefix_cond(F.col("len"), F.col("pos"), t))
+
+    # Cross-side candidate bound (see _BROADCAST_VERIFY_MIN_RATIO):
+    # sum over tokens of indexing-prefix df(R) × probing-prefix df(S)
+    # bounds the candidate equi-join output. One small job on the
+    # persisted token frames — skipped when no attach table could
+    # clear its size cap anyway (corpus scale) or when the frames are
+    # not persisted (the scalar would recompute the tokenize chain).
+    bound = 0
+    if persist and max(n_R_docs, n_S_docs) >= _GATE_STATS_MIN_DOCS and (
+        min(n_R_docs, n_S_docs) <= _MAX_BROADCAST_VERIFY_DOCS
+        or min(n_R_tok, n_S_tok) <= _MAX_BROADCAST_VERIFY_TOKENS
+    ):
+        ra = R_pfx.groupBy("token").agg(F.count(F.lit(1)).alias("a"))
+        sb = S_pfx.groupBy("token").agg(F.count(F.lit(1)).alias("b"))
+        bound = int(
+            ra.join(sb, "token")
+            .agg(F.sum(F.col("a") * F.col("b")).alias("s"))
+            .first()["s"]
+            or 0
+        )
+    if not persist:
+        n_R_docs = n_S_docs = n_R_tok = n_S_tok = 0
 
     # Candidates (jaccard_join.py:364-384): two-sided length filter +
     # positional filter on the prefix-token equi-join.
@@ -1006,7 +1121,7 @@ def jaccard_inner_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_R_docs, bit_cap),
+                ), n_R_docs, bit_cap, bound=bound),
                 "rid",
             )
             .join(
@@ -1014,7 +1129,7 @@ def jaccard_inner_join(
                     F.col("id").alias("sid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_S_docs, bit_cap),
+                ), n_S_docs, bit_cap, bound=bound),
                 "sid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -1053,7 +1168,7 @@ def jaccard_inner_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("rarr"),
-                ), n_R_docs),
+                ), n_R_docs, bound=bound),
                 "rid",
             )
             .join(
@@ -1061,7 +1176,7 @@ def jaccard_inner_join(
                     F.col("id").alias("sid"),
                     F.col("len").alias("slen"),
                     F.col("arr").alias("sarr"),
-                ), n_S_docs),
+                ), n_S_docs, bound=bound),
                 "sid",
             )
             .filter(
@@ -1101,10 +1216,10 @@ def jaccard_inner_join(
     cand = (
         cand.join(_verify_attach(
             r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_R_docs), "rid")
+            n_R_docs, bound=bound), "rid")
         .join(_verify_attach(
             s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")),
-            n_S_docs), "sid")
+            n_S_docs, bound=bound), "sid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1
@@ -1117,19 +1232,17 @@ def jaccard_inner_join(
         )
         .drop("_rl", "_sl")
     )
-    # token-level attach gate (see _MAX_BROADCAST_VERIFY_TOKENS):
-    # counts are cached-tkdf scans; skipped when not persisted
-    n_R_tok = R_tkdf.count() if persist else 0
-    n_S_tok = S_tkdf.count() if persist else 0
+    # token-level attach gate: n_R_tok/n_S_tok came out of the fused
+    # per-side scalars (zero when not persisted — declines)
     Rv = R_tkdf.alias("VR")
     Sv = S_tkdf.alias("VS")
     return (
         cand.join(
-            _verify_attach(Rv, n_R_tok, token_level=True),
+            _verify_attach(Rv, n_R_tok, token_level=True, bound=bound),
             F.col("rid") == F.col("VR.id"),
         )
         .join(
-            _verify_attach(Sv, n_S_tok, token_level=True),
+            _verify_attach(Sv, n_S_tok, token_level=True, bound=bound),
             (F.col("sid") == F.col("VS.id"))
             & (F.col("VR.token") == F.col("VS.token"))
             & (F.col("VR.pos") >= F.col("rmaxpos"))

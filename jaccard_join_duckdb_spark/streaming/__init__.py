@@ -618,6 +618,32 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def run_stream_foreach(
+    stream_df: DataFrame,
+    sink,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "append",
+) -> None:
+    """Drain a TRANSFORMED stream with AvailableNow through a
+    ``foreachBatch`` sink. ``checkpoint_dir`` enables kill-and-resume
+    for STATEFUL queries (watermarked aggregations, session windows,
+    stream-stream joins): a restarted query on the same checkpoint
+    resumes the committed source offsets AND the operator state store
+    + watermark, so a session spanning the restart is emitted once,
+    with its full count — not split or re-counted (round-9; pinned by
+    tests/test_streaming.py::test_sessionize_checkpoint_state_recovery).
+    """
+    w = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.awaitTermination()
+
+
 def lm_score_stream(
     stream_docs: DataFrame,
     corpus_df: DataFrame,

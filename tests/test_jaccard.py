@@ -273,22 +273,32 @@ def test_empty_and_degenerate_corpora(spark):
 
 def test_verify_attach_gate_unit(documents, monkeypatch):
     """_verify_attach broadcast-gate semantics (round 9, VERDICT r8
-    next #3): above the cap the attach frame is returned UNHINTED
-    (same object — the shuffle join stays, the right plan at corpus
-    scale); caps resolve at call time so this very patching works; the
+    next #3): above the size cap OR below the benefit ratio the attach
+    frame is returned UNHINTED (same object — the shuffle join stays,
+    the right plan at corpus scale / on small candidate streams); caps
+    and ratio resolve at call time so this very patching works; the
     doc-count probe is limit-bounded, not a full scan; and the bitset
     cap is width-aware (ADVICE r8 #1)."""
     import jaccard_join_duckdb_spark.operators.jaccard as J
 
-    # identity above the cap, hint below it
+    # identity above the cap, hint below it (bound omitted)
     assert J._verify_attach(documents, 6, 5) is documents
     assert J._verify_attach(documents, 0, 5) is documents  # unknown count
     assert J._verify_attach(documents, 5, 5) is not documents
+    # benefit gate: a known-small candidate bound declines; a large
+    # one (>= ratio * rows) accepts
+    ratio = J._BROADCAST_VERIFY_MIN_RATIO
+    assert J._verify_attach(documents, 5, 5, bound=5 * ratio - 1) is documents
+    assert J._verify_attach(documents, 5, 5, bound=5 * ratio) is not documents
     # call-time cap resolution (default + token-level)
     monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 0)
     monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_TOKENS", 0)
     assert J._verify_attach(documents, 1) is documents
     assert J._verify_attach(documents, 1, token_level=True) is documents
+    # call-time ratio resolution
+    monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 250_000)
+    monkeypatch.setattr(J, "_BROADCAST_VERIFY_MIN_RATIO", 0)
+    assert J._verify_attach(documents, 5, 5, bound=1) is not documents
     # the probe stops at cap+1 rows instead of counting the frame
     monkeypatch.setattr(J, "_MAX_BROADCAST_VERIFY_DOCS", 3)
     assert documents.count() > 4
@@ -343,6 +353,12 @@ def test_verify_attach_above_gate_fallback(documents, monkeypatch, tok):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # ratio 0 + stats floor 0: force the benefit gate OPEN on this
+        # tiny corpus so the gated phase actually hints (the real
+        # floor/ratio would decline sf0.001's small candidate stream —
+        # by design)
+        monkeypatch.setattr(J, "_BROADCAST_VERIFY_MIN_RATIO", 0)
+        monkeypatch.setattr(J, "_GATE_STATS_MIN_DOCS", 0)
         gated = jaccard_self_join(documents, "doc_id", "text", tokenizer, 0.5)
         gated_plan = plan_of(gated)
         gated_pairs = pairs(gated)

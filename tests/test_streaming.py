@@ -525,6 +525,10 @@ def test_decontaminate_stream_cache_stays_flat(spark, tmp_path):
     # materialization lands — timing varies under load). A leak is
     # monotone growth: epoch N would see N+1 new ids.
     assert all(1 <= n <= 2 for n in per_epoch), per_epoch
+    # Positive signal (round-8 advisor #5): the per-epoch batch cache
+    # must have MATERIALIZED at least once — an all-1s trace would
+    # also satisfy the bound if the batch cache silently never formed.
+    assert any(n == 2 for n in per_epoch), per_epoch
     # After draining, only the one-time benchmark index remains —
     # the exact post-drain invariant, and the actual leak guard.
     assert len(_persisted_rdd_ids(spark) - baseline) == 1
@@ -886,3 +890,97 @@ def test_corpus_diff_stream_equals_batch(spark, tmp_path):
     old_fps.unpersist()
     assert sorted(got) == want and len(want) > 0
     assert {t[1] for t in got} >= {"added", "changed", "unchanged"}
+
+
+def test_sessionize_checkpoint_state_recovery(spark, tmp_path):
+    """Kill-and-resume for a WATERMARKED stateful query (round-8
+    verdict #6): unlike the foreachBatch dedup streams — whose resume
+    is pure source-offset bookkeeping — session_window aggregation
+    keeps per-user session state in the state store and a watermark in
+    the commit log, and BOTH must survive the restart.
+
+    Phase 1 drains a user's first two events (watermark still before
+    every session end, so NOTHING is emitted) and terminates. Phase 2
+    starts a NEW query on the SAME checkpoint with a third in-gap
+    event for that user plus watermark-advancing flushers. If the
+    state store recovered, the user's session is emitted ONCE with
+    n_events=3 spanning the restart; a lost state store would emit a
+    1-event fragment (and lose the other user's phase-1 session
+    entirely); replayed offsets would double-count."""
+    import shutil
+    import time
+
+    from jaccard_join_duckdb_spark.streaming import (
+        run_stream_foreach,
+        sessionize,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(r[0], r[1]) for r in rows], "user_id string, ts_s string"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+
+    d = "2024-01-01 "
+    phase1 = mk([("u1", d + "00:00:00"), ("u1", d + "00:10:00"),
+                 ("u2", d + "00:00:00")])
+    # one file: u1's in-gap third event + u2's second session
+    phase2a = mk([("u1", d + "00:20:00"), ("u2", d + "01:30:00")])
+    # flusher batches: advance the watermark past the session ends
+    # (water mark = batch max ts - gap, applied on the NEXT batch)
+    phase2b = mk([("u9", d + "06:00:00")])
+    phase2c = mk([("u9", d + "08:00:00")])
+
+    source = tmp_path / "sess_source"
+    source.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = phase1.schema
+
+    def stage(df, name):
+        """Write df as a single parquet file into the watched dir;
+        mtime order = staging order (the file source processes
+        oldest-first with maxFilesPerTrigger=1)."""
+        staged = str(tmp_path / f"staged_{name}")
+        df.coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in __import__("os").listdir(staged)
+            if f.endswith(".parquet")
+        )
+        shutil.copy(f"{staged}/{part}", source / f"{name}.parquet")
+        time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+
+    got: list[tuple] = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(source))
+        )
+        run_stream_foreach(
+            sessionize(stream, gap="30 minutes"),
+            lambda df, epoch: got.extend(
+                (r["user_id"], str(r["session_start"]),
+                 str(r["session_end"]), r["n_events"])
+                for r in df.collect()
+            ),
+            checkpoint_dir=ckpt,
+        )
+
+    stage(phase1, "p1")
+    drain()  # phase 1: watermark never passes a session end
+    assert got == [], got
+
+    stage(phase2a, "p2a")
+    stage(phase2b, "p2b")
+    stage(phase2c, "p2c")
+    drain()  # phase 2: NEW query, SAME checkpoint — state resumes
+
+    want = {
+        # one 3-event session SPANNING the restart (the crux)
+        ("u1", d + "00:00:00", d + "00:50:00", 3),
+        ("u2", d + "00:00:00", d + "00:30:00", 1),
+        ("u2", d + "01:30:00", d + "02:00:00", 1),
+    }
+    u12 = {r for r in got if r[0] in ("u1", "u2")}
+    assert u12 == want, got
+    assert len(got) == len(set(got)), got  # no replayed emissions

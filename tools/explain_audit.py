@@ -142,8 +142,14 @@ def main() -> int:
     # order; a fresh full run ignores the old file entirely.
     if only and os.path.exists(out):
         old = open(out).read()
+        # The close fence is anchored to a ``` line immediately
+        # followed by the next section header or end-of-file (the
+        # exact shape this writer emits) — a literal ``` line INSIDE
+        # a plan body can no longer truncate its section and shift
+        # every later parse (round-8 advisor #4).
         for m in re.finditer(
-            r"^## (\S+)\n\n```\n(.*?)\n```\n", old, re.M | re.S
+            r"^## (\S+)\n\n```\n(.*?)\n```\n(?=\n## |\Z)",
+            old, re.M | re.S,
         ):
             sections.setdefault(m.group(1), m.group(0))
     ordered = [sections[n] for n in all_queries if n in sections]

@@ -39,31 +39,33 @@ DATA = os.path.join(REPO, "refscale")
 
 # (cell, dataset, mode, tokenizer, threshold, n_runs, ref_seconds)
 # ref_seconds from BASELINE.md; None = no published number.
+# n_runs = 3 for every cell since round 9 (uniform clean means; the
+# round-6 grid mixed n=1..5 and carried a GC-stall outlier footnote).
 CELLS = [
-    ("db10 self ws t=0.8",        "db10",  "self",  "ws", 0.8, 5, 0.294),
-    ("db10 self ws t=0.5",        "db10",  "self",  "ws", 0.5, 5, 0.300),
-    ("db10 self ws t=0.3",        "db10",  "self",  "ws", 0.3, 5, 3.22),
-    ("db10 self ws t=0.2",        "db10",  "self",  "ws", 0.2, 5, 5.05),
-    ("db10 self ws t=0.8 brute",  "db10",  "brute", "ws", 0.8, 2, 11.60),
-    ("db10 self ws t=0.5 brute",  "db10",  "brute", "ws", 0.5, 2, 10.33),
-    ("db10 self ws t=0.2 brute",  "db10",  "brute", "ws", 0.2, 2, 11.34),
+    ("db10 self ws t=0.8",        "db10",  "self",  "ws", 0.8, 3, 0.294),
+    ("db10 self ws t=0.5",        "db10",  "self",  "ws", 0.5, 3, 0.300),
+    ("db10 self ws t=0.3",        "db10",  "self",  "ws", 0.3, 3, 3.22),
+    ("db10 self ws t=0.2",        "db10",  "self",  "ws", 0.2, 3, 5.05),
+    ("db10 self ws t=0.8 brute",  "db10",  "brute", "ws", 0.8, 3, 11.60),
+    ("db10 self ws t=0.5 brute",  "db10",  "brute", "ws", 0.5, 3, 10.33),
+    ("db10 self ws t=0.2 brute",  "db10",  "brute", "ws", 0.2, 3, 11.34),
     ("db10 self 5g t=0.5",        "db10",  "self",  "5g", 0.5, 3, 1.67),
-    ("db10 self 5g t=0.2",        "db10",  "self",  "5g", 0.2, 2, 16.81),
+    ("db10 self 5g t=0.2",        "db10",  "self",  "5g", 0.2, 3, 16.81),
     ("db50 self ws t=0.8",        "db50",  "self",  "ws", 0.8, 3, 0.97),
     ("db50 self ws t=0.5",        "db50",  "self",  "ws", 0.5, 3, 1.40),
     ("db50 self ws t=0.4",        "db50",  "self",  "ws", 0.4, 3, 16.92),
-    ("db50 self ws t=0.3",        "db50",  "self",  "ws", 0.3, 2, 45.53),
+    ("db50 self ws t=0.3",        "db50",  "self",  "ws", 0.3, 3, 45.53),
     ("db100 self ws t=0.8",       "db100", "self",  "ws", 0.8, 3, 1.87),
     ("db100 self ws t=0.5",       "db100", "self",  "ws", 0.5, 3, 3.35),
-    ("db100 self ws t=0.4",       "db100", "self",  "ws", 0.4, 2, 141.9),
+    ("db100 self ws t=0.4",       "db100", "self",  "ws", 0.4, 3, 141.9),
     ("inner db10 ws t=0.8",       "db10",  "inner", "ws", 0.8, 3, 0.274),
     ("inner db10 ws t=0.5",       "db10",  "inner", "ws", 0.5, 3, 1.35),
-    ("inner db10 ws t=0.2",       "db10",  "inner", "ws", 0.2, 2, 9.86),
-    ("inner db10 ws t=0.5 brute", "db10",  "innerbrute", "ws", 0.5, 2, 7.02),
+    ("inner db10 ws t=0.2",       "db10",  "inner", "ws", 0.2, 3, 9.86),
+    ("inner db10 ws t=0.5 brute", "db10",  "innerbrute", "ws", 0.5, 3, 7.02),
     ("inner db50 ws t=0.8",       "db50",  "inner", "ws", 0.8, 3, 0.603),
     ("inner db50 ws t=0.5",       "db50",  "inner", "ws", 0.5, 3, 5.08),
-    ("inner db50 ws t=0.3",       "db50",  "inner", "ws", 0.3, 2, 32.56),
-    ("inner db50 ws t=0.5 brute", "db50",  "innerbrute", "ws", 0.5, 1, 35.19),
+    ("inner db50 ws t=0.3",       "db50",  "inner", "ws", 0.3, 3, 32.56),
+    ("inner db50 ws t=0.5 brute", "db50",  "innerbrute", "ws", 0.5, 3, 35.19),
 ]
 
 # quality cells: (cell, dataset, mode, tokenizer, threshold,
@@ -87,6 +89,11 @@ QUALITY = [
     ("inner db10 ws t=0.5", "db10",  "inner", "ws", 0.5, None),
     ("inner db10 ws t=0.2", "db10",  "inner", "ws", 0.2, None),
     ("inner db50 ws t=0.5", "db50",  "inner", "ws", 0.5, None),
+    # db100 inner quality (round-9 brief #8): completes grid symmetry
+    # at the largest corpus — the reference published neither timings
+    # nor quality here
+    ("inner db100 ws t=0.5", "db100", "inner", "ws", 0.5, None),
+    ("inner db100 ws t=0.2", "db100", "inner", "ws", 0.2, None),
 ]
 
 

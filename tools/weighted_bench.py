@@ -90,57 +90,50 @@ def gen_corpus(
     return docs
 
 
-def _fanouts(spark, docs, n: int, t_scaled: int):
+def _fanouts(spark, docs, n: int, t_scaled: int, max_df_frac: float = 1.0):
     """(raw_fanout, prefix_fanout) for a docs frame — the candidate
-    pair counts of the all-shared-token index vs the weighted prefix,
-    computed exactly the way the operator builds them."""
+    pair counts of the all-shared-token index vs the weighted prefix.
+    The prefix selection (weight formula + cumulative-window filter)
+    is the OPERATOR'S OWN code (dedup.W_EXPR +
+    dedup.weighted_prefix_tokens — round-8 advisor #3: an inline
+    re-implementation here could silently measure a stale definition),
+    including the ``max_df_frac`` candidate cap the operator applies
+    before prefix selection."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from jaccard_join_duckdb_spark import WhitespaceTokzr
     from jaccard_join_duckdb_spark.operators.dedup import (
+        W_EXPR,
         W_SCALE,
         _token_sets,
+        weighted_prefix_tokens,
     )
 
     toks = _token_sets(docs, "id", "text", WhitespaceTokzr())
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     weighted = dfreq.select(
         "token",
-        F.expr(f"((2 * {n} - 2 * df + 1) * {W_SCALE}) div (2 * df + 1)")
-        .alias("w"),
+        "df",
+        F.expr(W_EXPR.format(n=n, scale=W_SCALE)).alias("w"),
     )
-    tw = toks.join(weighted, "token").select("id", "token", "w").persist()
+    tw = toks.join(weighted, "token").select(
+        "id", "token", "w", "df"
+    ).persist()
     tw.count()
     raw = (
         dfreq.select((F.col("df") * (F.col("df") - 1) / 2).alias("p"))
         .agg(F.sum("p").cast("long").alias("s"))
         .first()["s"]
     )
+    # totals over ALL tokens; the df cap (operator: cand_toks) only
+    # limits candidate generation
     totals = tw.groupBy("id").agg(F.sum("w").alias("wtotal"))
-    w_ord = Window.partitionBy("id").orderBy(
-        F.col("w").desc(), F.col("token").asc()
-    )
-    w_all = Window.partitionBy("id")
-    dec = "decimal(38,0)"
-    with_tot = tw.join(totals, "id").select(
-        "id",
-        "token",
-        "w",
-        "wtotal",
-        F.sum("w")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("w").over(w_all).alias("cand_total"),
-    )
+    cand_toks = tw.filter(
+        F.col("df").cast("double")
+        <= F.lit(float(max_df_frac)) * F.lit(float(n))
+    ).select("id", "token", "w")
     prefix_fanout = (
-        with_tot.filter(
-            (
-                (F.col("cand_total") - F.col("cum") + F.col("w")).cast(dec)
-                * F.lit(W_SCALE).cast(dec)
-            )
-            >= F.lit(t_scaled).cast(dec) * F.col("wtotal").cast(dec)
-        )
+        weighted_prefix_tokens(cand_toks, totals, t_scaled)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .select((F.col("df") * (F.col("df") - 1) / 2).alias("p"))
