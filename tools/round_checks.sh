@@ -28,6 +28,11 @@
 #                        stopword-heavy Zipf corpus, candidate
 #                        fan-out <= 20% of the raw inverted index
 #                        (measured ~0.04%)
+#   - above_gate_bench:  verification broadcast gate declines past
+#                        250K docs via a bounded probe; attach joins
+#                        stay sort-merge in the no-stats-broadcast
+#                        regime; rows equal DuckDB on a real 260K-doc
+#                        corpus (the slowest gate, ~10 min)
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -36,7 +41,7 @@ set -e
 cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench graph_bench \
-         dedup_recall_bench weighted_bench; do
+         dedup_recall_bench weighted_bench above_gate_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done
