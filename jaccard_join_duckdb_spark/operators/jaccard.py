@@ -941,12 +941,16 @@ def jaccard_inner_join(
     """Two-table prefix-filtered join with the reference's widow
     handling and adaptive side selection (jaccard_join.py:265-362).
 
-    Driver-side actions: two widow-count scalars mirroring the
-    reference's ``fetchall()[0][0]`` side-swap decision — the side
-    with more indexing-prefix widows becomes the indexing side R
-    (ties go to (r, l): jaccard_join.py:353, SURVEY.md §4.3.4). The
-    reference's two additional full-table counts (widow placeholder)
-    are replaced by an order-equivalent constant — see below.
+    Driver-side actions: one fused aggregate per side carrying the
+    widow count that mirrors the reference's ``fetchall()[0][0]``
+    side-swap decision — the side with more indexing-prefix widows
+    becomes the indexing side R (ties go to (r, l):
+    jaccard_join.py:353, SURVEY.md §4.3.4) — plus the broadcast-gate
+    doc/token counts in the same job, and one small candidate-bound
+    join when an attach table could actually broadcast (see
+    _BROADCAST_VERIFY_MIN_RATIO). The reference's two additional
+    full-table counts (widow placeholder) are replaced by an
+    order-equivalent constant — see below.
     """
     if with_score and not tokenizer.return_set:
         raise ValueError(
