@@ -1032,23 +1032,44 @@ def jaccard_inner_join(
 
     # Fused per-side scalars (round 9): the decision-bearing widow
     # count (reference fetchall side swap), the doc count, and the
-    # token count come out of ONE aggregate per side — round 8 paid
-    # six scalar jobs here (2 widow counts + 2 full doc counts + 2
-    # token counts); this pays two, plus one small candidate-bound
-    # join below only when something could actually broadcast.
-    def _side_gate_stats(tkdf: DataFrame) -> tuple[int, int, int]:
-        idx = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
-        row = tkdf.agg(
+    # token count come out of ONE side-tagged aggregate over BOTH
+    # sides — round 8 paid six scalar jobs here (2 widow counts + 2
+    # full doc counts + 2 token counts); this pays one, plus one
+    # small candidate-bound join below only when something could
+    # actually broadcast. The union reads both (persisted) token
+    # frames in a single job, saving a driver scheduling round-trip
+    # per call — the fixed floor that dominates small inner joins.
+    idx_cond = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
+    stat_cols = ("side", "len", "pos", "df")
+
+    def _tagged(tkdf: DataFrame, side: int) -> DataFrame:
+        return tkdf.select(
+            F.lit(side).alias("side"), "len", "pos", "df"
+        ).select(*stat_cols)
+
+    side_rows = {
+        row["side"]: row
+        for row in _tagged(l_tkdf, 0)
+        .unionByName(_tagged(r_tkdf, 1))
+        .groupBy("side")
+        .agg(
             F.sum(
-                (idx & (F.col("df") == widow_placeholder)).cast("long")
+                (idx_cond & (F.col("df") == widow_placeholder)).cast("long")
             ).alias("w"),
             F.sum((F.col("pos") == 1).cast("long")).alias("d"),
             F.count(F.lit(1)).alias("c"),
-        ).first()
+        )
+        .collect()
+    }
+
+    def _side_stats(side: int) -> tuple[int, int, int]:
+        row = side_rows.get(side)
+        if row is None:  # empty side: no tokens at all
+            return 0, 0, 0
         return int(row["w"] or 0), int(row["d"] or 0), int(row["c"] or 0)
 
-    l_widows, n_l_docs, n_l_tok = _side_gate_stats(l_tkdf)
-    r_widows, n_r_docs, n_r_tok = _side_gate_stats(r_tkdf)
+    l_widows, n_l_docs, n_l_tok = _side_stats(0)
+    r_widows, n_r_docs, n_r_tok = _side_stats(1)
 
     # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
     # S = probing side (rebuilt with the longer t prefix).
