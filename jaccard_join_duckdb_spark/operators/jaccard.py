@@ -1040,12 +1040,11 @@ def jaccard_inner_join(
     # frames in a single job, saving a driver scheduling round-trip
     # per call — the fixed floor that dominates small inner joins.
     idx_cond = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
-    stat_cols = ("side", "len", "pos", "df")
 
     def _tagged(tkdf: DataFrame, side: int) -> DataFrame:
         return tkdf.select(
             F.lit(side).alias("side"), "len", "pos", "df"
-        ).select(*stat_cols)
+        )
 
     side_rows = {
         row["side"]: row
