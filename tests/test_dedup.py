@@ -814,3 +814,42 @@ class TestWeightedJaccard:
                 a[sorted(a.columns)], b[sorted(b.columns)],
                 check_dtype=False,
             )
+
+
+def test_weighted_prefix_tokens_helper(spark):
+    """Pin dedup.weighted_prefix_tokens + W_EXPR (the frame shared by
+    the operator and tools/weighted_bench.py) against hand-computed
+    values. Corpus of 3 docs over tokens x,y,z and a stopword s
+    present everywhere: df x:2 y:1 z:1 s:3, n=3, so W_EXPR gives
+    w(df=1)=5e6 div 3=1666666, w(df=2)=3e6 div 5=600000,
+    w(df=3)=1e6 div 7=142857. At t=0.5 the rarest token alone carries
+    each two-token-plus-stopword doc past the remaining-weight bound,
+    so prefixes are exactly {y} for d1, {z} for d2 — the stopword
+    lands in the suffix and never enters candidate generation — while
+    the stopword-only d3 keeps {s}."""
+    from pyspark.sql import functions as F
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        W_EXPR,
+        W_SCALE,
+        weighted_prefix_tokens,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "s"),
+         (2, "x"), (2, "z"), (2, "s"),
+         (3, "s")],
+        "id long, token string",
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weighted = dfreq.select(
+        "token", F.expr(W_EXPR.format(n=3, scale=W_SCALE)).alias("w")
+    )
+    assert {r["token"]: r["w"] for r in weighted.collect()} == {
+        "x": 600_000, "y": 1_666_666, "z": 1_666_666, "s": 142_857,
+    }
+    tw = toks.join(weighted, "token").select("id", "token", "w")
+    totals = tw.groupBy("id").agg(F.sum("w").alias("wtotal"))
+    prefix = weighted_prefix_tokens(tw, totals, t_scaled=500_000)
+    got = {(r["id"], r["token"]) for r in prefix.collect()}
+    assert got == {(1, "y"), (2, "z"), (3, "s")}

@@ -377,3 +377,25 @@ def test_verify_attach_above_gate_fallback(documents, monkeypatch, tok):
         assert not attach_joins(off_plan, "BroadcastHashJoin")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_self_gate_stats_formula(spark):
+    """Pin _self_gate_stats against hand-computed values on a 3-doc
+    corpus at t=0.5 (the gate's only inputs): n_docs from pos==1 rows,
+    n_tok from all rows, and the candidate bound = sum over tokens of
+    (indexing-prefix rows × probing-prefix rows).
+
+    Corpus: d1 "a b c", d2 "b c", d3 "c a" → df a:2 b:2 c:3; pos by
+    (df, token) order. Indexing prefix (len-pos+1 >= 2·len/3): a and b
+    qualify in their docs, c never. Probing prefix (len-pos+1 >=
+    len/2): all but d1's c qualify. bound = a:2·2 + b:2·2 + c:0·2 = 8.
+    """
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+    from jaccard_join_duckdb_spark import WhitespaceTokzr
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c"), (3, "c a")], "id long, val string"
+    )
+    tokens = WhitespaceTokzr().tokenize(df, "id", "val")
+    tkdf = J.tokens_with_doc_freq(tokens, with_pair_key=True)
+    assert J._self_gate_stats(tkdf, 0.5) == (3, 7, 8)
