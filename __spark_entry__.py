@@ -406,6 +406,43 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(bench, docs, "doc_id", "text", n=NGRAM_DECON_N)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination (operators/dedup.py
+    bloom_ngram_decontaminate): the benchmark shingle set is folded
+    into a broadcast Bloom BITSET (one bounded-width bit_or
+    aggregation) and every corpus shingle is probed MAP-SIDE inside
+    whole-stage codegen; only survivors (true hits + the ~1e-4 FP
+    trickle) reach the exact equi-join — the scale path for eval
+    suites too large to broadcast as raw hash sets. No false
+    negatives, so output is bit-identical to ngram_decontaminate and
+    the oracle is the same SQL.
+
+    Gate input mirrors q_decontaminate_ngram's leak scenario on a
+    DIFFERENT split: the benchmark items are the first 14 tokens of
+    every 25th document, so each item is guaranteed >= 1 verbatim hit
+    (its source doc) and the graded row set differs from the plain
+    ngram gate's."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        bloom_ngram_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\r\n]", -1),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 14), " ").alias("text")
+    )
+    # Explicit m_bits skips the auto-size count: the whole gate query
+    # is ONE job, same as its plain ngram sibling. 2^20 bits = 128 KB
+    # broadcast, ~65K shingles at 16 bits/elem — far above any sf's
+    # benchmark-side shingle count here.
+    return bloom_ngram_decontaminate(
+        bench, docs, "doc_id", "text", n=NGRAM_DECON_N, m_bits=1 << 20
+    )
+
+
 def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing (sources.mix_corpora): two overlapping
     document sources sampled at different deterministic rates — the
@@ -1805,7 +1842,10 @@ _GATED = [
     "contamination_report",
     "embedding_stats",
     "corpus_curate",
-    "simhash_fingerprints",
+    # simhash_fingerprints demoted r9 (signed r7+r8; dedup_simhash
+    # keeps the family covered) to admit the new Bloom-prefilter
+    # decontamination gate on its first declaration.
+    "decontaminate_bloom",
     "dedup_embed_cosine_lsh",
     "ann_lsh_topk",
     "ann_pandas_topk",
@@ -1889,6 +1929,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "decontaminate": q_decontaminate,
         "decontaminate_ngram": q_decontaminate_ngram,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "data_split": q_data_split,
         "mix_corpora": q_mix_corpora,
         "pack_stats": q_pack_stats,
@@ -2125,6 +2166,17 @@ where levenshtein(l.c_name, r.c_name) <= 1
             "list_filter(str_split_regex(lower(text), '[ \t\r\n]'), "
             "t -> trim(t) != ''), 1, 12), ' ') as text "
             "from documents where doc_id % 50 = 0)",
+            "documents",
+            "doc_id", "text", NGRAM_DECON_N,
+        ),
+        # Bloom prefilter has no false negatives and survivors take
+        # the exact join, so the oracle is the PLAIN ngram-decon SQL
+        # on the bloom gate's own split (% 25, first 14 tokens).
+        "decontaminate_bloom": oracle_ext.ngram_decontaminate_sql(
+            "(select doc_id, array_to_string(list_slice("
+            "list_filter(str_split_regex(lower(text), '[ \t\r\n]'), "
+            "t -> trim(t) != ''), 1, 14), ' ') as text "
+            "from documents where doc_id % 25 = 0)",
             "documents",
             "doc_id", "text", NGRAM_DECON_N,
         ),

@@ -853,3 +853,133 @@ def test_weighted_prefix_tokens_helper(spark):
     prefix = weighted_prefix_tokens(tw, totals, t_scaled=500_000)
     got = {(r["id"], r["token"]) for r in prefix.collect()}
     assert got == {(1, "y"), (2, "z"), (3, "s")}
+
+
+class TestBloomNgramDecontaminate:
+    """Broadcast-Bloom-prefiltered decontamination: bit-identical to
+    the plain operator (no false negatives), bitset mechanics, and
+    the indexed batch-match variant."""
+
+    def test_equals_plain_ngram_decontaminate(self, spark, documents):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_ngram_decontaminate,
+            ngram_decontaminate,
+        )
+
+        bench = documents.filter(F.col("doc_id") % 40 == 0)
+        corpus = documents.filter(F.col("doc_id") % 40 != 0)
+        want = {
+            tuple(r)
+            for r in ngram_decontaminate(
+                bench, corpus, "doc_id", "text", n=8
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in bloom_ngram_decontaminate(
+                bench, corpus, "doc_id", "text", n=8
+            ).collect()
+        }
+        assert got == want and want
+
+    def test_probe_has_no_false_negatives(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_bitset,
+            bloom_probe_col,
+        )
+
+        m, k = 1 << 16, 7
+        grams = spark.range(5000).select(
+            (F.col("id") * 2654435761).alias("g")
+        )
+        bitset = bloom_bitset(grams, "g", m, k)
+        n_pass = (
+            grams.crossJoin(F.broadcast(bitset))
+            .filter(bloom_probe_col(F.col("bloom"), F.col("g"), m, k))
+            .count()
+        )
+        assert n_pass == 5000
+
+    def test_probe_fpr_sane_on_disjoint_keys(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_bitset,
+            bloom_probe_col,
+        )
+
+        m, k = 1 << 17, 7  # 5000 elems at ~26 bits/elem: fpr << 1e-3
+        grams = spark.range(5000).select(
+            (F.col("id") * 2654435761).alias("g")
+        )
+        bitset = bloom_bitset(grams, "g", m, k)
+        other = spark.range(10_000_000, 10_050_000).select(
+            (F.col("id") * 2654435761).alias("g")
+        )
+        fp = (
+            other.crossJoin(F.broadcast(bitset))
+            .filter(bloom_probe_col(F.col("bloom"), F.col("g"), m, k))
+            .count()
+        )
+        assert fp / 50_000 < 0.01
+
+    def test_indexed_equals_plain(self, spark, documents):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_ngram_decontaminate,
+            bloom_ngram_decontaminate_indexed,
+            bloom_ngram_index,
+        )
+
+        bench = documents.filter(F.col("doc_id") % 40 == 0)
+        corpus = documents.filter(F.col("doc_id") % 40 != 0)
+        want = sorted(
+            map(
+                tuple,
+                bloom_ngram_decontaminate(
+                    bench, corpus, "doc_id", "text", n=8
+                ).collect(),
+            )
+        )
+        idx = bloom_ngram_index(bench, "doc_id", "text", n=8)
+        try:
+            got = sorted(
+                map(
+                    tuple,
+                    bloom_ngram_decontaminate_indexed(
+                        idx, corpus, "doc_id", "text"
+                    ).collect(),
+                )
+            )
+        finally:
+            idx.unpersist()
+        assert got == want and want
+
+    def test_auto_sizing_clamps_and_stays_pow2(self):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            _BLOOM_MAX_BITS,
+            _BLOOM_MIN_BITS,
+            _bloom_size_bits,
+        )
+
+        assert _bloom_size_bits(0, 16) == _BLOOM_MIN_BITS
+        assert _bloom_size_bits(10**12, 16) == _BLOOM_MAX_BITS
+        m = _bloom_size_bits(100_000, 16)
+        assert m & (m - 1) == 0 and m >= 100_000 * 16
+
+    def test_empty_benchmark_side(self, spark, documents):
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_ngram_decontaminate,
+        )
+
+        bench = documents.filter(F.lit(False))
+        assert (
+            bloom_ngram_decontaminate(
+                bench, documents.limit(50), "doc_id", "text", n=8
+            ).count()
+            == 0
+        )
+
+    def test_m_bits_validation(self, spark):
+        from jaccard_join_duckdb_spark.operators.dedup import bloom_bitset
+
+        grams = spark.range(3).select(F.col("id").alias("g"))
+        with pytest.raises(ValueError):
+            bloom_bitset(grams, "g", 100, 7)
