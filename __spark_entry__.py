@@ -409,13 +409,13 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered n-gram decontamination (operators/dedup.py
     bloom_ngram_decontaminate): the benchmark shingle set is folded
-    into a broadcast Bloom BITSET (one bounded-width bit_or
-    aggregation) and every corpus shingle is probed MAP-SIDE inside
-    whole-stage codegen; only survivors (true hits + the ~1e-4 FP
-    trickle) reach the exact equi-join — the scale path for eval
-    suites too large to broadcast as raw hash sets. No false
-    negatives, so output is bit-identical to ngram_decontaminate and
-    the oracle is the same SQL.
+    into a broadcast Bloom word table (one bounded-width bit_or
+    aggregation) and every corpus shingle is probed MAP-SIDE via k
+    broadcast hash joins + bit tests; only survivors (true hits +
+    the ~1e-4 FP trickle) reach the exact equi-join — the scale path
+    for eval suites too large to broadcast as raw hash sets. No
+    false negatives, so output is bit-identical to
+    ngram_decontaminate and the oracle is the same SQL.
 
     Gate input mirrors q_decontaminate_ngram's leak scenario on a
     DIFFERENT split: the benchmark items are the first 14 tokens of
@@ -434,10 +434,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 25 == 0).select(
         "doc_id", F.array_join(F.slice(toks, 1, 14), " ").alias("text")
     )
-    # Explicit m_bits skips the auto-size count: the whole gate query
-    # is ONE job, same as its plain ngram sibling. 2^20 bits = 128 KB
-    # broadcast, ~65K shingles at 16 bits/elem — far above any sf's
-    # benchmark-side shingle count here.
+    # Explicit m_bits skips the auto-size count (one less job). 2^20
+    # bits = a <=16K-row word table, ~65K shingles at 16 bits/elem —
+    # far above any sf's benchmark-side shingle count here.
     return bloom_ngram_decontaminate(
         bench, docs, "doc_id", "text", n=NGRAM_DECON_N, m_bits=1 << 20
     )

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_ngram",
     "decontaminate",
     "decontaminate_ngram",
+    "decontaminate_bloom",
     "edit_distance_join",
     "edit_distance_link",
     "mix_corpora",

@@ -75,8 +75,8 @@ __all__ = [
     "NgramIndex",
     "ngram_index",
     "ngram_decontaminate_indexed",
-    "bloom_bitset",
-    "bloom_probe_col",
+    "bloom_words",
+    "bloom_prefilter",
     "bloom_ngram_decontaminate",
     "BloomNgramIndex",
     "bloom_ngram_index",
@@ -1390,31 +1390,37 @@ def _bloom_hashes(g: Column, m_bits: int) -> tuple[Column, Column]:
     return h1, h2
 
 
-def bloom_bitset(
+def bloom_words(
     grams: DataFrame,
     gram_col: str,
     m_bits: int,
     num_hashes: int,
     materialize: bool = False,
 ) -> DataFrame:
-    """Distributed Bloom-filter BUILD: one row holding the full bitset
-    as ``bloom: array<bigint>`` (``m_bits/64`` words).
+    """Distributed Bloom-filter BUILD as a SPARSE word table:
+    ``(w: int, word: bigint)`` — the non-zero 64-bit words of an
+    ``m_bits``-wide bitset (at most ``m_bits/64`` rows, 2M rows /
+    ~24 MB at the cap).
 
     Map side: each element expands to ``num_hashes`` bit positions
-    (``transform`` over ``sequence`` — JVM intrinsics, no UDFs).
-    Reduce side: ``bit_or`` per 64-bit word with map-side partial
+    (``transform`` over ``sequence`` — JVM array intrinsics, no
+    UDFs). Reduce side: ``bit_or`` per word with map-side partial
     aggregation, so the shuffle carries at most ``m_bits/64`` words
     per input partition REGARDLESS of element count — at 100 TB the
-    build is one scan plus a bounded-width shuffle. The word map is
-    then densified into a positional array on a single row (bounded:
-    ``m_bits/64`` entries, 16 MB max at the cap).
+    build is one scan plus a bounded-width shuffle.
 
-    ``materialize=True`` eagerly ``localCheckpoint``s the row: the
-    bitset computes exactly once and later probe plans see a leaf RDD
-    scan instead of the build lineage — the right trade for an INDEX
-    probed by many batches. One-shot callers leave it lazy (the build
-    rides along as the broadcast side of the probe join; no extra
-    job)."""
+    Sparse-table-not-dense-array is deliberate: an earlier dense
+    ``array<bigint>`` row attached via crossJoin(broadcast) copied
+    the full 128 KB+ array into EVERY joined corpus row inside the
+    BroadcastNestedLoopJoin (~60× slower probe, measured); the
+    sparse table probes as ``num_hashes`` broadcast HASH joins with
+    constant-width rows instead (:func:`bloom_prefilter`).
+
+    ``materialize=True`` eagerly ``localCheckpoint``s the table: the
+    build computes exactly once and every probe join broadcasts a
+    leaf RDD scan — otherwise each of the probe's ``num_hashes``
+    broadcast exchanges would re-execute the build subtree (they are
+    alias-renamed copies, so Spark cannot ReusedExchange them)."""
     m_bits = int(m_bits)
     if m_bits % 64 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 64")
@@ -1427,7 +1433,7 @@ def bloom_bitset(
             )
         ).alias("p")
     )
-    words = (
+    out = (
         pos.select(
             F.shiftright(F.col("p"), 6).cast("int").alias("w"),
             F.element_at(
@@ -1438,49 +1444,56 @@ def bloom_bitset(
         .groupBy("w")
         .agg(F.bit_or("b").alias("word"))
     )
-    nwords = m_bits // 64
-    out = (
-        words.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("w", "word"))
-            ).alias("wm")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nwords - 1)),
-                lambda i: F.coalesce(
-                    F.try_element_at("wm", i.cast("int")),
-                    F.lit(0).cast("bigint"),
-                ),
-            ).alias("bloom")
-        )
-    )
     return out.localCheckpoint(eager=True) if materialize else out
 
 
-def bloom_probe_col(
-    bloom_col: Column, g: Column, m_bits: int, num_hashes: int
-) -> Column:
-    """Membership test against a :func:`bloom_bitset` array column:
-    TRUE iff all ``num_hashes`` probe bits are set (no false
-    negatives; false positives at the filter's FPR). The k tests are
-    UNROLLED into a plain AND chain — a ``forall`` lambda capturing
-    attributes from both sides of the broadcast join trips an
-    attribute-binding bug in Spark 4.1's BroadcastNestedLoopJoin
-    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and unrolled comparisons
-    stay inside whole-stage codegen anyway."""
-    h1, h2 = _bloom_hashes(g, m_bits)
-    ok = F.lit(True)
+def bloom_prefilter(
+    df: DataFrame,
+    gram_col: str,
+    words: DataFrame,
+    m_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Bloom membership PREFILTER: rows of ``df`` whose ``gram_col``
+    passes the filter encoded by a :func:`bloom_words` table (no
+    false negatives; false positives at the filter's FPR).
+
+    Each of the ``num_hashes`` probes is one broadcast HASH join
+    against the word table on the probe's word index (inner join —
+    a missing word row means no bits set there, so the row is
+    correctly dropped) followed by one bit test. All joins broadcast
+    the same bounded table and keep rows constant-width, so the
+    probe is map-side and whole-stage-codegen'd end to end — the
+    corpus side is never shuffled. Original columns of ``df`` are
+    preserved; ``df`` must not carry ``__bloom_``-prefixed names."""
+    h1, h2 = _bloom_hashes(F.col(gram_col), int(m_bits))
+    out = df
+    cond = F.lit(True)
     for i in range(int(num_hashes)):
-        p = F.pmod(h1 + F.lit(i).cast("bigint") * h2, F.lit(m_bits))
-        bit = F.element_at(
-            F.lit(_BLOOM_BIT64), F.pmod(p, F.lit(64)).cast("int") + F.lit(1)
+        p = F.pmod(h1 + F.lit(i).cast("bigint") * h2, F.lit(int(m_bits)))
+        out = out.withColumn(
+            f"__bloom_w{i}", F.shiftright(p, 6).cast("int")
+        ).withColumn(
+            f"__bloom_b{i}",
+            F.element_at(
+                F.lit(_BLOOM_BIT64),
+                F.pmod(p, F.lit(64)).cast("int") + F.lit(1),
+            ),
         )
-        word = F.element_at(
-            bloom_col, F.shiftright(p, 6).cast("int") + F.lit(1)
+        wi = words.select(
+            F.col("w").alias(f"__bloom_ww{i}"),
+            F.col("word").alias(f"__bloom_word{i}"),
         )
-        ok = ok & (word.bitwiseAND(bit) != F.lit(0))
-    return ok
+        out = out.join(
+            F.broadcast(wi),
+            F.col(f"__bloom_w{i}") == F.col(f"__bloom_ww{i}"),
+            "inner",
+        )
+        cond = cond & (
+            F.col(f"__bloom_word{i}").bitwiseAND(F.col(f"__bloom_b{i}"))
+            != F.lit(0)
+        )
+    return out.filter(cond).select(*df.columns)
 
 
 def _bloom_size_bits(n_elements: int, bits_per_element: int) -> int:
@@ -1515,18 +1528,19 @@ def bloom_ngram_decontaminate(
     plus hash-table overhead, past sensible broadcast budgets — which
     silently degrades the decontamination join to shuffling EVERY
     corpus shingle (at 100 TB, the corpus side is ~10^13 shingles).
-    A Bloom bitset at 16 bits/element is ~20× smaller than the raw
-    key set, broadcasts at any benchmark size up to the 16 MB cap,
-    and eliminates ~all non-matching corpus shingles map-side inside
-    whole-stage codegen: only the matching sliver (true hits + the
-    ~1e-4 false-positive trickle) reaches the exact join's shuffle.
+    A Bloom word table at 16 bits/element is several times smaller
+    than the raw key set, broadcasts at any benchmark size up to the
+    ~24 MB cap, and eliminates ~all non-matching corpus shingles
+    map-side (broadcast hash joins + bit tests, whole-stage
+    codegen'd): only the matching sliver (true hits + the ~1e-4
+    false-positive trickle) reaches the exact join's shuffle.
 
     ``m_bits=None`` auto-sizes the table from the benchmark shingle
     count (one scalar job on the SMALL side; pass an explicit power
-    of two to skip it and keep the whole operator a SINGLE job — the
-    lazy bitset build rides along as the broadcast side of the probe
-    join). The build is one bounded-width ``bit_or`` aggregation
-    (see :func:`bloom_bitset`); the benchmark side is scanned twice
+    of two to skip it). The build is one bounded-width ``bit_or``
+    aggregation materialized eagerly (see :func:`bloom_words` — one
+    extra bounded job, paid once), so the main query's probe joins
+    broadcast a leaf scan; the benchmark side is scanned twice
     (build + exact tail) rather than persisted — it is small by
     nature, and the one-shot stays leak-free. For repeated batches,
     build once with :func:`bloom_ngram_index`.
@@ -1537,14 +1551,9 @@ def bloom_ngram_decontaminate(
     q = _shingle_hashes(query_df, id_col, text_col, int(n), "q_id")
     if m_bits is None:
         m_bits = _bloom_size_bits(q.count(), bits_per_element)
-    bitset = bloom_bitset(q, "g", m_bits, num_hashes)
+    words = bloom_words(q, "g", m_bits, num_hashes, materialize=True)
     c = _shingle_hashes(corpus_df, id_col, text_col, int(n), "c_id")
-    cand = (
-        c.crossJoin(F.broadcast(bitset))
-        .filter(bloom_probe_col(F.col("bloom"), F.col("g"), m_bits,
-                                num_hashes))
-        .select("c_id", "g")
-    )
+    cand = bloom_prefilter(c, "g", words, m_bits, num_hashes)
     q_sizes = q.groupBy("q_id").agg(F.count(F.lit(1)).alias("q_ngrams"))
     return _ngram_match_core(q, q_sizes, cand, int(min_hits))
 
@@ -1553,12 +1562,12 @@ def bloom_ngram_decontaminate(
 class BloomNgramIndex:
     """Static-benchmark Bloom decontamination index: the persisted
     shingle frames of :class:`NgramIndex` plus the materialized
-    bitset row. Build with :func:`bloom_ngram_index`, match corpus
-    batches with :func:`bloom_ngram_decontaminate_indexed`."""
+    sparse word table. Build with :func:`bloom_ngram_index`, match
+    corpus batches with :func:`bloom_ngram_decontaminate_indexed`."""
 
     grams: DataFrame
     sizes: DataFrame
-    bitset: DataFrame
+    words: DataFrame
     n: int
     m_bits: int
     num_hashes: int
@@ -1578,8 +1587,8 @@ def bloom_ngram_index(
     bits_per_element: int = 16,
 ) -> BloomNgramIndex:
     """Shingle + persist the benchmark side and materialize its Bloom
-    bitset once (the bitset is localCheckpoint-ed, so per-batch probe
-    plans carry a leaf scan, not the build)."""
+    word table once (localCheckpoint-ed, so per-batch probe plans
+    broadcast a leaf scan, not the build)."""
     n = int(n)
     grams = _shingle_hashes(df, id_col, text_col, n, "q_id").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -1594,8 +1603,8 @@ def bloom_ngram_index(
     return BloomNgramIndex(
         grams=grams,
         sizes=sizes,
-        bitset=bloom_bitset(grams, "g", m_bits, num_hashes,
-                            materialize=True),
+        words=bloom_words(grams, "g", m_bits, num_hashes,
+                          materialize=True),
         n=n,
         m_bits=int(m_bits),
         num_hashes=int(num_hashes),
@@ -1614,14 +1623,8 @@ def bloom_ngram_decontaminate_indexed(
     corpus batch pays one map-side bitset probe plus the exact
     equi-join on the surviving sliver."""
     c = _shingle_hashes(corpus_df, id_col, text_col, index.n, "c_id")
-    cand = (
-        c.crossJoin(F.broadcast(index.bitset))
-        .filter(
-            bloom_probe_col(
-                F.col("bloom"), F.col("g"), index.m_bits, index.num_hashes
-            )
-        )
-        .select("c_id", "g")
+    cand = bloom_prefilter(
+        c, "g", index.words, index.m_bits, index.num_hashes
     )
     return _ngram_match_core(index.grams, index.sizes, cand, int(min_hits))
 

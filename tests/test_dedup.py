@@ -884,41 +884,33 @@ class TestBloomNgramDecontaminate:
 
     def test_probe_has_no_false_negatives(self, spark):
         from jaccard_join_duckdb_spark.operators.dedup import (
-            bloom_bitset,
-            bloom_probe_col,
+            bloom_prefilter,
+            bloom_words,
         )
 
         m, k = 1 << 16, 7
         grams = spark.range(5000).select(
             (F.col("id") * 2654435761).alias("g")
         )
-        bitset = bloom_bitset(grams, "g", m, k)
-        n_pass = (
-            grams.crossJoin(F.broadcast(bitset))
-            .filter(bloom_probe_col(F.col("bloom"), F.col("g"), m, k))
-            .count()
-        )
+        words = bloom_words(grams, "g", m, k)
+        n_pass = bloom_prefilter(grams, "g", words, m, k).count()
         assert n_pass == 5000
 
     def test_probe_fpr_sane_on_disjoint_keys(self, spark):
         from jaccard_join_duckdb_spark.operators.dedup import (
-            bloom_bitset,
-            bloom_probe_col,
+            bloom_prefilter,
+            bloom_words,
         )
 
         m, k = 1 << 17, 7  # 5000 elems at ~26 bits/elem: fpr << 1e-3
         grams = spark.range(5000).select(
             (F.col("id") * 2654435761).alias("g")
         )
-        bitset = bloom_bitset(grams, "g", m, k)
+        words = bloom_words(grams, "g", m, k)
         other = spark.range(10_000_000, 10_050_000).select(
             (F.col("id") * 2654435761).alias("g")
         )
-        fp = (
-            other.crossJoin(F.broadcast(bitset))
-            .filter(bloom_probe_col(F.col("bloom"), F.col("g"), m, k))
-            .count()
-        )
+        fp = bloom_prefilter(other, "g", words, m, k).count()
         assert fp / 50_000 < 0.01
 
     def test_indexed_equals_plain(self, spark, documents):
@@ -978,8 +970,31 @@ class TestBloomNgramDecontaminate:
         )
 
     def test_m_bits_validation(self, spark):
-        from jaccard_join_duckdb_spark.operators.dedup import bloom_bitset
+        from jaccard_join_duckdb_spark.operators.dedup import bloom_words
 
         grams = spark.range(3).select(F.col("id").alias("g"))
         with pytest.raises(ValueError):
-            bloom_bitset(grams, "g", 100, 7)
+            bloom_words(grams, "g", 100, 7)
+
+    def test_probe_plan_is_shuffle_free(self, spark):
+        """The prefilter's value at 100 TB: corpus rows are filtered
+        where they are scanned — the probe plan's only exchanges are
+        the bounded word-table broadcasts, never a shuffle."""
+        from jaccard_join_duckdb_spark.operators.dedup import (
+            bloom_prefilter,
+            bloom_words,
+        )
+
+        m, k = 1 << 16, 7
+        grams = spark.range(1000).select(
+            (F.col("id") * 2654435761).alias("g")
+        )
+        words = bloom_words(grams, "g", m, k, materialize=True)
+        plan = (
+            bloom_prefilter(spark.range(100).select(F.col("id").alias("g")),
+                            "g", words, m, k)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

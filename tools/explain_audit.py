@@ -64,10 +64,6 @@ CROSS_OK = {
     "boilerplate_lines",
     # 1-row corpus-total-occurrences scalar attach (cum_frac divisor)
     "build_vocab",
-    # 1-row Bloom-bitset attach (array<bigint>, <=16 MB by cap):
-    # the broadcast prefilter that keeps non-matching corpus
-    # shingles out of the decontamination join's shuffle.
-    "decontaminate_bloom",
     # dense-grid construction: (day-anchored time buckets from a
     # 1-row min/max aggregate) x (distinct keys) — both metadata-
     # scale; the aggregated facts broadcast onto the grid by hash,

@@ -33,6 +33,12 @@
 #                        stay sort-merge in the no-stats-broadcast
 #                        regime; rows equal DuckDB on a real 260K-doc
 #                        corpus (the slowest gate, ~10 min)
+#   - bloom_bench:       Bloom-prefiltered decontamination == plain
+#                        on a 20K-item x 200K-doc synthetic leak
+#                        workload; probe plan shuffle-free while the
+#                        forced-no-broadcast plain join shuffles;
+#                        survivors < 5% of corpus shingles; word
+#                        table smaller than the raw key set
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -41,7 +47,8 @@ set -e
 cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench graph_bench \
-         dedup_recall_bench weighted_bench above_gate_bench; do
+         dedup_recall_bench weighted_bench above_gate_bench \
+         bloom_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done
