@@ -1086,6 +1086,22 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=3, min_count=2)
 
 
+def q_heavy_ngrams_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (operators/sketch.py
+    heavy_hitters): word trigrams occurring >= 4 times corpus-wide,
+    EXACT counts — the sketch (bounded depth x width counters, never
+    an undercount) drops the long tail map-side before any shuffle,
+    and only the surviving head takes the exact groupBy; the oracle
+    is therefore the plain ngram-counts SQL with min_count=4. The
+    boilerplate-discovery shape where the key space is corpus-sized
+    but only the head matters."""
+    from jaccard_join_duckdb_spark.operators.sketch import heavy_ngrams
+
+    return heavy_ngrams(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=4
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined decontamination verdict table: set-containment ⋈
     verbatim-8-gram hits with a both/set_only/ngram_only verdict per
@@ -1866,7 +1882,10 @@ _GATED = [
     "jaccard_self_ws",
     "evaluate_metrics",
     # --- round-6 wave-2 operators (first driver rows) ---
-    "text_normalize",
+    # text_normalize demoted r9 (signed r7+r8; pure scalar-function
+    # query, family covered by text_stats/c4_rules) to admit the new
+    # CMS heavy-hitter gate on its first declaration.
+    "heavy_ngrams_cms",
     "dedup_lines_in_doc",
     "chunk_documents",
     "c4_rules",
@@ -1976,6 +1995,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_search_many": q_phrase_search_many,
         "ngram_counts": q_ngram_counts,
+        "heavy_ngrams_cms": q_heavy_ngrams_cms,
         "text_lm_score": q_text_lm_score,
         "text_lm_score_backoff": q_text_lm_score_backoff,
         "text_ppl_buckets": q_text_ppl_buckets,
@@ -2419,6 +2439,12 @@ from orders group by 1
         ),
         "ngram_counts": oracle_ext.ngram_counts_sql(
             "documents", "doc_id", "text", n=3, min_count=2
+        ),
+        # CMS prefilter never undercounts and survivors take an exact
+        # count, so the oracle is the PLAIN counts SQL at the gate's
+        # threshold.
+        "heavy_ngrams_cms": oracle_ext.ngram_counts_sql(
+            "documents", "doc_id", "text", n=3, min_count=4
         ),
         "text_lm_score": oracle_ext.lm_score_sql(
             "documents", "doc_id", "text", n=2, k=1.0

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "build_vocab",
     "corpus_diff",
     "ngram_counts",
+    "heavy_ngrams_cms",
     "text_bm25_topk",
     "events_hourly",
     "events_pivot",

@@ -883,6 +883,23 @@ def ngram_counts(
     the shuffle, so skew is bounded by distinct-gram cardinality per
     partition, not occurrence counts.
     """
+    out = (
+        ngram_explode(df, id_col, text_col, n)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_count") >= int(min_count))
+    return out
+
+
+def ngram_explode(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One ``(ngram)`` row per word-``n``-gram OCCURRENCE (space-
+    joined string; n-grams never cross document boundaries) — the
+    shared pre-aggregation frame of :func:`ngram_counts` and the
+    sketch-based heavy-hitter path (operators/sketch.py)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from ..tokenizers import _ensure_parallelism
@@ -898,14 +915,7 @@ def ngram_counts(
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = (
-        df.select(F.explode(shingles).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n_count"))
-    )
-    if min_count > 1:
-        out = out.filter(F.col("n_count") >= int(min_count))
-    return out
+    return df.select(F.explode(shingles).alias("ngram"))
 
 
 def lm_score(

@@ -1656,14 +1656,19 @@ def connected_components(
     a min-combine groupBy with map-side partial aggregation — the
     standard hash-min CC used by large dedup pipelines. Labels are
     ``localCheckpoint()``-ed every round so the plan depth stays O(1)
-    instead of O(rounds), and convergence is a driver-side scalar
-    count per round (the reference's own discipline of scalar-count
-    actions, SURVEY.md §2.5 A4). For graphs with whale components at
-    cluster scale, ``algorithm='two_phase'`` runs large-star/
-    small-star (Kiveris et al.), which converges in O(log n) rounds
-    regardless of diameter and never funnels a whale component's
-    labels through one reducer; for dedup edge sets the diameter
-    argument makes hash-min the cheaper plan, so it stays the default.
+    instead of O(rounds). Each round is ONE Spark job: a LAZY
+    checkpoint whose first action is the convergence aggregate —
+    labels are monotone non-increasing (the min includes the node's
+    own label), so the exact ``sum(comp)`` (decimal(38,0), no
+    overflow) strictly decreases until fixpoint and sum-equality ⟺
+    zero label changes; this replaces the former eager-checkpoint job
+    PLUS new⋈old changed-count join job per round. For graphs with
+    whale components at cluster scale, ``algorithm='two_phase'`` runs
+    large-star/small-star (Kiveris et al.), which converges in
+    O(log n) rounds regardless of diameter and never funnels a whale
+    component's labels through one reducer; for dedup edge sets the
+    diameter argument makes hash-min the cheaper plan, so it stays
+    the default.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
@@ -1677,9 +1682,12 @@ def connected_components(
         return out
     if algorithm != "hash_min":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     labels = (
         e.select("u").distinct().select("u", F.col("u").alias("comp"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # The seed aggregate doubles as the checkpoint materialization.
+    prev_sum = labels.agg(_label_sum).collect()[0]["s"]
     for _ in range(max_iterations):
         offered = e.join(labels, "u").select(
             F.col("v").alias("u"), "comp"
@@ -1688,18 +1696,14 @@ def connected_components(
             offered.union(labels)
             .groupBy("u")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "u")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        cur_sum = new_labels.agg(_label_sum).collect()[0]["s"]
         old = labels
         labels = new_labels
         old.unpersist()
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # Fail loud: returning intermediate labels would silently
         # misassign clusters (and diverge from the exact recursive-CTE
@@ -1709,7 +1713,7 @@ def connected_components(
         e.unpersist()
         raise RuntimeError(
             f"connected_components(hash_min) did not converge within "
-            f"{max_iterations} rounds ({changed} labels still moving); "
+            f"{max_iterations} rounds (labels still moving); "
             "raise max_iterations or use algorithm='two_phase' "
             "(O(log n) rounds regardless of diameter)"
         )

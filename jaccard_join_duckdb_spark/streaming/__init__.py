@@ -19,6 +19,7 @@ __all__ = [
     "asof_join_stream",
     "decontaminate_stream",
     "decontaminate_ngram_stream",
+    "decontaminate_bloom_stream",
     "dedup_stream",
     "embed_near_dedup_stream",
     "gopher_rules_stream",
@@ -471,6 +472,54 @@ def decontaminate_ngram_stream(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         sink(
             ngram_decontaminate_indexed(
+                index, batch_df, id_col, text_col, min_hits
+            ),
+            epoch_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontaminate_bloom_stream(
+    stream_docs: DataFrame,
+    benchmark_df: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    trigger_available_now: bool = True,
+):
+    """:func:`decontaminate_ngram_stream` behind the broadcast Bloom
+    word-table prefilter (:func:`..operators.dedup.bloom_ngram_index`)
+    — identical matches (the filter has no false negatives), for the
+    regime where the benchmark suite's raw shingle set outgrows
+    broadcast budgets: per micro-batch, every ingest shingle is
+    probed MAP-SIDE against the materialized word table and only the
+    surviving sliver reaches the exact equi-join, so per-batch
+    shuffle volume tracks the leak rate instead of the batch size.
+
+    The index (persisted shingles + localCheckpoint-ed word table) is
+    built ONCE up front; batches add no cache footprint. Matches are
+    per-document → micro-batch boundaries cannot change results.
+
+    ``sink(matches_df, epoch_id)`` receives each batch's
+    ``(q_id, c_id, n_hits, q_ngrams, hit_frac)``. Returns the started
+    StreamingQuery.
+    """
+    from ..operators.dedup import (
+        bloom_ngram_decontaminate_indexed,
+        bloom_ngram_index,
+    )
+
+    index = bloom_ngram_index(benchmark_df, id_col, text_col, n)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            bloom_ngram_decontaminate_indexed(
                 index, batch_df, id_col, text_col, min_hits
             ),
             epoch_id,

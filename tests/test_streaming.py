@@ -575,6 +575,48 @@ def test_decontaminate_ngram_stream_equals_batch(spark, tmp_path):
     assert len(_persisted_rdd_ids(spark) - baseline) == 2
 
 
+def test_decontaminate_bloom_stream_equals_batch(spark, tmp_path):
+    """The Bloom-prefiltered streaming variant: per-batch matches
+    union to the PLAIN one-shot batch result (the prefilter has no
+    false negatives), with a flat per-epoch cache footprint — exactly
+    the 3 one-time index frames (grams + sizes + the localCheckpoint-
+    ed word table, which registers as a persisted RDD) above
+    baseline, regardless of epoch count."""
+    from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import decontaminate_bloom_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 40 == 0)
+    training = docs.filter(F.col("doc_id") % 40 != 0)
+    want = sorted(map(tuple, ngram_decontaminate(
+        benchmark, training, "doc_id", "text", n=8
+    ).collect()))
+    assert want
+
+    stream_dir = str(tmp_path / "training_stream_bloom")
+    training.repartition(3).write.parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    baseline = _persisted_rdd_ids(spark)
+    got, per_epoch = [], []
+
+    def sink(df, epoch):
+        got.extend(map(tuple, df.collect()))
+        per_epoch.append(len(_persisted_rdd_ids(spark) - baseline))
+
+    q = decontaminate_bloom_stream(stream, benchmark, sink=sink, n=8)
+    q.awaitTermination()
+    assert sorted(got) == want
+    assert len(per_epoch) >= 3 and len(set(per_epoch)) == 1, per_epoch
+    assert len(_persisted_rdd_ids(spark) - baseline) == 3
+
+
 def test_stateless_sampling_ops_work_on_streams(spark, tmp_path):
     """mix-shape row filters are STATELESS column expressions, so the
     same operators apply unchanged to a streaming DataFrame — and,
