@@ -255,7 +255,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(
         _docs(spark, sf_dir), "doc_id", "text", T_MINHASH
     )
-    return connected_components(pairs, "l_id", "r_id").select(
+    return connected_components(
+        pairs, "l_id", "r_id", dedup_edges=False
+    ).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 
@@ -272,7 +274,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_near_duplicates(docs, "doc_id", "text", T_MINHASH)
-    comps = connected_components(pairs, "l_id", "r_id")
+    # minhash pairs are distinct and one-directional: skip the edge
+    # dedup shuffle (hash-min is correct under duplicates regardless)
+    comps = connected_components(pairs, "l_id", "r_id", dedup_edges=False)
     kept = keep_cluster_representatives(
         docs, "doc_id", comps, score=F.length(F.col("text"))
     )

@@ -140,6 +140,8 @@ def curate_corpus(
     labels = connected_components(
         pairs, "l_id", "r_id",
         max_iterations=cc_max_iterations, algorithm=cc_algorithm,
+        # minhash pairs are distinct and one-directional
+        dedup_edges=False,
     )
     losers = labels.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
@@ -159,6 +161,8 @@ def curate_corpus(
         elabels = connected_components(
             epairs, "l_id", "r_id",
             max_iterations=cc_max_iterations, algorithm=cc_algorithm,
+            # banded-LSH pairs are distinct and one-directional
+            dedup_edges=False,
         )
         elosers = elabels.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias(id_col)

@@ -89,6 +89,12 @@ __all__ = [
 
 MERSENNE31 = 2147483647
 
+# connected_components: broadcast the per-round label table into the
+# edge join when the (constant) node count proves it bounded — ~16 B
+# a row, so 2M labels ≈ 32 MB, the same budget class as the jaccard
+# verification attach gate. Above the cap the sort-merge stays.
+_CC_BROADCAST_MAX_LABELS = 2_000_000
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -1639,6 +1645,7 @@ def connected_components(
     dst: str = "r_id",
     max_iterations: int = 50,
     algorithm: str = "hash_min",
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """``(id, comp)`` for every node appearing in ``edges``, where
     ``comp`` is the smallest node id in the node's connected component
@@ -1671,11 +1678,17 @@ def connected_components(
     the default.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if dedup_edges:
+        # Hash-min is CORRECT under duplicate edges (duplicate
+        # messages don't change a min) — the distinct is a
+        # performance choice that shrinks the persisted edge list
+        # when the input carries heavy multi-edges. Near-dup pair
+        # generators emit distinct one-directional pairs, so those
+        # callers skip this full 2×|E| shuffle with
+        # ``dedup_edges=False``.
+        e = e.distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     if algorithm == "two_phase":
         out = _cc_two_phase(e, max_iterations)
         e.unpersist()
@@ -1686,10 +1699,27 @@ def connected_components(
     labels = (
         e.select("u").distinct().select("u", F.col("u").alias("comp"))
     ).localCheckpoint(eager=False)
-    # The seed aggregate doubles as the checkpoint materialization.
-    prev_sum = labels.agg(_label_sum).collect()[0]["s"]
+    # The seed aggregate doubles as the checkpoint materialization;
+    # the node count (constant across rounds) feeds the label-
+    # broadcast gate below.
+    seed = labels.agg(_label_sum, F.count(F.lit(1)).alias("n")).collect()[0]
+    prev_sum, n_nodes = seed["s"], seed["n"]
     for _ in range(max_iterations):
-        offered = e.join(labels, "u").select(
+        # Checkpointed labels are a leaf RDD whose size Catalyst (and
+        # AQE, which only measures shuffle stages) cannot see, so the
+        # labels ⋈ edges join would default to sort-merge — re-sorting
+        # the persisted edge list EVERY round. When the driver-known
+        # node count proves the label table bounded, hint the
+        # broadcast: the round becomes a map-side pass over the
+        # persisted edges plus one partial-aggregated message shuffle.
+        # Above the cap (~32 MB of labels) the sort-merge IS the right
+        # BSP plan at corpus scale.
+        lab = (
+            F.broadcast(labels)
+            if n_nodes <= _CC_BROADCAST_MAX_LABELS
+            else labels
+        )
+        offered = e.join(lab, "u").select(
             F.col("v").alias("u"), "comp"
         )
         new_labels = (
