@@ -581,15 +581,25 @@ def test_decontaminate_bloom_stream_equals_batch(spark, tmp_path):
     false negatives), with a flat per-epoch cache footprint — exactly
     the 3 one-time index frames (grams + sizes + the localCheckpoint-
     ed word table, which registers as a persisted RDD) above
-    baseline, regardless of epoch count."""
+    baseline, regardless of epoch count.
+
+    ``% 47`` — a benchmark plan UNIQUE to this test (the ``% 53``
+    lesson from the decontaminate-stream cache test, round 8): the
+    ``% 40`` split's shingle plans are persisted by earlier
+    test_dedup.py bloom tests and the ngram-stream test, and
+    CacheManager aliases an identical ``persist()`` plan to the
+    EXISTING pre-baseline entry — grams/sizes would then never appear
+    as new RDD ids and the footprint asserts would count only the
+    word-table checkpoint (observed: 1, not 3, in full-suite order;
+    green when the file ran alone)."""
     from jaccard_join_duckdb_spark.operators.dedup import ngram_decontaminate
     from jaccard_join_duckdb_spark.sources import load_table
     from jaccard_join_duckdb_spark.streaming import decontaminate_bloom_stream
     from tests.conftest import SF_SMALL
 
     docs = load_table(spark, SF_SMALL, "documents")
-    benchmark = docs.filter(F.col("doc_id") % 40 == 0)
-    training = docs.filter(F.col("doc_id") % 40 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 47 == 0)
+    training = docs.filter(F.col("doc_id") % 47 != 0)
     want = sorted(map(tuple, ngram_decontaminate(
         benchmark, training, "doc_id", "text", n=8
     ).collect()))
