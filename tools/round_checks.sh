@@ -39,6 +39,11 @@
 #                        forced-no-broadcast plain join shuffles;
 #                        survivors < 5% of corpus shingles; word
 #                        table smaller than the raw key set
+#   - stream_bench:      streaming ingest stays FLAT as state grows:
+#                        per-trigger wall tail/middle <= 1.8 across
+#                        20 dedup_stream triggers (state -> 150K
+#                        fingerprints) and 10 static-index near-dup
+#                        triggers; stream union == batch twin both
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -48,7 +53,7 @@ cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench graph_bench \
          dedup_recall_bench weighted_bench above_gate_bench \
-         bloom_bench; do
+         bloom_bench stream_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done

@@ -1,0 +1,340 @@
+"""Streaming sustained-throughput and flat-latency evidence —
+exit-gated.
+
+The streaming wrappers (`jaccard_join_duckdb_spark.streaming`) carry
+stream==batch equality and checkpoint-recovery tests, but until this
+tool there was no evidence for the property an unbounded 100 TB
+ingest actually depends on: **per-micro-batch latency stays FLAT as
+cumulative state grows**. A stateful operator whose per-batch cost
+creeps with the number of batches already processed (state rescans,
+index re-aggregation, cache leaks) is fine in a 3-batch unit test and
+dead after a week of ingest — exactly the failure class a unit test
+cannot see and this bench gates.
+
+Workloads (deterministic, synthesized in-plan — no RNG; written once
+as one parquet file per micro-batch, streamed with
+``maxFilesPerTrigger=1`` + ``availableNow``):
+
+1. ``dedup_stream`` — stateful ``dropDuplicates`` exact dedup.
+   ``N_DEDUP`` docs, 25% exact duplicates (doc ids ≡ 3 mod 4 repeat
+   the text of id-3), shuffled across ``NB_DEDUP`` batches by hash so
+   duplicate pairs routinely straddle batch boundaries. State grows
+   to ~0.75×N fingerprints by the final trigger.
+2. ``near_dedup_stream`` — per-batch MinHash-LSH match against a
+   STATIC prebuilt index (`minhash_index` over ``N_INDEX`` corpus
+   docs; every 5th query doc embeds a near-copy of an indexed doc, so
+   matches exist at a realistic rate). The index is the design's
+   whole point: per-batch work must touch only the batch.
+
+Exit-code-gated invariants:
+
+1. EQUALITY — (a) the union of streamed dedup survivors carries each
+   fingerprint EXACTLY once and the fingerprint set equals the batch
+   twin's (``dedup_stream`` on a static frame); (b) the union of
+   per-batch near-dup matches equals ``minhash_match`` of the whole
+   query frame (batch boundaries cannot change per-document results).
+2. FLATNESS — for each workload, mean wall of the LAST 3 triggers
+   ≤ ``FLAT_CAP`` × mean wall of the post-warmup middle triggers.
+   Linear state-rescan growth over ≥10 uniform batches would show a
+   tail/middle ratio ≥ ~1.9 even before constant overheads are
+   subtracted; leaks compound worse. 1.8 passes GC/noise, fails
+   growth.
+3. PROGRESS SANITY — every trigger processed ≥ 1 row and the number
+   of timed triggers matches the file count (rate limiting actually
+   split the input; a single mega-batch would gate nothing).
+
+Throughput (rows/s end-to-end per workload) is REPORTED, not gated —
+wall-clock on a shared sandbox is not a contract, the flatness ratio
+is.
+
+Usage: python tools/stream_bench.py [n_dedup] [n_query]
+Prints one JSON line; exit 0 iff all gates hold. Results recorded in
+BENCHMARKS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+VOCAB = 30_000
+DOC_TOKENS = 30
+NB_DEDUP = 20
+NB_NEAR = 10
+N_INDEX = 20_000
+FLAT_CAP = 1.8
+WARMUP = 3  # triggers excluded from the flatness baseline
+
+
+def _synth_text(seed_col, n_tokens: int, salt: int):
+    """Token i of a doc is ``w<xxhash64(seed, i, salt) mod VOCAB>`` —
+    fully in-plan, deterministic (same scheme as bloom_bench)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(seed_col, i, F.lit(salt)), F.lit(VOCAB)
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+
+
+def _write_batches(df, path: str, batch_col: str, nb: int) -> None:
+    """One parquet file per micro-batch under ``path`` (coalesce(1)
+    per slice — the file IS the trigger unit with
+    maxFilesPerTrigger=1)."""
+    for b in range(nb):
+        (
+            df.filter(F.col(batch_col) == b)
+            .drop(batch_col)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def _run_stream(spark, path: str, transform_or_none, sink, schema) -> list:
+    """Stream ``path`` one file per trigger; returns sink-entry
+    timestamps (monotonic). ``transform_or_none`` maps the streaming
+    frame (None = identity) before the foreachBatch sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    if transform_or_none is not None:
+        stream = transform_or_none(stream)
+    ticks: list[float] = []
+
+    def _process(batch_df, epoch_id):
+        sink(batch_df, epoch_id)
+        ticks.append(time.monotonic())
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ticks
+
+
+def _walls(ticks: list[float], t0: float) -> list[float]:
+    return [b - a for a, b in zip([t0, *ticks[:-1]], ticks)]
+
+
+def _flat(walls: list[float]) -> tuple[float, float, float]:
+    """(middle_mean, tail_mean, ratio) over post-warmup walls."""
+    mid = walls[WARMUP:-3]
+    tail = walls[-3:]
+    mid_mean = sum(mid) / len(mid)
+    tail_mean = sum(tail) / len(tail)
+    return mid_mean, tail_mean, tail_mean / mid_mean
+
+
+def main() -> int:
+    n_dedup = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_query = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    from jaccard_join_duckdb_spark import get_spark
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_index,
+        minhash_match,
+    )
+    from jaccard_join_duckdb_spark.streaming import (
+        dedup_stream,
+        near_dedup_stream,
+    )
+
+    spark = get_spark(
+        app_name="stream-bench",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    out: dict = {"metric": "stream_bench", "unit": "rows_per_sec"}
+    fails: list[str] = []
+
+    try:
+        # ---------------- workload 1: stateful exact dedup ----------
+        # 25% duplicates: ids ≡ 3 (mod 4) repeat the text of id-3.
+        dedup_docs = spark.range(n_dedup).select(
+            F.col("id").alias("doc_id"),
+            _synth_text(
+                F.when(F.col("id") % 4 == 3, F.col("id") - 3).otherwise(
+                    F.col("id")
+                ),
+                DOC_TOKENS,
+                1,
+            ).alias("text"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(NB_DEDUP)).alias("__b"),
+        )
+        dpath = os.path.join(work, "dedup")
+        _write_batches(dedup_docs, dpath, "__b", NB_DEDUP)
+        schema = spark.read.parquet(dpath).schema
+
+        seen: dict[str, int] = {}
+        dup_emits = [0]
+
+        def dedup_sink(batch_df, epoch_id):
+            for r in batch_df.select("fingerprint").collect():
+                if r["fingerprint"] in seen:
+                    dup_emits[0] += 1
+                seen[r["fingerprint"]] = seen.get(r["fingerprint"], 0) + 1
+
+        t0 = time.monotonic()
+        ticks = _run_stream(
+            spark,
+            dpath,
+            lambda s: dedup_stream(s, "doc_id", "text"),
+            dedup_sink,
+            schema,
+        )
+        dedup_wall = ticks[-1] - t0
+        walls = _walls(ticks, t0)
+        batch_fps = {
+            r["fingerprint"]
+            for r in dedup_stream(
+                spark.read.parquet(dpath), "doc_id", "text"
+            ).select("fingerprint").collect()
+        }
+        mid, tail, ratio = _flat(walls)
+        out["dedup"] = {
+            "rows": n_dedup,
+            "triggers": len(ticks),
+            "rows_per_sec": round(n_dedup / dedup_wall, 1),
+            "wall_s": round(dedup_wall, 3),
+            "mid_epoch_s": round(mid, 3),
+            "tail_epoch_s": round(tail, 3),
+            "flat_ratio": round(ratio, 3),
+            "distinct_fps": len(seen),
+        }
+        if len(ticks) != NB_DEDUP:
+            fails.append(f"dedup: {len(ticks)} triggers != {NB_DEDUP} files")
+        if dup_emits[0]:
+            fails.append(f"dedup: {dup_emits[0]} fingerprints emitted twice")
+        if set(seen) != batch_fps:
+            fails.append(
+                f"dedup: stream fp set ({len(seen)}) != batch twin "
+                f"({len(batch_fps)})"
+            )
+        if ratio > FLAT_CAP:
+            fails.append(f"dedup: flat_ratio {ratio:.2f} > {FLAT_CAP}")
+
+        # ---------------- workload 2: static-index near-dup ---------
+        corpus = spark.range(N_INDEX).select(
+            F.col("id").alias("doc_id"),
+            _synth_text(F.col("id"), DOC_TOKENS, 2).alias("text"),
+        )
+        index = minhash_index(corpus, "doc_id", "text")
+        index.band_sigs.count()  # build before the clock starts
+
+        # Every 5th query doc near-copies indexed doc (id/5 mod
+        # N_INDEX): same token stream, one token swapped — Jaccard
+        # 29/31 ≈ 0.935, above threshold. Others are fresh text.
+        near = F.concat(
+            _synth_text(
+                F.pmod(F.floor(F.col("id") / 5), F.lit(N_INDEX)),
+                DOC_TOKENS - 1,
+                2,
+            ),
+            F.lit(" zz"),
+            F.col("id").cast("string"),
+        )
+        qdocs = spark.range(n_query).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.when(F.col("id") % 5 == 0, near)
+            .otherwise(_synth_text(F.col("id"), DOC_TOKENS, 3))
+            .alias("text"),
+            F.pmod(F.xxhash64("id", F.lit(11)), F.lit(NB_NEAR)).alias("__b"),
+        )
+        qpath = os.path.join(work, "near")
+        _write_batches(qdocs, qpath, "__b", NB_NEAR)
+        qschema = spark.read.parquet(qpath).schema
+
+        got_pairs: set[tuple[int, int]] = set()
+
+        def near_sink(batch_df, epoch_id):
+            for r in batch_df.select("q_id", "c_id").collect():
+                got_pairs.add((r["q_id"], r["c_id"]))
+
+        t0 = time.monotonic()
+        stream = (
+            spark.readStream.schema(qschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qpath)
+        )
+        q = near_dedup_stream(
+            stream, index, near_sink, "doc_id", "text", threshold=0.8
+        )
+        # near_dedup_stream owns the writer; time triggers via the
+        # sink-observed progress instead.
+        q.awaitTermination()
+        near_wall = time.monotonic() - t0
+        raw = [
+            p if isinstance(p, dict) else json.loads(
+                p.json if isinstance(getattr(p, "json", None), str)
+                else p.json()
+            )
+            for p in q.recentProgress
+        ]
+        prog = [
+            (p["durationMs"]["triggerExecution"] / 1000.0,
+             p["numInputRows"])
+            for p in raw
+        ]
+        nwalls = [w for w, n in prog if n > 0]
+        want_pairs = {
+            (r["q_id"], r["c_id"])
+            for r in minhash_match(
+                spark.read.parquet(qpath), index, "doc_id", "text", 0.8
+            ).select("q_id", "c_id").collect()
+        }
+        nmid, ntail, nratio = _flat(nwalls)
+        out["near_dedup"] = {
+            "rows": n_query,
+            "triggers": len(nwalls),
+            "rows_per_sec": round(n_query / near_wall, 1),
+            "wall_s": round(near_wall, 3),
+            "mid_epoch_s": round(nmid, 3),
+            "tail_epoch_s": round(ntail, 3),
+            "flat_ratio": round(nratio, 3),
+            "match_pairs": len(got_pairs),
+        }
+        if len(nwalls) != NB_NEAR:
+            fails.append(f"near: {len(nwalls)} triggers != {NB_NEAR} files")
+        if got_pairs != want_pairs:
+            fails.append(
+                f"near: stream pairs ({len(got_pairs)}) != batch twin "
+                f"({len(want_pairs)})"
+            )
+        if not got_pairs:
+            fails.append("near: zero matches — workload degenerate")
+        if nratio > FLAT_CAP:
+            fails.append(f"near: flat_ratio {nratio:.2f} > {FLAT_CAP}")
+
+        index.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out["pass"] = not fails
+    if fails:
+        out["fails"] = fails
+    print(json.dumps(out))
+    return 0 if not fails else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
