@@ -33,6 +33,7 @@ __all__ = [
     "read_event_stream",
     "run_stream_to_memory",
     "running_user_totals",
+    "self_near_dedup_stream",
     "sessionize",
 ]
 
@@ -323,6 +324,134 @@ def near_dedup_stream(
         sink(
             minhash_match(batch_df, index, id_col, text_col, threshold),
             epoch_id,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def self_near_dedup_stream(
+    stream_docs: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    tokenizer=None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    trigger_available_now: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming near-SELF-deduplication — the crawl-dedup shape with
+    no reference corpus: every micro-batch is MinHash-LSH matched
+    WITHIN itself and against the accumulated signatures of every
+    prior batch, then its own signatures and token arrays JOIN that
+    state. The union of per-batch emissions equals the one-shot
+    :func:`..operators.dedup.minhash_near_duplicates` over the full
+    ingest (same tokenizer/hashes/bands/seed ⇒ identical LSH
+    candidates; verification is the same exact set overlap and
+    rounding): pairs are oriented ``l_id < r_id`` and each unordered
+    pair surfaces exactly once — in the batch where its LATER
+    document arrives (both-in-batch pairs in that shared batch).
+
+    State design: a flat union of per-batch ``localCheckpoint``
+    leaves, two per batch (band signatures, token arrays) — plan
+    depth stays O(1) across epochs and nothing is ever recomputed.
+    Each trigger probes the state with the BATCH side broadcast, so
+    the accumulated state is scanned map-side where it sits and
+    never shuffles; per-trigger cost is O(|batch|) work plus a
+    memory-speed scan of the state leaves (inherently growing — this
+    is self-dedup, every prior document stays relevant). For an
+    unbounded ingest whose state outgrows in-session scans, persist
+    the accumulation as bucketed catalog tables instead
+    (:func:`..operators.dedup.write_minhash_index` layout) so bucket
+    pruning replaces the scan; this wrapper keeps the in-session
+    shape the tests and bench can pin exactly.
+
+    ``sink(pairs_df, epoch_id)`` receives each batch's
+    ``(l_id, r_id, jaccard)``. Returns the started StreamingQuery.
+    """
+    from .. import WhitespaceTokzr
+    from ..operators.dedup import (
+        _jaccard_threshold_filter,
+        _minhash_band_sigs,
+        _token_sets,
+    )
+
+    tok = tokenizer or WhitespaceTokzr()
+    state: dict = {"sigs": None, "arrs": None}
+
+    def _arr_side(arrs: DataFrame, side: str) -> DataFrame:
+        return arrs.select(
+            F.col("id").alias(f"{side}id"), F.col("arr").alias(f"{side}a")
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = _token_sets(batch_df, id_col, text_col, tok)
+        sigs = _minhash_band_sigs(toks, num_hashes, bands, seed)
+        arrs = toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
+        # Eager localCheckpoint: computed once, then BOTH this
+        # trigger's joins and every later trigger's state scans read
+        # the materialized leaves.
+        sigs = sigs.localCheckpoint()
+        arrs = arrs.localCheckpoint()
+
+        B, B2 = sigs.alias("B"), sigs.alias("B2")
+        cands = B.join(
+            B2,
+            (F.col("B.band") == F.col("B2.band"))
+            & (F.col("B.sig") == F.col("B2.sig"))
+            & (F.col("B.id") < F.col("B2.id")),
+        ).select(F.col("B.id").alias("lid"), F.col("B2.id").alias("rid"))
+        if state["sigs"] is not None:
+            P, N = state["sigs"].alias("P"), F.broadcast(sigs).alias("N")
+            prior = P.join(
+                N,
+                (F.col("P.band") == F.col("N.band"))
+                & (F.col("P.sig") == F.col("N.sig"))
+                & (F.col("P.id") != F.col("N.id")),
+            ).select(
+                F.least(F.col("P.id"), F.col("N.id")).alias("lid"),
+                F.greatest(F.col("P.id"), F.col("N.id")).alias("rid"),
+            )
+            cands = cands.unionByName(prior)
+        cands = cands.distinct()
+
+        all_arrs = (
+            arrs
+            if state["arrs"] is None
+            else state["arrs"].unionByName(arrs)
+        )
+        ov = (
+            cands.join(_arr_side(all_arrs, "l"), "lid")
+            .join(_arr_side(all_arrs, "r"), "rid")
+            .select(
+                "lid",
+                "rid",
+                F.size(F.array_intersect("la", "ra")).alias("ov"),
+                F.size("la").alias("lsz"),
+                F.size("ra").alias("rsz"),
+            )
+            .filter(F.col("ov") >= 1)
+        )
+        out = _jaccard_threshold_filter(ov, threshold).select(
+            F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
+        )
+        sink(out, epoch_id)
+        state["sigs"] = (
+            sigs
+            if state["sigs"] is None
+            else state["sigs"].unionByName(sigs)
+        )
+        state["arrs"] = (
+            arrs
+            if state["arrs"] is None
+            else state["arrs"].unionByName(arrs)
         )
 
     writer = stream_docs.writeStream.foreachBatch(_process)

@@ -371,6 +371,74 @@ def test_interval_join_watermark_guard(spark):
     interval_join(df, df, upper="1 hour 30 minutes", watermark="30 minutes")
 
 
+def test_self_near_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming near-SELF dedup (the crawl shape — no reference
+    corpus): the union of per-batch emissions (within-batch pairs +
+    batch-vs-prior-state pairs) equals the one-shot
+    minhash_near_duplicates over the full ingest, each unordered pair
+    surfacing exactly once; the cache footprint grows by exactly the
+    TWO localCheckpoint leaves (band signatures, token arrays) per
+    epoch. Batches are explicit ``doc_id % 3`` slices written as one
+    file each, and two synthetic near-dup pairs are engineered onto
+    the slices — one straddling batches 0/1, one inside batch 0 — so
+    both emission paths are provably exercised, not left to the
+    corpus's accidental layout."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import self_near_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    a = " ".join(f"qq{i}" for i in range(30))
+    a2 = " ".join(f"qq{i}" for i in range(29)) + " zzx"
+    b = " ".join(f"rr{i}" for i in range(30))
+    b2 = " ".join(f"rr{i}" for i in range(29)) + " zzy"
+    extra = spark.createDataFrame(
+        # 900000 % 3 == 0, 900001 % 3 == 1 → cross-batch pair;
+        # 900003 / 900006 both ≡ 0 → within-batch pair.
+        [(900000, a), (900001, a2), (900003, b), (900006, b2)],
+        "doc_id bigint, text string",
+    )
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .unionByName(extra)
+    )
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    pairs = {(l, r) for (l, r, _) in want}
+    assert (900000, 900001) in pairs and (900003, 900006) in pairs
+
+    src = tmp_path / "self_nd_stream"
+    for k in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    baseline = _persisted_rdd_ids(spark)
+    got, per_epoch = [], []
+
+    def sink(df, epoch):
+        got.extend(map(tuple, df.collect()))
+        per_epoch.append(len(_persisted_rdd_ids(spark) - baseline))
+
+    q = self_near_dedup_stream(stream, sink, threshold=0.9)
+    q.awaitTermination()
+    assert len(got) == len(set(got))  # each unordered pair ONCE
+    assert sorted(got) == want
+    # exactly 2 new checkpointed leaves per epoch, nothing else
+    assert per_epoch == [2 * (i + 1) for i in range(len(per_epoch))]
+    assert len(per_epoch) == 3
+
+
 def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
     """Streaming embedding near-dup against a static banded-LSH
     index: the union of per-micro-batch matches must equal the
