@@ -346,6 +346,7 @@ def self_near_dedup_stream(
     seed: int = 42,
     trigger_available_now: bool = True,
     checkpoint_dir: str | None = None,
+    bootstrap_df: DataFrame | None = None,
 ):
     """Streaming near-SELF-deduplication — the crawl-dedup shape with
     no reference corpus: every micro-batch is MinHash-LSH matched
@@ -373,6 +374,19 @@ def self_near_dedup_stream(
     pruning replaces the scan; this wrapper keeps the in-session
     shape the tests and bench can pin exactly.
 
+    Recovery contract: ``checkpoint_dir`` makes a restarted query
+    resume from the committed source offsets (committed batches are
+    not re-delivered), but the accumulated signature state lives in
+    THIS wrapper, not in the checkpoint — a bare restart would match
+    new batches against EMPTY state and silently lose every
+    cross-phase pair. Pass ``bootstrap_df`` = the documents already
+    ingested (the sink's durable output, or the committed source
+    prefix) and the wrapper seeds the state from them before the
+    first new trigger; bootstrap docs are never re-matched among
+    themselves (only batch-vs-state and batch-vs-batch joins run),
+    so nothing committed is re-emitted — pinned by the
+    kill-and-resume test in tests/test_streaming.py.
+
     ``sink(pairs_df, epoch_id)`` receives each batch's
     ``(l_id, r_id, jaccard)``. Returns the started StreamingQuery.
     """
@@ -385,6 +399,16 @@ def self_near_dedup_stream(
 
     tok = tokenizer or WhitespaceTokzr()
     state: dict = {"sigs": None, "arrs": None}
+    if bootstrap_df is not None:
+        btoks = _token_sets(bootstrap_df, id_col, text_col, tok)
+        state["sigs"] = _minhash_band_sigs(
+            btoks, num_hashes, bands, seed
+        ).localCheckpoint()
+        state["arrs"] = (
+            btoks.groupBy("id")
+            .agg(F.collect_list("token").alias("arr"))
+            .localCheckpoint()
+        )
 
     def _arr_side(arrs: DataFrame, side: str) -> DataFrame:
         return arrs.select(

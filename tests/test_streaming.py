@@ -439,6 +439,72 @@ def test_self_near_dedup_stream_equals_batch(spark, tmp_path):
     assert len(per_epoch) == 3
 
 
+def test_self_near_dedup_stream_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-resume for the SELF-dedup stream: the accumulated
+    signature state lives in the wrapper, not the checkpoint, so a
+    restart must be seeded with ``bootstrap_df`` = the already-
+    committed documents. Drain half the files with a checkpointed
+    query, let it terminate, drop the rest in, and start a NEW query
+    on the SAME checkpoint with the phase-1 docs as bootstrap:
+    committed batches must not re-deliver, bootstrap docs must never
+    re-match among themselves (no duplicate emissions), and the union
+    across phases must equal the one-shot batch self near-dup —
+    including the cross-PHASE pairs that a bare restart would lose."""
+    import os
+    import shutil
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import self_near_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    assert len(want) > 0
+
+    staged = str(tmp_path / "staged_snd")
+    docs.repartition(4).write.parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 4
+    source = tmp_path / "source_snd"
+    source.mkdir()
+    ckpt = str(tmp_path / "ckpt_snd")
+    schema = spark.read.parquet(staged).schema
+    got: list[tuple] = []
+
+    def drain(bootstrap):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(source))
+        )
+        q = self_near_dedup_stream(
+            stream,
+            sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+            threshold=0.9,
+            checkpoint_dir=ckpt,
+            bootstrap_df=bootstrap,
+        )
+        q.awaitTermination()
+
+    first, second = files[:2], files[2:]
+    for f in first:
+        shutil.copy(f"{staged}/{f}", source / f)
+    drain(bootstrap=None)  # phase 1: fresh state
+    n_phase1 = len(got)
+    assert 0 < n_phase1 < len(want)
+
+    for f in second:
+        shutil.copy(f"{staged}/{f}", source / f)
+    committed = spark.read.parquet(*[f"{staged}/{f}" for f in first])
+    drain(bootstrap=committed)  # phase 2: resume, state re-seeded
+    assert len(got) > n_phase1
+    assert len(got) == len(set(got))  # nothing re-emitted
+    assert sorted(got) == want
+
+
 def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
     """Streaming embedding near-dup against a static banded-LSH
     index: the union of per-micro-batch matches must equal the
