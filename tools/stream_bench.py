@@ -25,6 +25,17 @@ as one parquet file per micro-batch, streamed with
    docs; every 5th query doc embeds a near-copy of an indexed doc, so
    matches exist at a realistic rate). The index is the design's
    whole point: per-batch work must touch only the batch.
+3. ``self_near_dedup_stream`` — near-SELF dedup of the ingest (no
+   reference corpus): each batch vs all prior state + within batch.
+   Here per-trigger cost legitimately GROWS (every batch scans the
+   accumulated signature leaves — self-dedup keeps every prior
+   document relevant), so this workload is NOT flat-gated; its
+   trigger walls are REPORTED so the growth curve is on the record
+   (map-side memory-speed scan, no shuffle — see the operator
+   docstring for the bucketed-catalog layout that replaces the scan
+   at unbounded scale). Gated: union == one-shot
+   minhash_near_duplicates over the full ingest, each unordered pair
+   exactly once.
 
 Exit-code-gated invariants:
 
@@ -152,10 +163,12 @@ def main() -> int:
     from jaccard_join_duckdb_spark.operators.dedup import (
         minhash_index,
         minhash_match,
+        minhash_near_duplicates,
     )
     from jaccard_join_duckdb_spark.streaming import (
         dedup_stream,
         near_dedup_stream,
+        self_near_dedup_stream,
     )
 
     spark = get_spark(
@@ -326,6 +339,73 @@ def main() -> int:
             fails.append(f"near: flat_ratio {nratio:.2f} > {FLAT_CAP}")
 
         index.unpersist()
+
+        # ---------------- workload 3: near-SELF dedup ---------------
+        # n_self docs, ~20% near-copies of an earlier ORIGINAL doc
+        # (id-1 ≡ 4 mod 5 is never itself a copy), hashed across
+        # NB_NEAR batches so pairs straddle triggers.
+        n_self = n_query // 2
+        near_self = F.concat(
+            _synth_text(F.col("id") - 1, DOC_TOKENS - 1, 4),
+            F.lit(" zs"),
+            F.col("id").cast("string"),
+        )
+        sdocs = spark.range(n_self).select(
+            F.col("id").alias("doc_id"),
+            F.when((F.col("id") % 5 == 0) & (F.col("id") >= 5), near_self)
+            .otherwise(_synth_text(F.col("id"), DOC_TOKENS, 4))
+            .alias("text"),
+            F.pmod(F.xxhash64("id", F.lit(13)), F.lit(NB_NEAR)).alias("__b"),
+        )
+        spath = os.path.join(work, "self")
+        _write_batches(sdocs, spath, "__b", NB_NEAR)
+        sschema = spark.read.parquet(spath).schema
+
+        self_pairs: list[tuple[int, int]] = []
+        sticks: list[float] = []
+
+        def self_sink(batch_df, epoch_id):
+            self_pairs.extend(
+                (r["l_id"], r["r_id"])
+                for r in batch_df.select("l_id", "r_id").collect()
+            )
+            sticks.append(time.monotonic())
+
+        t0 = time.monotonic()
+        sstream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spath)
+        )
+        q = self_near_dedup_stream(sstream, self_sink, threshold=0.8)
+        q.awaitTermination()
+        self_wall = sticks[-1] - t0
+        swalls = _walls(sticks, t0)
+        want_self = {
+            (r["l_id"], r["r_id"])
+            for r in minhash_near_duplicates(
+                spark.read.parquet(spath), "doc_id", "text", 0.8
+            ).select("l_id", "r_id").collect()
+        }
+        out["self_near_dedup"] = {
+            "rows": n_self,
+            "triggers": len(sticks),
+            "rows_per_sec": round(n_self / self_wall, 1),
+            "wall_s": round(self_wall, 3),
+            "epoch_walls_s": [round(w, 3) for w in swalls],
+            "match_pairs": len(self_pairs),
+        }
+        if len(sticks) != NB_NEAR:
+            fails.append(f"self: {len(sticks)} triggers != {NB_NEAR} files")
+        if len(self_pairs) != len(set(self_pairs)):
+            fails.append("self: a pair was emitted more than once")
+        if set(self_pairs) != want_self:
+            fails.append(
+                f"self: stream pairs ({len(set(self_pairs))}) != batch twin "
+                f"({len(want_self)})"
+            )
+        if not self_pairs:
+            fails.append("self: zero matches — workload degenerate")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
