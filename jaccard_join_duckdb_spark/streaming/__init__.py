@@ -347,6 +347,7 @@ def self_near_dedup_stream(
     trigger_available_now: bool = True,
     checkpoint_dir: str | None = None,
     bootstrap_df: DataFrame | None = None,
+    state_table: str | None = None,
 ):
     """Streaming near-SELF-deduplication — the crawl-dedup shape with
     no reference corpus: every micro-batch is MinHash-LSH matched
@@ -376,16 +377,35 @@ def self_near_dedup_stream(
 
     Recovery contract: ``checkpoint_dir`` makes a restarted query
     resume from the committed source offsets (committed batches are
-    not re-delivered), but the accumulated signature state lives in
+    not re-delivered), but the in-session signature state lives in
     THIS wrapper, not in the checkpoint — a bare restart would match
     new batches against EMPTY state and silently lose every
-    cross-phase pair. Pass ``bootstrap_df`` = the documents already
-    ingested (the sink's durable output, or the committed source
-    prefix) and the wrapper seeds the state from them before the
-    first new trigger; bootstrap docs are never re-matched among
-    themselves (only batch-vs-state and batch-vs-batch joins run),
-    so nothing committed is re-emitted — pinned by the
-    kill-and-resume test in tests/test_streaming.py.
+    cross-phase pair. Two remedies, pinned by kill-and-resume tests
+    in tests/test_streaming.py:
+
+    - ``bootstrap_df`` (in-session state): pass the documents already
+      ingested (the sink's durable output, or the committed source
+      prefix) and the wrapper seeds the state from them before the
+      first new trigger; bootstrap docs are never re-matched among
+      themselves (only batch-vs-state and batch-vs-batch joins run),
+      so nothing committed is re-emitted.
+    - ``state_table`` (durable state — the unbounded-ingest shape):
+      state lives in the session catalog as ``{state_table}_sigs`` /
+      ``{state_table}_arrs``, PARTITIONED BY the batch epoch. Each
+      trigger probes only ``__epoch < current`` (its own or a crashed
+      attempt's partial rows are invisible), emits to the sink, then
+      idempotently overwrites exactly its own epoch partition
+      (dynamic partition overwrite) — so a batch replayed after a
+      crash rewrites the same partitions instead of doubling state.
+      A restarted query on the same checkpoint needs NO bootstrap:
+      the state is already in the catalog, and epoch ids continue
+      from the checkpoint (which is why ``state_table`` REQUIRES
+      ``checkpoint_dir`` — without it a restart would renumber epochs
+      from 0 and overwrite live partitions). The sink itself keeps
+      foreachBatch's standard at-least-once contract: the one batch
+      in flight at a crash is re-delivered once.
+      ``bootstrap_df`` composes: when the tables don't exist yet it
+      is written as epoch ``-1``.
 
     ``sink(pairs_df, epoch_id)`` receives each batch's
     ``(l_id, r_id, jaccard)``. Returns the started StreamingQuery.
@@ -398,32 +418,83 @@ def self_near_dedup_stream(
     )
 
     tok = tokenizer or WhitespaceTokzr()
-    state: dict = {"sigs": None, "arrs": None}
-    if bootstrap_df is not None:
-        btoks = _token_sets(bootstrap_df, id_col, text_col, tok)
-        state["sigs"] = _minhash_band_sigs(
-            btoks, num_hashes, bands, seed
-        ).localCheckpoint()
-        state["arrs"] = (
-            btoks.groupBy("id")
-            .agg(F.collect_list("token").alias("arr"))
-            .localCheckpoint()
+    if state_table is not None and checkpoint_dir is None:
+        raise ValueError(
+            "state_table requires checkpoint_dir: without committed "
+            "offsets a restart renumbers epochs from 0 and the dynamic "
+            "partition overwrite would clobber live state partitions"
         )
+    state: dict = {"sigs": None, "arrs": None}
+
+    def _sig_arr(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = _token_sets(df, id_col, text_col, tok)
+        return (
+            _minhash_band_sigs(toks, num_hashes, bands, seed),
+            toks.groupBy("id").agg(F.collect_list("token").alias("arr")),
+        )
+
+    def _write_epoch(df: DataFrame, table: str, epoch: int) -> None:
+        """Idempotently (over)write exactly this epoch's partition."""
+        spark = df.sparkSession
+        out = df.withColumn("__epoch", F.lit(int(epoch)))
+        if not spark.catalog.tableExists(table):
+            out.write.partitionBy("__epoch").saveAsTable(table)
+            return
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(table)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    if state_table is None:
+        if bootstrap_df is not None:
+            bsigs, barrs = _sig_arr(bootstrap_df)
+            state["sigs"] = bsigs.localCheckpoint()
+            state["arrs"] = barrs.localCheckpoint()
 
     def _arr_side(arrs: DataFrame, side: str) -> DataFrame:
         return arrs.select(
             F.col("id").alias(f"{side}id"), F.col("arr").alias(f"{side}a")
         )
 
+    def _state_frames(spark, epoch_id: int):
+        """(prior_sigs, prior_arrs) this trigger may match against —
+        ``None`` when there is no prior state yet."""
+        if state_table is None:
+            return state["sigs"], state["arrs"]
+        sig_t, arr_t = f"{state_table}_sigs", f"{state_table}_arrs"
+        # The sigs table is always written LAST (per epoch and at
+        # bootstrap), so its existence implies a complete state write;
+        # a crash between the two writes leaves only arrs rows, which
+        # the __epoch filter and the epoch re-write both handle.
+        if not spark.catalog.tableExists(sig_t):
+            if bootstrap_df is not None:
+                bsigs, barrs = _sig_arr(bootstrap_df)
+                _write_epoch(barrs, arr_t, -1)
+                _write_epoch(bsigs, sig_t, -1)
+            else:
+                return None, None
+        lt = F.col("__epoch") < F.lit(int(epoch_id))
+        return (
+            spark.table(sig_t).filter(lt).drop("__epoch"),
+            spark.table(arr_t).filter(lt).drop("__epoch"),
+        )
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = _token_sets(batch_df, id_col, text_col, tok)
-        sigs = _minhash_band_sigs(toks, num_hashes, bands, seed)
-        arrs = toks.groupBy("id").agg(F.collect_list("token").alias("arr"))
+        sigs, arrs = _sig_arr(batch_df)
         # Eager localCheckpoint: computed once, then BOTH this
-        # trigger's joins and every later trigger's state scans read
-        # the materialized leaves.
+        # trigger's joins and (in-session mode) every later trigger's
+        # state scans read the materialized leaves.
         sigs = sigs.localCheckpoint()
         arrs = arrs.localCheckpoint()
+        prior_sigs, prior_arrs = _state_frames(
+            batch_df.sparkSession, epoch_id
+        )
 
         B, B2 = sigs.alias("B"), sigs.alias("B2")
         cands = B.join(
@@ -432,8 +503,8 @@ def self_near_dedup_stream(
             & (F.col("B.sig") == F.col("B2.sig"))
             & (F.col("B.id") < F.col("B2.id")),
         ).select(F.col("B.id").alias("lid"), F.col("B2.id").alias("rid"))
-        if state["sigs"] is not None:
-            P, N = state["sigs"].alias("P"), F.broadcast(sigs).alias("N")
+        if prior_sigs is not None:
+            P, N = prior_sigs.alias("P"), F.broadcast(sigs).alias("N")
             prior = P.join(
                 N,
                 (F.col("P.band") == F.col("N.band"))
@@ -448,8 +519,8 @@ def self_near_dedup_stream(
 
         all_arrs = (
             arrs
-            if state["arrs"] is None
-            else state["arrs"].unionByName(arrs)
+            if prior_arrs is None
+            else prior_arrs.unionByName(arrs)
         )
         ov = (
             cands.join(_arr_side(all_arrs, "l"), "lid")
@@ -467,16 +538,20 @@ def self_near_dedup_stream(
             F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
         )
         sink(out, epoch_id)
-        state["sigs"] = (
-            sigs
-            if state["sigs"] is None
-            else state["sigs"].unionByName(sigs)
-        )
-        state["arrs"] = (
-            arrs
-            if state["arrs"] is None
-            else state["arrs"].unionByName(arrs)
-        )
+        if state_table is not None:
+            _write_epoch(arrs, f"{state_table}_arrs", epoch_id)
+            _write_epoch(sigs, f"{state_table}_sigs", epoch_id)
+        else:
+            state["sigs"] = (
+                sigs
+                if state["sigs"] is None
+                else state["sigs"].unionByName(sigs)
+            )
+            state["arrs"] = (
+                arrs
+                if state["arrs"] is None
+                else state["arrs"].unionByName(arrs)
+            )
 
     writer = stream_docs.writeStream.foreachBatch(_process)
     if checkpoint_dir is not None:

@@ -505,6 +505,100 @@ def test_self_near_dedup_stream_checkpoint_recovery(spark, tmp_path):
     assert sorted(got) == want
 
 
+def test_self_near_dedup_stream_durable_state_recovery(spark, tmp_path):
+    """Durable-state mode: signatures live in epoch-partitioned
+    catalog tables, so a restart on the same checkpoint needs NO
+    bootstrap — the state is already in the catalog and epoch ids
+    continue from the checkpoint. Drain half the files, terminate,
+    drop the rest in, restart with only (checkpoint_dir, state_table):
+    union across phases == the one-shot batch self near-dup including
+    cross-phase pairs, nothing re-emitted, and the state tables hold
+    one partition per epoch with no duplicated document rows (the
+    dynamic-overwrite idempotency invariant)."""
+    import os
+    import shutil
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import self_near_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    import pytest
+
+    (tmp_path / "empty_src").mkdir()
+    with pytest.raises(ValueError, match="state_table requires"):
+        self_near_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                str(tmp_path / "empty_src")
+            ),
+            sink=lambda df, e: None,
+            state_table="snd_invalid",
+        )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    assert len(want) > 0
+
+    staged = str(tmp_path / "staged_snd_d")
+    docs.repartition(4).write.parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 4
+    source = tmp_path / "source_snd_d"
+    source.mkdir()
+    ckpt = str(tmp_path / "ckpt_snd_d")
+    schema = spark.read.parquet(staged).schema
+    got: list[tuple] = []
+    tbl = "snd_state_rt"
+    try:
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(source))
+            )
+            q = self_near_dedup_stream(
+                stream,
+                sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+                threshold=0.9,
+                checkpoint_dir=ckpt,
+                state_table=tbl,
+            )
+            q.awaitTermination()
+
+        first, second = files[:2], files[2:]
+        for f in first:
+            shutil.copy(f"{staged}/{f}", source / f)
+        drain()  # phase 1
+        n_phase1 = len(got)
+        assert 0 < n_phase1 < len(want)
+
+        for f in second:
+            shutil.copy(f"{staged}/{f}", source / f)
+        drain()  # phase 2: NO bootstrap — state is in the catalog
+        assert len(got) > n_phase1
+        assert len(got) == len(set(got))  # nothing re-emitted
+        assert sorted(got) == want
+
+        # state-table invariants: one partition per epoch, each doc
+        # exactly once in arrs, epochs continue across the restart
+        arrs = spark.table(f"{tbl}_arrs")
+        epochs = sorted(
+            r["__epoch"] for r in arrs.select("__epoch").distinct().collect()
+        )
+        assert epochs == [0, 1, 2, 3]
+        assert arrs.count() == docs.count()
+        assert (
+            arrs.groupBy("id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        spark.sql(f"drop table if exists {tbl}_sigs")
+        spark.sql(f"drop table if exists {tbl}_arrs")
+
+
 def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
     """Streaming embedding near-dup against a static banded-LSH
     index: the union of per-micro-batch matches must equal the
