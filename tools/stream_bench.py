@@ -35,7 +35,11 @@ as one parquet file per micro-batch, streamed with
    docstring for the bucketed-catalog layout that replaces the scan
    at unbounded scale). Gated: union == one-shot
    minhash_near_duplicates over the full ingest, each unordered pair
-   exactly once.
+   exactly once. Runs twice — in-session state (localCheckpoint
+   leaves) and DURABLE state (epoch-partitioned catalog tables +
+   checkpoint) — both equality-gated against the same batch twin, so
+   the durability overhead (two table writes per trigger) is on the
+   record as the wall delta between the runs.
 
 Exit-code-gated invariants:
 
@@ -361,51 +365,68 @@ def main() -> int:
         _write_batches(sdocs, spath, "__b", NB_NEAR)
         sschema = spark.read.parquet(spath).schema
 
-        self_pairs: list[tuple[int, int]] = []
-        sticks: list[float] = []
-
-        def self_sink(batch_df, epoch_id):
-            self_pairs.extend(
-                (r["l_id"], r["r_id"])
-                for r in batch_df.select("l_id", "r_id").collect()
-            )
-            sticks.append(time.monotonic())
-
-        t0 = time.monotonic()
-        sstream = (
-            spark.readStream.schema(sschema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(spath)
-        )
-        q = self_near_dedup_stream(sstream, self_sink, threshold=0.8)
-        q.awaitTermination()
-        self_wall = sticks[-1] - t0
-        swalls = _walls(sticks, t0)
         want_self = {
             (r["l_id"], r["r_id"])
             for r in minhash_near_duplicates(
                 spark.read.parquet(spath), "doc_id", "text", 0.8
             ).select("l_id", "r_id").collect()
         }
-        out["self_near_dedup"] = {
-            "rows": n_self,
-            "triggers": len(sticks),
-            "rows_per_sec": round(n_self / self_wall, 1),
-            "wall_s": round(self_wall, 3),
-            "epoch_walls_s": [round(w, 3) for w in swalls],
-            "match_pairs": len(self_pairs),
-        }
-        if len(sticks) != NB_NEAR:
-            fails.append(f"self: {len(sticks)} triggers != {NB_NEAR} files")
-        if len(self_pairs) != len(set(self_pairs)):
-            fails.append("self: a pair was emitted more than once")
-        if set(self_pairs) != want_self:
-            fails.append(
-                f"self: stream pairs ({len(set(self_pairs))}) != batch twin "
-                f"({len(want_self)})"
+
+        def _run_self(tag: str, **kw):
+            self_pairs: list[tuple[int, int]] = []
+            sticks: list[float] = []
+
+            def self_sink(batch_df, epoch_id):
+                self_pairs.extend(
+                    (r["l_id"], r["r_id"])
+                    for r in batch_df.select("l_id", "r_id").collect()
+                )
+                sticks.append(time.monotonic())
+
+            t0 = time.monotonic()
+            sstream = (
+                spark.readStream.schema(sschema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(spath)
             )
-        if not self_pairs:
-            fails.append("self: zero matches — workload degenerate")
+            q = self_near_dedup_stream(
+                sstream, self_sink, threshold=0.8, **kw
+            )
+            q.awaitTermination()
+            wall = sticks[-1] - t0
+            out[tag] = {
+                "rows": n_self,
+                "triggers": len(sticks),
+                "rows_per_sec": round(n_self / wall, 1),
+                "wall_s": round(wall, 3),
+                "epoch_walls_s": [round(w, 3) for w in _walls(sticks, t0)],
+                "match_pairs": len(self_pairs),
+            }
+            if len(sticks) != NB_NEAR:
+                fails.append(
+                    f"{tag}: {len(sticks)} triggers != {NB_NEAR} files"
+                )
+            if len(self_pairs) != len(set(self_pairs)):
+                fails.append(f"{tag}: a pair was emitted more than once")
+            if set(self_pairs) != want_self:
+                fails.append(
+                    f"{tag}: stream pairs ({len(set(self_pairs))}) != "
+                    f"batch twin ({len(want_self)})"
+                )
+            if not self_pairs:
+                fails.append(f"{tag}: zero matches — workload degenerate")
+
+        _run_self("self_near_dedup")
+        tbl = "stream_bench_snd_state"
+        try:
+            _run_self(
+                "self_near_dedup_durable",
+                checkpoint_dir=os.path.join(work, "snd_ckpt"),
+                state_table=tbl,
+            )
+        finally:
+            spark.sql(f"drop table if exists {tbl}_sigs")
+            spark.sql(f"drop table if exists {tbl}_arrs")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
