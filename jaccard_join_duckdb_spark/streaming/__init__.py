@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join_stream",
+    "compact_self_dedup_state",
     "decontaminate_stream",
     "decontaminate_ngram_stream",
     "decontaminate_bloom_stream",
@@ -559,6 +560,42 @@ def self_near_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_self_dedup_state(spark, state_table: str) -> None:
+    """Compact a :func:`self_near_dedup_stream` durable state pair
+    (``{state_table}_sigs`` / ``{state_table}_arrs``) into a single
+    ``__epoch = -1`` partition each.
+
+    Why: the stream writes one partition per trigger, so a long-lived
+    ingest accumulates one small-file set per epoch — harmless for
+    correctness (the probe filter is ``__epoch < current``) but a
+    classic file-count/listing cost at 10K+ triggers. Compaction
+    folds everything into the bootstrap epoch, which every future
+    trigger's filter still includes, so FUTURE epochs (all strictly
+    greater than -1) probe exactly the same state.
+
+    Contract: compact only after a CLEAN termination (the
+    ``availableNow`` drain returned — every delivered epoch's offsets
+    are committed) and before the next start. After a crash, restart
+    the stream FIRST and let the in-flight epoch replay, then
+    compact: compacting between crash and restart would fold the
+    replayed epoch's own uncommitted rows into ``-1``, and its
+    re-write at the original epoch id would then double those
+    documents in state. The rewrite is also read-materialize-
+    overwrite, not atomic against a concurrent trigger's write.
+    """
+    for suffix in ("_arrs", "_sigs"):
+        t = f"{state_table}{suffix}"
+        # Materialize off the table before overwriting it (the plan
+        # would otherwise read the files it is replacing).
+        flat = (
+            spark.table(t)
+            .drop("__epoch")
+            .withColumn("__epoch", F.lit(-1))
+            .localCheckpoint()
+        )
+        flat.write.mode("overwrite").partitionBy("__epoch").saveAsTable(t)
 
 
 def embed_near_dedup_stream(

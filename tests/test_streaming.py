@@ -599,6 +599,86 @@ def test_self_near_dedup_stream_durable_state_recovery(spark, tmp_path):
         spark.sql(f"drop table if exists {tbl}_arrs")
 
 
+def test_self_near_dedup_stream_state_compaction(spark, tmp_path):
+    """compact_self_dedup_state between cleanly-drained phases: the
+    per-epoch partitions fold into __epoch=-1 without changing a
+    single emission — phase 2 probes the compacted state, the union
+    across phases still equals the one-shot batch self near-dup, and
+    the final state holds exactly {-1} ∪ {post-compaction epochs}
+    with every document exactly once."""
+    import os
+    import shutil
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import (
+        compact_self_dedup_state,
+        self_near_dedup_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    assert len(want) > 0
+
+    staged = str(tmp_path / "staged_snd_c")
+    docs.repartition(4).write.parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    source = tmp_path / "source_snd_c"
+    source.mkdir()
+    ckpt = str(tmp_path / "ckpt_snd_c")
+    schema = spark.read.parquet(staged).schema
+    got: list[tuple] = []
+    tbl = "snd_state_compact"
+    try:
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(source))
+            )
+            q = self_near_dedup_stream(
+                stream,
+                sink=lambda df, epoch: got.extend(map(tuple, df.collect())),
+                threshold=0.9,
+                checkpoint_dir=ckpt,
+                state_table=tbl,
+            )
+            q.awaitTermination()
+
+        for f in files[:2]:
+            shutil.copy(f"{staged}/{f}", source / f)
+        drain()
+        compact_self_dedup_state(spark, tbl)
+        arrs = spark.table(f"{tbl}_arrs")
+        assert [
+            r["__epoch"]
+            for r in arrs.select("__epoch").distinct().collect()
+        ] == [-1]
+
+        for f in files[2:]:
+            shutil.copy(f"{staged}/{f}", source / f)
+        drain()
+        assert len(got) == len(set(got))
+        assert sorted(got) == want
+        arrs = spark.table(f"{tbl}_arrs")
+        epochs = sorted(
+            r["__epoch"] for r in arrs.select("__epoch").distinct().collect()
+        )
+        assert epochs == [-1, 2, 3]
+        assert arrs.count() == docs.count()
+        assert (
+            arrs.groupBy("id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        spark.sql(f"drop table if exists {tbl}_sigs")
+        spark.sql(f"drop table if exists {tbl}_arrs")
+
+
 def test_embed_near_dedup_stream_equals_batch_match(spark, tmp_path):
     """Streaming embedding near-dup against a static banded-LSH
     index: the union of per-micro-batch matches must equal the
