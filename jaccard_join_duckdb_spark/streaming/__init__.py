@@ -406,7 +406,12 @@ def self_near_dedup_stream(
       foreachBatch's standard at-least-once contract: the one batch
       in flight at a crash is re-delivered once.
       ``bootstrap_df`` composes: when the tables don't exist yet it
-      is written as epoch ``-1``.
+      is written as epoch ``-1``. One read caveat: the stream writes
+      through its microbatch session clone, so ANOTHER session that
+      cached the tables' file listing before a replay rewrote them
+      must ``REFRESH TABLE`` before re-reading — standard
+      external-writer semantics; the wrapper's own per-trigger reads
+      live in the writing clone and always see their own writes.
 
     ``sink(pairs_df, epoch_id)`` receives each batch's
     ``(l_id, r_id, jaccard)``. Returns the started StreamingQuery.
@@ -451,6 +456,12 @@ def self_near_dedup_stream(
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+        # A REPLAYED epoch's dynamic overwrite replaces files in an
+        # existing partition; cached file listings would still name
+        # the old files and fail later reads (FAILED_READ_FILE).
+        # Appends of brand-new partitions don't strictly need this,
+        # but the refresh is cheap and removes the class.
+        spark.catalog.refreshTable(table)
 
     if state_table is None:
         if bootstrap_df is not None:
