@@ -353,12 +353,11 @@ def test_verify_attach_above_gate_fallback(documents, monkeypatch, tok):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # ratio 0 + stats floor 0: force the benefit gate OPEN on this
-        # tiny corpus so the gated phase actually hints (the real
-        # floor/ratio would decline sf0.001's small candidate stream —
-        # by design)
+        # ratio 0: force the benefit gate OPEN on this tiny corpus so
+        # the gated phase actually hints (the real ratio would decline
+        # sf0.001's small candidate stream — by design; no doc-count
+        # floor exists since round 10)
         monkeypatch.setattr(J, "_BROADCAST_VERIFY_MIN_RATIO", 0)
-        monkeypatch.setattr(J, "_GATE_STATS_MIN_DOCS", 0)
         gated = jaccard_self_join(documents, "doc_id", "text", tokenizer, 0.5)
         gated_plan = plan_of(gated)
         gated_pairs = pairs(gated)
