@@ -127,8 +127,15 @@ def main() -> None:
     qs = {**entry.queries(), **getattr(entry, "extra_queries", dict)()}
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    # Attribution guard (round 10, VERDICT r9 "What's missing" #3):
+    # with single-shot walls, a genuine plan regression and ambient
+    # session noise are indistinguishable in BENCH_rN.json. Recording
+    # min-of-n makes the headline robust; the variance map flags any
+    # query whose worst iteration exceeded 2x its best, so a reader
+    # knows which numbers carried load noise.
+    variance: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        best, n_rows = None, None
+        best, worst, n_rows = None, None, None
         # One untimed warm-up: the first execution of a plan shape pays
         # whole-stage-codegen JIT (2-3x on codegen-heavy queries) —
         # steady-state throughput is what the timed iterations measure.
@@ -143,17 +150,32 @@ def main() -> None:
             n_rows = qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {n_rows} rows in {timings[name]:.2f}s", file=sys.stderr)
+        if worst > 2 * best:
+            variance[name] = [round(best, 3), round(worst, 3)]
+        print(
+            f"# {name}: {n_rows} rows in {timings[name]:.2f}s"
+            f" (min of {iters}, max {worst:.2f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_wall_headline_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "iters": iters,
+        "agg": "min",
+    }
+    if variance:
+        # VARIANCE note: [min, max] per flagged query — these mins are
+        # still the best observed, but the session was loaded while
+        # they ran; re-measure before treating a delta as a regression.
+        out["variance"] = variance
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
