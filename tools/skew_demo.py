@@ -78,6 +78,7 @@ def main() -> int:
 
     from jaccard_join_duckdb_spark import WhitespaceTokzr, get_spark
     from jaccard_join_duckdb_spark.operators.jaccard import (
+        jaccard_inner_join,
         jaccard_self_join,
         tokens_with_doc_freq,
     )
@@ -131,6 +132,29 @@ def main() -> int:
     n_pairs = jaccard_self_join(small, "doc_id", "text", tok, 0.7).count()
     self_sec = round(time.perf_counter() - t0, 3)
 
+    # Inner (two-table) path under the same skew (round 10, VERDICT r9
+    # #3): per-side heavy-hitter split on the shared cross-table dfreq
+    # — same end-to-end join, split off vs explicit threshold, counts
+    # must be identical (output rows are plan-independent).
+    half = min(n_docs, 50_000)
+    l_docs = make_corpus(spark, half, vocab)
+    r_docs = make_corpus(spark, half, vocab).select(
+        (F.col("doc_id") + half).alias("doc_id"), "text"
+    )
+    t0 = time.perf_counter()
+    n_inner_base = jaccard_inner_join(
+        l_docs, r_docs, "doc_id", "doc_id", "text", "text", tok, 0.7,
+        hot_df_threshold=None,
+    ).count()
+    inner_base_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_inner_split = jaccard_inner_join(
+        l_docs, r_docs, "doc_id", "doc_id", "text", "text", tok, 0.7,
+        hot_df_threshold=max(2, half // 100),
+    ).count()
+    inner_split_sec = round(time.perf_counter() - t0, 3)
+    inner_rows_equal = n_inner_base == n_inner_split
+
     tokens.unpersist()
     print(json.dumps({
         "metric": "skew_demo",
@@ -141,12 +165,16 @@ def main() -> int:
         "tkdf_rows": n_base,
         "self_join_sec": self_sec,
         "self_join_pairs": n_pairs,
+        "inner_join_baseline_sec": inner_base_sec,
+        "inner_join_hot_split_sec": inner_split_sec,
+        "inner_join_rows_equal": inner_rows_equal,
+        "inner_join_pairs": n_inner_base,
         "n_docs": n_docs,
         "vocab": vocab,
         "hot_p": HOT_P,
         "hot_df_threshold": hot_thr,
     }))
-    return 0 if (rows_equal and not aqe_split) else 1
+    return 0 if (rows_equal and inner_rows_equal and not aqe_split) else 1
 
 
 if __name__ == "__main__":
