@@ -349,6 +349,7 @@ def self_near_dedup_stream(
     checkpoint_dir: str | None = None,
     bootstrap_df: DataFrame | None = None,
     state_table: str | None = None,
+    state_buckets: int | None = None,
 ):
     """Streaming near-SELF-deduplication — the crawl-dedup shape with
     no reference corpus: every micro-batch is MinHash-LSH matched
@@ -363,13 +364,16 @@ def self_near_dedup_stream(
     document arrives (both-in-batch pairs in that shared batch).
 
     State design: a flat union of per-batch ``localCheckpoint``
-    leaves, two per batch (band signatures, token arrays) — plan
-    depth stays O(1) across epochs and nothing is ever recomputed.
-    Each trigger probes the state with the BATCH side broadcast, so
-    the accumulated state is scanned map-side where it sits and
-    never shuffles; per-trigger cost is O(|batch|) work plus a
-    memory-speed scan of the state leaves (inherently growing — this
-    is self-dedup, every prior document stays relevant).
+    leaves, two per batch (band signatures, token arrays) — nothing
+    is ever recomputed (the leaves are materialized), though the
+    union PLAN itself grows with the epoch count (a left-deep tree of
+    2×epochs leaves re-planned each trigger — the measured cost of
+    that growth is in the mode-choice paragraph below). Each trigger
+    probes the state with the BATCH side broadcast, so the
+    accumulated state is scanned map-side where it sits and never
+    shuffles; per-trigger cost is O(|batch|) work plus a memory-speed
+    scan of the state leaves (inherently growing — this is
+    self-dedup, every prior document stays relevant).
 
     Choosing a state mode: the in-session union's per-trigger cost
     also grows with the LEAF COUNT (each trigger re-plans a union of
@@ -379,10 +383,31 @@ def self_near_dedup_stream(
     history, flat 0.85× over the same run — is already faster
     end-to-end (72.1 s vs 79.3 s) despite paying two table writes
     per trigger. Use in-session for short bounded drains (≲ 20
-    triggers), ``state_table`` for anything long-lived; at corpus
-    scale the same tables can be laid out bucketed
-    (:func:`..operators.dedup.write_minhash_index` layout) so bucket
-    pruning replaces the scan.
+    triggers), ``state_table`` for anything long-lived.
+
+    ``state_buckets`` (round 10, with ``state_table``): lay the state
+    tables out BUCKETED inside each epoch partition — sigs by
+    ``sig``, arrs by ``id``, the
+    :func:`..operators.dedup.write_minhash_index` layout — so the
+    VERIFICATION join stops shuffling state. In the plain layout the
+    per-trigger ``candidates ⋈ arrs`` join shuffles every accumulated
+    token array again on every trigger (the arrays are the WIDE rows
+    — at corpus scale that shuffle, not the scan, is the growth
+    term); bucketed, the state side is read pre-partitioned (zero
+    Exchange above its scan — plan-asserted in
+    tools/stream_bench.py) and only the trigger-sized candidate set
+    shuffles, with a shuffle-hash build on the candidate side so the
+    state is streamed through a hash probe without ever being sorted.
+    Per-trigger shuffle volume is then O(|batch| + |candidates|),
+    independent of state size; the residual growth term is the
+    colocated state scan itself, which is embarrassingly parallel
+    (and whose file count :func:`compact_self_dedup_state` folds
+    down). Honest limit: a scan-free point-lookup probe would need an
+    index outside Spark's native table formats — parquet IN-list
+    pushdown cannot carry batch-sized key sets (measured: a 2000-key
+    pushed filter overflows the planner stack; above
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` only a useless
+    [min,max] range is pushed).
 
     Recovery contract: ``checkpoint_dir`` makes a restarted query
     resume from the committed source offsets (committed batches are
@@ -393,11 +418,24 @@ def self_near_dedup_stream(
     in tests/test_streaming.py:
 
     - ``bootstrap_df`` (in-session state): pass the documents already
-      ingested (the sink's durable output, or the committed source
-      prefix) and the wrapper seeds the state from them before the
+      ingested and the wrapper seeds the state from them before the
       first new trigger; bootstrap docs are never re-matched among
       themselves (only batch-vs-state and batch-vs-batch joins run),
-      so nothing committed is re-emitted.
+      so nothing committed is re-emitted. "Already ingested" means
+      the COMMITS-log prefix (equivalently: docs whose pairs reached
+      the sink durably), never the offsets-log prefix — the one batch
+      in flight at a crash has its offsets written but no commit, and
+      Spark re-delivers it, so an offsets-prefix bootstrap would hold
+      that batch's docs AND see them replayed. As defense in depth
+      the wrapper anti-joins every batch against state ids before
+      matching or appending whenever ``bootstrap_df`` was given (the
+      only source of such overlap): a doc already in state is treated
+      as fully processed — its arr rows cannot double (which would
+      otherwise duplicate every future pair touching it, forever) and
+      its own pairs are not re-emitted. The guard turns the
+      wrong-prefix mistake from permanent state corruption into, at
+      worst, the in-flight batch's emissions being assumed already
+      durable.
     - ``state_table`` (durable state — the unbounded-ingest shape):
       state lives in the session catalog as ``{state_table}_sigs`` /
       ``{state_table}_arrs``, PARTITIONED BY the batch epoch. Each
@@ -438,6 +476,11 @@ def self_near_dedup_stream(
             "offsets a restart renumbers epochs from 0 and the dynamic "
             "partition overwrite would clobber live state partitions"
         )
+    if state_buckets is not None and state_table is None:
+        raise ValueError(
+            "state_buckets only applies to the durable state_table "
+            "layout (the in-session union has no table to bucket)"
+        )
     state: dict = {"sigs": None, "arrs": None}
 
     def _sig_arr(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -447,12 +490,24 @@ def self_near_dedup_stream(
             toks.groupBy("id").agg(F.collect_list("token").alias("arr")),
         )
 
-    def _write_epoch(df: DataFrame, table: str, epoch: int) -> None:
-        """Idempotently (over)write exactly this epoch's partition."""
+    def _write_epoch(
+        df: DataFrame, table: str, epoch: int, bucket_col: str
+    ) -> None:
+        """Idempotently (over)write exactly this epoch's partition.
+        Under ``state_buckets`` the table is created epoch-partitioned
+        AND bucketed+sorted on ``bucket_col`` (sigs by sig, arrs by
+        id); later epochs insertInto the same spec, so every epoch's
+        files land in the bucket layout and the probe join reads the
+        whole table pre-partitioned."""
         spark = df.sparkSession
         out = df.withColumn("__epoch", F.lit(int(epoch)))
         if not spark.catalog.tableExists(table):
-            out.write.partitionBy("__epoch").saveAsTable(table)
+            w = out.write.partitionBy("__epoch")
+            if state_buckets:
+                w = w.bucketBy(int(state_buckets), bucket_col).sortBy(
+                    bucket_col
+                )
+            w.saveAsTable(table)
             return
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, None)
@@ -495,8 +550,8 @@ def self_near_dedup_stream(
         if not spark.catalog.tableExists(sig_t):
             if bootstrap_df is not None:
                 bsigs, barrs = _sig_arr(bootstrap_df)
-                _write_epoch(barrs, arr_t, -1)
-                _write_epoch(bsigs, sig_t, -1)
+                _write_epoch(barrs, arr_t, -1, "id")
+                _write_epoch(bsigs, sig_t, -1, "sig")
             else:
                 return None, None
         lt = F.col("__epoch") < F.lit(int(epoch_id))
@@ -507,14 +562,26 @@ def self_near_dedup_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         sigs, arrs = _sig_arr(batch_df)
+        prior_sigs, prior_arrs = _state_frames(
+            batch_df.sparkSession, epoch_id
+        )
+        if bootstrap_df is not None and prior_arrs is not None:
+            # Bootstrap-overlap guard (ADVICE r9): a wrong-prefix
+            # bootstrap can hold the crash's in-flight batch, which
+            # Spark then replays — without this anti-join those docs'
+            # arr rows would exist twice (bootstrap + replay) and
+            # every future pair touching them would emit in duplicate
+            # forever. State is authoritative: a doc already in state
+            # is skipped here (its pairs are assumed durably emitted —
+            # see the docstring's bootstrap contract).
+            seen = prior_arrs.select("id")
+            sigs = sigs.join(seen, "id", "left_anti")
+            arrs = arrs.join(seen, "id", "left_anti")
         # Eager localCheckpoint: computed once, then BOTH this
         # trigger's joins and (in-session mode) every later trigger's
         # state scans read the materialized leaves.
         sigs = sigs.localCheckpoint()
         arrs = arrs.localCheckpoint()
-        prior_sigs, prior_arrs = _state_frames(
-            batch_df.sparkSession, epoch_id
-        )
 
         B, B2 = sigs.alias("B"), sigs.alias("B2")
         cands = B.join(
@@ -537,15 +604,59 @@ def self_near_dedup_stream(
             cands = cands.unionByName(prior)
         cands = cands.distinct()
 
-        all_arrs = (
-            arrs
-            if prior_arrs is None
-            else prior_arrs.unionByName(arrs)
-        )
+        if state_buckets and prior_arrs is not None:
+            # Bucketed verification attach: a union of (bucketed
+            # state ∪ batch) would erase the state's bucket
+            # partitioning and force BOTH sides of the attach join
+            # through an exchange — every accumulated token array
+            # re-shuffled per trigger, the plain layout's growth
+            # term. Instead each pair side is attached in two steps:
+            # a broadcast join against the trigger-sized batch arrs,
+            # then a join against the bucketed state arrs in which
+            # the state side is read PRE-PARTITIONED (zero Exchange
+            # above its scan — plan-asserted in tools/stream_bench.py)
+            # and the shuffle_hash hint builds the hash table on the
+            # candidate side, so state streams through a hash probe
+            # without ever being sorted or shuffled. Epochs are
+            # disjoint on id (replay overwrites its own partition;
+            # bootstrap overlap is anti-joined above), so exactly one
+            # of the two steps matches per side.
+            attached = cands
+            for side in ("l", "r"):
+                key = f"{side}id"
+                batch_side = F.broadcast(arrs.select(
+                    F.col("id").alias(key), F.col("arr").alias(f"{side}b")
+                ))
+                prior_side = prior_arrs.select(
+                    F.col("id").alias(key), F.col("arr").alias(f"{side}p")
+                )
+                attached = (
+                    attached.join(batch_side, key, "left")
+                    # hint sits directly under the state join so it
+                    # resolves to THAT join (not the broadcast one):
+                    # build side = the candidate stream, probe side =
+                    # the bucketed state scan
+                    .hint("shuffle_hash")
+                    .join(prior_side, key, "left")
+                    .withColumn(
+                        f"{side}a",
+                        F.coalesce(F.col(f"{side}b"), F.col(f"{side}p")),
+                    )
+                    .drop(f"{side}b", f"{side}p")
+                    .filter(F.col(f"{side}a").isNotNull())
+                )
+            ov_in = attached
+        else:
+            all_arrs = (
+                arrs
+                if prior_arrs is None
+                else prior_arrs.unionByName(arrs)
+            )
+            ov_in = cands.join(_arr_side(all_arrs, "l"), "lid").join(
+                _arr_side(all_arrs, "r"), "rid"
+            )
         ov = (
-            cands.join(_arr_side(all_arrs, "l"), "lid")
-            .join(_arr_side(all_arrs, "r"), "rid")
-            .select(
+            ov_in.select(
                 "lid",
                 "rid",
                 F.size(F.array_intersect("la", "ra")).alias("ov"),
@@ -559,8 +670,8 @@ def self_near_dedup_stream(
         )
         sink(out, epoch_id)
         if state_table is not None:
-            _write_epoch(arrs, f"{state_table}_arrs", epoch_id)
-            _write_epoch(sigs, f"{state_table}_sigs", epoch_id)
+            _write_epoch(arrs, f"{state_table}_arrs", epoch_id, "id")
+            _write_epoch(sigs, f"{state_table}_sigs", epoch_id, "sig")
         else:
             state["sigs"] = (
                 sigs
@@ -581,7 +692,9 @@ def self_near_dedup_stream(
     return writer.start()
 
 
-def compact_self_dedup_state(spark, state_table: str) -> None:
+def compact_self_dedup_state(
+    spark, state_table: str, num_buckets: int | None = None
+) -> None:
     """Compact a :func:`self_near_dedup_stream` durable state pair
     (``{state_table}_sigs`` / ``{state_table}_arrs``) into a single
     ``__epoch = -1`` partition each.
@@ -592,7 +705,10 @@ def compact_self_dedup_state(spark, state_table: str) -> None:
     classic file-count/listing cost at 10K+ triggers. Compaction
     folds everything into the bootstrap epoch, which every future
     trigger's filter still includes, so FUTURE epochs (all strictly
-    greater than -1) probe exactly the same state.
+    greater than -1) probe exactly the same state. Pass
+    ``num_buckets`` matching the stream's ``state_buckets`` to keep
+    the bucketed layout (and its shuffle-free probe) through the
+    rewrite; omit it for plainly-partitioned state.
 
     Contract: compact only after a CLEAN termination (the
     ``availableNow`` drain returned — every delivered epoch's offsets
@@ -601,20 +717,40 @@ def compact_self_dedup_state(spark, state_table: str) -> None:
     compact: compacting between crash and restart would fold the
     replayed epoch's own uncommitted rows into ``-1``, and its
     re-write at the original epoch id would then double those
-    documents in state. The rewrite is also read-materialize-
-    overwrite, not atomic against a concurrent trigger's write.
+    documents in state.
+
+    Crash safety (ADVICE r9): the compacted data is written to a
+    DURABLE temp table first ({t}__compact), and only then swapped in
+    via drop + rename — the original state files are never touched
+    until a complete replacement exists on disk. A crash during the
+    temp write leaves the state intact (the next attempt drops the
+    partial temp); a crash between the drop and the rename leaves the
+    full state under the ``__compact`` name — recover with
+    ``ALTER TABLE {t}__compact RENAME TO {t}``. The swap is still not
+    atomic against a CONCURRENT trigger's write (same contract as
+    above: compact only between runs).
     """
-    for suffix in ("_arrs", "_sigs"):
+    for suffix, bcol in (("_arrs", "id"), ("_sigs", "sig")):
         t = f"{state_table}{suffix}"
-        # Materialize off the table before overwriting it (the plan
-        # would otherwise read the files it is replacing).
+        tmp = f"{t}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         flat = (
             spark.table(t)
             .drop("__epoch")
             .withColumn("__epoch", F.lit(-1))
-            .localCheckpoint()
         )
-        flat.write.mode("overwrite").partitionBy("__epoch").saveAsTable(t)
+        w = flat.write.partitionBy("__epoch")
+        if num_buckets:
+            w = w.bucketBy(int(num_buckets), bcol).sortBy(bcol)
+        w.saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        # RENAME moves the data directory but drops the catalog's
+        # partition entries (a partitioned datasource-table quirk);
+        # repair re-discovers __epoch=-1 from the moved files. Also
+        # needed after the manual recovery rename documented above.
+        spark.sql(f"MSCK REPAIR TABLE {t}")
+        spark.catalog.refreshTable(t)
 
 
 def embed_near_dedup_stream(

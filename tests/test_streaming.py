@@ -1438,3 +1438,133 @@ def test_sessionize_checkpoint_state_recovery(spark, tmp_path):
     u12 = {r for r in got if r[0] in ("u1", "u2")}
     assert u12 == want, got
     assert len(got) == len(set(got)), got  # no replayed emissions
+
+
+def test_self_near_dedup_stream_bucketed_state_equals_batch(spark, tmp_path):
+    """Bucketed durable state (round 10, VERDICT r9 #5): with
+    state_buckets set, the stream's union of emissions still equals
+    the one-shot batch twin (each unordered pair once), the state
+    tables carry the bucket spec (sigs by sig, arrs by id), and
+    compaction with matching num_buckets preserves both the rows and
+    the bucketed layout."""
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import (
+        compact_self_dedup_state,
+        self_near_dedup_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    assert want
+
+    src = tmp_path / "self_nd_bucketed"
+    for k in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = []
+
+    def sink(df, epoch):
+        got.extend(map(tuple, df.collect()))
+
+    tbl = "snd_state_bucketed"
+    try:
+        q = self_near_dedup_stream(
+            stream,
+            sink,
+            threshold=0.9,
+            checkpoint_dir=str(tmp_path / "ckpt_snd_b"),
+            state_table=tbl,
+            state_buckets=4,
+        )
+        q.awaitTermination()
+        assert len(got) == len(set(got))
+        assert sorted(got) == want
+
+        def bucket_spec(t):
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+            return {r["col_name"]: r["data_type"] for r in rows}
+
+        sig_spec = bucket_spec(f"{tbl}_sigs")
+        arr_spec = bucket_spec(f"{tbl}_arrs")
+        assert sig_spec.get("Num Buckets") == "4"
+        assert "sig" in sig_spec.get("Bucket Columns", "")
+        assert arr_spec.get("Num Buckets") == "4"
+        assert "id" in arr_spec.get("Bucket Columns", "")
+
+        before = spark.table(f"{tbl}_arrs").drop("__epoch")
+        n_before = before.count()
+        compact_self_dedup_state(spark, tbl, num_buckets=4)
+        after_spec = bucket_spec(f"{tbl}_arrs")
+        assert after_spec.get("Num Buckets") == "4"
+        arrs = spark.table(f"{tbl}_arrs")
+        assert [
+            r["__epoch"] for r in arrs.select("__epoch").distinct().collect()
+        ] == [-1]
+        assert arrs.count() == n_before
+    finally:
+        for suffix in ("_sigs", "_arrs"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}__compact")
+
+
+def test_self_near_dedup_stream_bootstrap_overlap_guard(spark):
+    """ADVICE r9 (medium): a bootstrap_df that wrongly includes the
+    crash's in-flight batch (offsets-prefix instead of commits-prefix)
+    must NOT double state — the batch anti-join treats state as
+    authoritative, so the overlapping docs are skipped, no pair is
+    emitted twice, and pairs between genuinely-new docs and the
+    overlapped docs still surface exactly once."""
+    from jaccard_join_duckdb_spark.streaming import self_near_dedup_stream
+    from jaccard_join_duckdb_spark.streaming import run_stream_to_memory  # noqa: F401
+
+    a = " ".join(f"qq{i}" for i in range(30))
+    a2 = " ".join(f"qq{i}" for i in range(29)) + " zzx"
+    a3 = " ".join(f"qq{i}" for i in range(29)) + " zzy"
+    # bootstrap holds docs 1 and 2 (2 = the in-flight doc the replayed
+    # batch also carries); the replayed batch carries 2 and a new doc 3
+    bootstrap = spark.createDataFrame(
+        [(1, a), (2, a2)], "doc_id bigint, text string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/src"
+        spark.createDataFrame(
+            [(2, a2), (3, a3)], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = []
+
+        def sink(df, epoch):
+            got.extend(map(tuple, df.collect()))
+
+        q = self_near_dedup_stream(
+            stream, sink, threshold=0.9, bootstrap_df=bootstrap
+        )
+        q.awaitTermination()
+
+    pairs = sorted((l, r) for (l, r, _) in got)
+    # doc 2 is in state already: its pair with 1 was (by contract)
+    # already emitted pre-crash and must NOT re-emit; the genuinely
+    # new doc 3 pairs with BOTH state docs exactly once.
+    assert pairs == [(1, 3), (2, 3)]
+    assert len(got) == len(set(got))

@@ -40,6 +40,14 @@ as one parquet file per micro-batch, streamed with
    checkpoint) — both equality-gated against the same batch twin, so
    the durability overhead (two table writes per trigger) is on the
    record as the wall delta between the runs.
+4. ``self_near_dedup_stream`` with BUCKETED durable state
+   (``state_buckets`` — round 10): the same ingest re-sliced into 40
+   triggers. This one IS flat-gated (the bucketed layout removes the
+   verification join's state-side shuffle, so per-trigger cost is
+   O(batch + candidates) plus a colocated state scan), and the probe
+   join's executed plan is asserted to carry EXACTLY ONE hash
+   Exchange — the candidate side; the bucketed state scan reads
+   pre-partitioned with a shuffle-hash build against it.
 
 Exit-code-gated invariants:
 
@@ -151,9 +159,15 @@ def _walls(ticks: list[float], t0: float) -> list[float]:
 
 
 def _flat(walls: list[float]) -> tuple[float, float, float]:
-    """(middle_mean, tail_mean, ratio) over post-warmup walls."""
+    """(middle_mean, tail_mean, ratio) over post-warmup walls. Too few
+    walls to form a baseline (e.g. the source coalesced triggers) →
+    ratio inf, so the flatness gate REPORTS the failure instead of
+    this helper dying with a ZeroDivisionError before the
+    trigger-count gate runs (ADVICE r9)."""
     mid = walls[WARMUP:-3]
     tail = walls[-3:]
+    if not mid or not tail:
+        return 0.0, 0.0, float("inf")
     mid_mean = sum(mid) / len(mid)
     tail_mean = sum(tail) / len(tail)
     return mid_mean, tail_mean, tail_mean / mid_mean
@@ -372,7 +386,13 @@ def main() -> int:
             ).select("l_id", "r_id").collect()
         }
 
-        def _run_self(tag: str, **kw):
+        def _run_self(
+            tag: str,
+            path: str = spath,
+            nb: int = NB_NEAR,
+            flat_gate: bool = False,
+            **kw,
+        ):
             self_pairs: list[tuple[int, int]] = []
             sticks: list[float] = []
 
@@ -387,25 +407,24 @@ def main() -> int:
             sstream = (
                 spark.readStream.schema(sschema)
                 .option("maxFilesPerTrigger", 1)
-                .parquet(spath)
+                .parquet(path)
             )
             q = self_near_dedup_stream(
                 sstream, self_sink, threshold=0.8, **kw
             )
             q.awaitTermination()
             wall = sticks[-1] - t0
+            walls = _walls(sticks, t0)
             out[tag] = {
                 "rows": n_self,
                 "triggers": len(sticks),
                 "rows_per_sec": round(n_self / wall, 1),
                 "wall_s": round(wall, 3),
-                "epoch_walls_s": [round(w, 3) for w in _walls(sticks, t0)],
+                "epoch_walls_s": [round(w, 3) for w in walls],
                 "match_pairs": len(self_pairs),
             }
-            if len(sticks) != NB_NEAR:
-                fails.append(
-                    f"{tag}: {len(sticks)} triggers != {NB_NEAR} files"
-                )
+            if len(sticks) != nb:
+                fails.append(f"{tag}: {len(sticks)} triggers != {nb} files")
             if len(self_pairs) != len(set(self_pairs)):
                 fails.append(f"{tag}: a pair was emitted more than once")
             if set(self_pairs) != want_self:
@@ -415,6 +434,17 @@ def main() -> int:
                 )
             if not self_pairs:
                 fails.append(f"{tag}: zero matches — workload degenerate")
+            if flat_gate:
+                mid, tail, ratio = _flat(walls)
+                out[tag].update(
+                    mid_epoch_s=round(mid, 3),
+                    tail_epoch_s=round(tail, 3),
+                    flat_ratio=round(ratio, 3),
+                )
+                if ratio > FLAT_CAP:
+                    fails.append(
+                        f"{tag}: flat_ratio {ratio:.2f} > {FLAT_CAP}"
+                    )
 
         _run_self("self_near_dedup")
         tbl = "stream_bench_snd_state"
@@ -427,6 +457,67 @@ def main() -> int:
         finally:
             spark.sql(f"drop table if exists {tbl}_sigs")
             spark.sql(f"drop table if exists {tbl}_arrs")
+
+        # ------ workload 3b: 40-trigger bucketed durable state ------
+        # VERDICT r9 #5: the bucketed state layout's per-trigger wall
+        # must stay FLAT at 40+ triggers (state by the final trigger:
+        # ~24K docs), and the verification join's plan must read the
+        # state side pre-partitioned — zero Exchange above the state
+        # scan, ShuffledHashJoin building on the candidate side.
+        NB_LONG = 40
+        sdocs40 = sdocs.drop("__b").withColumn(
+            "__b", F.pmod(F.xxhash64("doc_id", F.lit(17)), F.lit(NB_LONG))
+        )
+        lpath = os.path.join(work, "self40")
+        _write_batches(sdocs40, lpath, "__b", NB_LONG)
+        tblb = "stream_bench_snd_bucketed"
+        try:
+            _run_self(
+                "self_near_dedup_bucketed40",
+                path=lpath,
+                nb=NB_LONG,
+                flat_gate=True,
+                checkpoint_dir=os.path.join(work, "snd_ckpt_b"),
+                state_table=tblb,
+                state_buckets=8,
+            )
+            # Plan shape of the bucketed verification attach, built
+            # exactly as _process builds it: state side must carry NO
+            # Exchange (bucketed scan is pre-partitioned on the join
+            # key) — the only Exchange in the join is the trigger-
+            # sized candidate side.
+            prior = (
+                spark.table(f"{tblb}_arrs")
+                .filter(F.col("__epoch") < F.lit(10**9))
+                .drop("__epoch")
+            )
+            cands_probe = prior.select(
+                F.col("id").alias("lid")
+            ).limit(100)
+            probe = (
+                cands_probe.hint("shuffle_hash")
+                .join(
+                    prior.select(
+                        F.col("id").alias("lid"), F.col("arr").alias("lp")
+                    ),
+                    "lid",
+                    "left",
+                )
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            n_exchange = plan.count("Exchange hashpartitioning")
+            if "ShuffledHashJoin" not in plan:
+                fails.append("bucketed probe: no ShuffledHashJoin in plan")
+            if n_exchange > 1:
+                fails.append(
+                    f"bucketed probe: {n_exchange} hash Exchanges — the "
+                    "state side must read pre-partitioned (expected <= 1, "
+                    "candidate side only)"
+                )
+            out["bucketed_probe_exchanges"] = n_exchange
+        finally:
+            spark.sql(f"drop table if exists {tblb}_sigs")
+            spark.sql(f"drop table if exists {tblb}_arrs")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
