@@ -39,6 +39,12 @@
 #                        forced-no-broadcast plain join shuffles;
 #                        survivors < 5% of corpus shingles; word
 #                        table smaller than the raw key set
+#   - cms_bench:         CMS heavy hitters == plain groupBy-filter on
+#                        an 8M-occurrence heavy-tailed corpus (6.8M
+#                        distinct keys); total shuffle rows (bounded
+#                        sketch build + exact agg of survivors)
+#                        <= 20% of the plain path's; prefilter plan
+#                        shuffle-free (broadcast probes only)
 #   - stream_bench:      streaming ingest stays FLAT as state grows:
 #                        per-trigger wall tail/middle <= 1.8 across
 #                        20 dedup_stream triggers (state -> 150K
@@ -53,7 +59,7 @@ cd "$(dirname "$0")/.."
 for t in explain_audit bucket_bench index_bucket_bench \
          ann_recall_bench skew_demo search_bench graph_bench \
          dedup_recall_bench weighted_bench above_gate_bench \
-         bloom_bench stream_bench; do
+         bloom_bench cms_bench stream_bench; do
   echo "== $t =="
   python3 "tools/$t.py"
 done
