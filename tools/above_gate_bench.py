@@ -159,6 +159,47 @@ def main() -> int:
         ok &= cell_ok
         spark.catalog.clearCache()
 
+    # Composition cell (round 10, VERDICT r9 stretch #8): the actual
+    # 100 TB plan shape — the declined verification broadcast (attach
+    # joins sort-merge) AND the hot-token broadcast split engaged
+    # together on the same corpus-scale join. The split's broadcasts
+    # are explicit hints on the dfreq side, so they fire even with
+    # stats-based broadcast disabled; they key on token, never on
+    # lid/rid, so the attach-join discrimination is unpolluted.
+    for t in (0.5,):
+        hot_thr = max(2, n_docs // 100)  # tokens in >= 1% of records
+        out = J.jaccard_self_join(
+            df, "id", "val", tok, t, hot_df_threshold=hot_thr
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        bcast = _attach_join_lines(plan, "BroadcastHashJoin")
+        smj = _attach_join_lines(plan, "SortMergeJoin")
+        split = "LeftAnti" in plan
+        t0 = time.time()
+        rows = out.count()
+        wall = round(time.time() - t0, 3)
+        final = out._jdf.queryExecution().executedPlan().toString()
+        skewed = final.count("skew=true")
+        cell_ok = (
+            (not bcast) and bool(smj) and split and rows == dd_rows_at[t]
+        )
+        print(json.dumps({
+            "cell": (
+                f"{name} self ws t={t} "
+                "(no-stats-broadcast + hot-token split)"
+            ),
+            "rows": rows, "spark_s": wall,
+            "rows_equal": rows == dd_rows_at[t],
+            "attach_broadcasts": len(bcast),
+            "attach_sortmerge": len(smj),
+            "hot_split_in_plan": split,
+            "hot_df_threshold": hot_thr,
+            "aqe_skewed_joins": skewed,
+            "ok": cell_ok,
+        }), flush=True)
+        ok &= cell_ok
+        spark.catalog.clearCache()
+
     con.close()
     spark.stop()
     print(json.dumps({
