@@ -42,7 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #   vocab_n <= _MAX_BITSET_VOCAB — a bounded side table that is then
 #   broadcast, never corpus rows.
 SINGLE_OK = {
+    # Bitset-path tid ranking: row_number over the VOCABULARY dim
+    # (gated <= 4096 rows), not over corpus rows — a metadata-scale
+    # single partition. The hotsplit twin shares the identical plan
+    # at gate scale (the split is ignored on the bitset path).
     "jaccard_inner_ws",
+    "jaccard_inner_ws_hotsplit",
     "jaccard_inner_ws_scored",
 }
 CROSS_OK = {
