@@ -243,6 +243,8 @@ def tokens_with_doc_freq(
     tokens: DataFrame,
     with_pair_key: bool = False,
     hot_df_threshold: int | str | None = None,
+    stats_out: dict | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """tokens → ``tkdf(id, len, token, df, pos[, l_id])``.
 
@@ -277,16 +279,29 @@ def tokens_with_doc_freq(
     pass an explicit threshold or None instead, or the stats job
     re-runs the tokenize chain.
     """
-    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if hot_df_threshold == "auto":
         dfreq = dfreq.persist(StorageLevel.MEMORY_AND_DISK)
+        # One aggregate, triple duty: N and max(df) drive the hot
+        # split; sum(df²) is a sound UPPER bound on the broadcast
+        # gate's candidate bound (per token, indexing-prefix rows ×
+        # probing-prefix rows <= df², summed), exported via
+        # ``stats_out`` so sparse corpora can skip the exact
+        # gate-stats job entirely (double: immune to long overflow
+        # at corpus scale; it only feeds a threshold comparison).
         row = dfreq.agg(
-            F.sum("df").alias("n"), F.max("df").alias("m")
+            F.sum("df").alias("n"),
+            F.max("df").alias("m"),
+            F.sum((F.col("df") * F.col("df")).cast("double")).alias("sq"),
         ).first()
+        n_tok, max_df = int(row["n"] or 0), int(row["m"] or 0)
+        if stats_out is not None:
+            stats_out.update(
+                n_tok=n_tok, max_df=max_df, sumsq=float(row["sq"] or 0.0)
+            )
         hot_df_threshold = _auto_hot_threshold(
-            int(row["n"] or 0),
-            int(row["m"] or 0),
-            _shuffle_partitions(tokens),
+            n_tok, max_df, _shuffle_partitions(tokens)
         )
     if hot_df_threshold:
         thr = int(hot_df_threshold)
@@ -390,11 +405,20 @@ def _doc_count_probe(df: DataFrame) -> int:
 # broadcasts beat nothing). The candidate stream's size has an exact
 # pre-join upper bound — sum over tokens of (indexing-prefix df ×
 # probing-prefix df), one map-side-combined aggregate over the
-# persisted token table — and the spill regime starts around
-# bound/attach-rows ≈ 90+ (db100 t=0.3 self: 93, win; stress inner
-# t=0.3: ~118, win 4.7×; db100 t=0.4: 27, loss; db50 t=0.3: 47,
-# within noise either way). Broadcast only above this ratio.
-_BROADCAST_VERIFY_MIN_RATIO = 60
+# persisted token table — and the spill regime is indexed by
+# bound / TOKEN-rows of the attach's side (round-10 correction: the
+# round-9 code divided by each attach's OWN rows, which for doc-level
+# attaches is ~100× smaller and let sparse-corpus attaches clear a
+# threshold fitted on token-row ratios — db10 5g t=0.5, ratio-on-docs
+# 120 → broadcast, measured a ~1 s LOSS vs declining; its
+# ratio-on-tokens is 1.2). Calibration points, all bound/token-rows:
+# db100 t=0.3 self: 93, win; stress inner t=0.3: ~118, win 4.7×;
+# db100 t=0.4: 27, loss; db50 t=0.3: 47, within noise either way;
+# round-10 same-session A/Bs: sf0.1 dense qgram 55.9, ~10% win;
+# sf0.1 ws 510, win; db10 5g 1.2, loss. Threshold 50 separates every
+# measured win (>= 55.9) from every measured loss (<= 27) with the
+# 47-noise point below it.
+_BROADCAST_VERIFY_MIN_RATIO = 50
 
 # No document-count FLOOR below which the stats job is skipped
 # (round 10). Round 9 shipped `_GATE_STATS_MIN_DOCS = 25_000`, assuming
@@ -459,16 +483,25 @@ def _verify_attach(
     *,
     token_level: bool = False,
     bound: int | None = None,
+    decide_rows: int | None = None,
 ) -> DataFrame:
     """A verification attach table, broadcast when BOTH gates clear:
     the row count fits the size cap (doc-level tables use the module
     default; bitset callers pass the width-aware ``_bitset_verify_cap``;
     token-level tables resolve ``_MAX_BROADCAST_VERIFY_TOKENS``) AND
     the candidate-stream bound says the broadcast pays
-    (``bound >= _BROADCAST_VERIFY_MIN_RATIO * n_rows`` — see the
-    calibration note at _BROADCAST_VERIFY_MIN_RATIO). Caps and ratio
-    are read at CALL time so tests can pin both fallbacks by patching
-    the module attributes."""
+    (``bound >= _BROADCAST_VERIFY_MIN_RATIO * decide_rows`` — see the
+    calibration note at _BROADCAST_VERIFY_MIN_RATIO). ``decide_rows``
+    (round 10) is the TOKEN-row count of the attach's side even for
+    doc-level attaches: the calibrated spill-regime indicator is
+    candidate density relative to the token table the candidates were
+    generated from — a doc-level attach has ~100× fewer rows than its
+    side's token table, so dividing the same bound by doc rows let
+    sparse-corpus attaches (measured losses) clear a threshold that
+    was fitted on token-row ratios. Defaults to ``n_rows`` (the
+    token-level attaches, where the two coincide). Caps and ratio are
+    read at CALL time so tests can pin both fallbacks by patching the
+    module attributes."""
     if cap is None:
         cap = (
             _MAX_BROADCAST_VERIFY_TOKENS
@@ -477,12 +510,16 @@ def _verify_attach(
         )
     if not 0 < n_rows <= cap:
         return per_doc
-    if bound is not None and bound < _BROADCAST_VERIFY_MIN_RATIO * n_rows:
+    if decide_rows is None:
+        decide_rows = n_rows
+    if bound is not None and bound < _BROADCAST_VERIFY_MIN_RATIO * decide_rows:
         return per_doc
     return F.broadcast(per_doc)
 
 
-def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
+def _tokens_with_tid(
+    tokens: DataFrame, dfreq: DataFrame | None = None
+) -> DataFrame:
     """tokens → ``(id, len, token, df, tid, pos, l_id)`` where ``tid``
     is the token's 1-based rank in the global ``(df, token)`` order —
     the SAME total order the ``pos`` window uses, so within a document
@@ -492,7 +529,8 @@ def _tokens_with_tid(tokens: DataFrame) -> DataFrame:
     The rank window runs unpartitioned over the aggregated token dim —
     sound only because callers gate on ``vocab <= _MAX_BITSET_VOCAB``.
     """
-    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tdim = dfreq.withColumn(
         "tid", F.row_number().over(Window.orderBy("df", "token"))
     )
@@ -672,43 +710,80 @@ def jaccard_self_join(
     # Verification strategy: when the vocabulary is small enough that a
     # document's token set fits in a few 64-bit words, suffix overlap
     # is a masked AND + popcount (pure codegen) — measured ~8x faster
-    # than per-pair array_intersect on the dense q-gram corpus. The
-    # vocab count is one cheap driver-side scalar (the reference itself
-    # reads scalar counts for its side-swap decision).
+    # than per-pair array_intersect on the dense q-gram corpus.
     n_words = 0
-    if tokenizer.rows_distinct:
-        # Two-phase gate. Probe: distinct tokens within a BOUNDED
-        # row sample (one narrow limit + a 50K-row shuffle) — if the
-        # sample alone exceeds the cap, the global vocabulary
-        # certainly does, and the global distinct (a full shuffle of
-        # every token on a 100 TB corpus just to learn "too big") is
-        # skipped entirely. Only sample-small vocabularies pay the
-        # exact count: limit(MAX+1).count() == min(actual, MAX+1),
-        # exact whenever the gate passes (bitset width must cover
-        # every tid), with the reduce side stopping after MAX+1
-        # distinct tokens.
-        vocab_n = (
-            tokens.select("token").limit(_VOCAB_PROBE_ROWS)
-            .distinct().count()
-        )
-        if vocab_n <= _MAX_BITSET_VOCAB:
-            vocab_n = (
-                tokens.select("token").distinct()
-                .limit(_MAX_BITSET_VOCAB + 1).count()
-            )
-        if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+    dfreq = None
+    dfreq_stats: dict = {}
+    if persist:
+        # ONE eager aggregate over the persisted doc-frequency table
+        # drives EVERY plan decision (round 10 — previously three
+        # separate probe jobs): vocabulary size (bitset gate),
+        # hot-split engagement (N, max df), and the sparse
+        # fast-decline (sum df²). dfreq is the algorithm's own
+        # required shuffle — persisting it means the tkdf build
+        # reuses it instead of recomputing, so the only added cost is
+        # reading back the vocab-sized table once.
+        dfreq = tokens.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        row = dfreq.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum("df").alias("n"),
+            F.max("df").alias("m"),
+            F.sum((F.col("df") * F.col("df")).cast("double")).alias("sq"),
+        ).first()
+        vocab_n = int(row["v"] or 0)
+        dfreq_stats = {
+            "n_tok": int(row["n"] or 0),
+            "max_df": int(row["m"] or 0),
+            "sumsq": float(row["sq"] or 0.0),
+        }
+        if tokenizer.rows_distinct and 0 < vocab_n <= _MAX_BITSET_VOCAB:
             n_words = (vocab_n + 63) // 64
+        if hot_df_threshold == "auto":
+            hot_df_threshold = _auto_hot_threshold(
+                dfreq_stats["n_tok"],
+                dfreq_stats["max_df"],
+                _shuffle_partitions(tokens),
+            )
+    else:
+        if hot_df_threshold == "auto":
+            # the auto stats job would re-run the tokenize chain
+            hot_df_threshold = None
+        if tokenizer.rows_distinct:
+            # Unpersisted input: bounded two-phase vocab gate. Probe:
+            # distinct tokens within a BOUNDED row sample (one narrow
+            # limit + a 50K-row shuffle) — if the sample alone exceeds
+            # the cap, the global vocabulary certainly does, and the
+            # global distinct (a full shuffle of every token on a
+            # 100 TB corpus just to learn "too big") is skipped
+            # entirely. Only sample-small vocabularies pay the exact
+            # count: limit(MAX+1).count() == min(actual, MAX+1), exact
+            # whenever the gate passes (bitset width must cover every
+            # tid), with the reduce side stopping after MAX+1 distinct
+            # tokens.
+            vocab_n = (
+                tokens.select("token").limit(_VOCAB_PROBE_ROWS)
+                .distinct().count()
+            )
+            if vocab_n <= _MAX_BITSET_VOCAB:
+                vocab_n = (
+                    tokens.select("token").distinct()
+                    .limit(_MAX_BITSET_VOCAB + 1).count()
+                )
+            if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+                n_words = (vocab_n + 63) // 64
 
-    if hot_df_threshold == "auto" and not persist:
-        # the auto stats job would re-run the tokenize chain
-        hot_df_threshold = None
     if n_words:
         # bitset path: the token dim is broadcast wholesale for the
         # tid ranking — the build join is already map-side, skew-free
-        tkdf = _tokens_with_tid(tokens)
+        tkdf = _tokens_with_tid(tokens, dfreq=dfreq)
     else:
         tkdf = tokens_with_doc_freq(
-            tokens, with_pair_key=True, hot_df_threshold=hot_df_threshold
+            tokens,
+            with_pair_key=True,
+            hot_df_threshold=hot_df_threshold,
+            dfreq=dfreq,
         )
     if persist:
         tkdf = tkdf.persist(StorageLevel.MEMORY_AND_DISK)
@@ -748,7 +823,23 @@ def jaccard_self_join(
     # is skipped (shuffle joins kept, correct at every scale) when
     # persist=False.
     n_docs = n_tok = bound = 0
-    if persist and _doc_count_probe(df) <= _MAX_BROADCAST_VERIFY_DOCS:
+    # Sparse-corpus fast decline (round 10): the auto-split aggregate
+    # already computed sum(df²), a sound upper bound on the candidate
+    # bound — when even IT cannot clear the ratio for the token-row
+    # denominator every attach decides against, no broadcast can pay
+    # and the exact gate-stats job (a full tkdf materialization
+    # barrier) is skipped outright. Dense corpora (the broadcast
+    # winners) blow past this test and pay the exact job as before.
+    cheap_decline = (
+        "sumsq" in dfreq_stats
+        and dfreq_stats["sumsq"]
+        < _BROADCAST_VERIFY_MIN_RATIO * max(dfreq_stats["n_tok"], 1)
+    )
+    if (
+        persist
+        and not cheap_decline
+        and _doc_count_probe(df) <= _MAX_BROADCAST_VERIFY_DOCS
+    ):
         n_docs, n_tok, bound = _self_gate_stats(tkdf, t)
 
     if n_words:
@@ -775,7 +866,7 @@ def jaccard_self_join(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_docs, bit_cap, bound=bound),
+                ), n_docs, bit_cap, bound=bound, decide_rows=n_tok),
                 "lid",
             )
             .join(
@@ -783,7 +874,7 @@ def jaccard_self_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_docs, bit_cap, bound=bound),
+                ), n_docs, bit_cap, bound=bound, decide_rows=n_tok),
                 "rid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -835,7 +926,7 @@ def jaccard_self_join(
                     F.col("id").alias("lid"),
                     F.col("len").alias("llen"),
                     F.col("arr").alias("la"),
-                ), n_docs, bound=bound),
+                ), n_docs, bound=bound, decide_rows=n_tok),
                 "lid",
             )
             .join(
@@ -843,7 +934,7 @@ def jaccard_self_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("ra"),
-                ), n_docs, bound=bound),
+                ), n_docs, bound=bound, decide_rows=n_tok),
                 "rid",
             )
             .filter(
@@ -884,10 +975,10 @@ def jaccard_self_join(
     cand = (
         cand.join(_verify_attach(
             lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")),
-            n_docs, bound=bound), "lid")
+            n_docs, bound=bound, decide_rows=n_tok), "lid")
         .join(_verify_attach(
             lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_docs, bound=bound), "rid")
+            n_docs, bound=bound, decide_rows=n_tok), "rid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1
@@ -1085,49 +1176,69 @@ def jaccard_inner_join(
     # Bitset verification gate (see self join): both sides rank tokens
     # by the SAME combined (df, token) order, so one tid ranking over
     # the shared dfreq preserves pos<->tid monotonicity on each side.
+    # ONE eager aggregate over the persisted cross-table dfreq drives
+    # every plan decision (round 10, mirroring the self join):
+    # vocabulary size (bitset gate — previously its own limit-count
+    # job), hot-split engagement (N, max per-side df), and the sparse
+    # fast-decline (sum l_df × r_df, a sound upper bound on the
+    # cross-side candidate bound: per token, indexing-prefix(R) ×
+    # probing-prefix(S) <= l_df × r_df). dfreq_raw is the algorithm's
+    # own required full-outer join — persisting it means both tkdf
+    # builds reuse it. Unpersisted inputs keep the bounded
+    # early-stopping vocab count and skip the rest (the aggregate
+    # would re-run both tokenize chains).
     n_words = 0
-    if tokenizer.rows_distinct:
-        # Early-stopping gate count (see self join): exact iff it
-        # passes, capped at MAX+1 otherwise.
-        vocab_n = dfreq.limit(_MAX_BITSET_VOCAB + 1).count()
-        if 0 < vocab_n <= _MAX_BITSET_VOCAB:
-            n_words = (vocab_n + 63) // 64
-            dfreq = dfreq.withColumn(
-                "tid", F.row_number().over(Window.orderBy("df", "token"))
-            )
-            dfreq = F.broadcast(dfreq)
-
-    # Heavy-hitter split resolution (see the docstring). Skipped on
-    # the bitset path (dfreq broadcasts wholesale there — the build
-    # join is already map-side) and when the token frames are not
-    # persisted (the stats job would re-run the tokenize chains).
     hot_thr: int | None = None
-    if n_words:
-        # bitset path: dfreq (with tid) broadcasts wholesale — the
-        # build join is already map-side, skew-free; an explicit
-        # threshold is meaningless here and is ignored
-        hot_df_threshold = None
-    if hot_df_threshold == "auto":
-        if persist and not n_words:
-            dfreq_raw = dfreq_raw.persist(StorageLevel.MEMORY_AND_DISK)
-            row = dfreq_raw.agg(
-                F.sum(
-                    F.coalesce("l_df", F.lit(0))
-                    + F.coalesce("r_df", F.lit(0))
-                ).alias("n"),
-                F.max(
-                    F.greatest(
-                        F.coalesce("l_df", F.lit(0)),
-                        F.coalesce("r_df", F.lit(0)),
-                    )
-                ).alias("m"),
-            ).first()
-            hot_thr = _auto_hot_threshold(
+    cross_sumsq: float | None = None
+    vocab_n = 0
+    if persist:
+        dfreq_raw = dfreq_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        row = dfreq_raw.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(
+                F.coalesce("l_df", F.lit(0))
+                + F.coalesce("r_df", F.lit(0))
+            ).alias("n"),
+            F.max(
+                F.greatest(
+                    F.coalesce("l_df", F.lit(0)),
+                    F.coalesce("r_df", F.lit(0)),
+                )
+            ).alias("m"),
+            F.sum(
+                F.coalesce(
+                    (F.col("l_df") * F.col("r_df")).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("sq"),
+        ).first()
+        vocab_n = int(row["v"] or 0)
+        cross_sumsq = float(row["sq"] or 0.0)
+        if hot_df_threshold == "auto":
+            hot_df_threshold = _auto_hot_threshold(
                 int(row["n"] or 0),
                 int(row["m"] or 0),
                 _shuffle_partitions(l_tokens),
             )
-    elif hot_df_threshold:
+    else:
+        if hot_df_threshold == "auto":
+            hot_df_threshold = None
+        if tokenizer.rows_distinct:
+            # Early-stopping gate count: exact iff it passes, capped
+            # at MAX+1 otherwise.
+            vocab_n = dfreq.limit(_MAX_BITSET_VOCAB + 1).count()
+    if tokenizer.rows_distinct and 0 < vocab_n <= _MAX_BITSET_VOCAB:
+        n_words = (vocab_n + 63) // 64
+        dfreq = dfreq.withColumn(
+            "tid", F.row_number().over(Window.orderBy("df", "token"))
+        )
+        dfreq = F.broadcast(dfreq)
+    if n_words:
+        # bitset path: dfreq (with tid) broadcasts wholesale — the
+        # build join is already map-side, skew-free; the heavy-hitter
+        # split is meaningless there and is ignored
+        hot_df_threshold = None
+    if hot_df_threshold and hot_df_threshold != "auto":
         hot_thr = int(hot_df_threshold)
 
     def _tkdf(tokens: DataFrame, side_df: str) -> DataFrame:
@@ -1231,7 +1342,16 @@ def jaccard_inner_join(
     # clear its size cap anyway (corpus scale) or when the frames are
     # not persisted (the scalar would recompute the tokenize chain).
     bound = 0
-    if persist and (
+    # Sparse-corpus fast decline (round 10, see the self join): when
+    # even the sum(l_df × r_df) upper bound cannot clear the ratio at
+    # the SMALLER side's token-row denominator, every attach's
+    # decision is already decline and the exact bound join is skipped.
+    cheap_decline = (
+        cross_sumsq is not None
+        and cross_sumsq
+        < _BROADCAST_VERIFY_MIN_RATIO * max(min(n_R_tok, n_S_tok), 1)
+    )
+    if persist and not cheap_decline and (
         min(n_R_docs, n_S_docs) <= _MAX_BROADCAST_VERIFY_DOCS
         or min(n_R_tok, n_S_tok) <= _MAX_BROADCAST_VERIFY_TOKENS
     ):
@@ -1283,7 +1403,7 @@ def jaccard_inner_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("llen"),
                     *[F.col(f"b{i}").alias(f"lb{i}") for i in range(n_words)],
-                ), n_R_docs, bit_cap, bound=bound),
+                ), n_R_docs, bit_cap, bound=bound, decide_rows=n_R_tok),
                 "rid",
             )
             .join(
@@ -1291,7 +1411,7 @@ def jaccard_inner_join(
                     F.col("id").alias("sid"),
                     F.col("len").alias("rlen"),
                     *[F.col(f"b{i}").alias(f"rb{i}") for i in range(n_words)],
-                ), n_S_docs, bit_cap, bound=bound),
+                ), n_S_docs, bit_cap, bound=bound, decide_rows=n_S_tok),
                 "sid",
             )
             .withColumn("tidstart", F.greatest("ltid", "rtid"))
@@ -1330,7 +1450,7 @@ def jaccard_inner_join(
                     F.col("id").alias("rid"),
                     F.col("len").alias("rlen"),
                     F.col("arr").alias("rarr"),
-                ), n_R_docs, bound=bound),
+                ), n_R_docs, bound=bound, decide_rows=n_R_tok),
                 "rid",
             )
             .join(
@@ -1338,7 +1458,7 @@ def jaccard_inner_join(
                     F.col("id").alias("sid"),
                     F.col("len").alias("slen"),
                     F.col("arr").alias("sarr"),
-                ), n_S_docs, bound=bound),
+                ), n_S_docs, bound=bound, decide_rows=n_S_tok),
                 "sid",
             )
             .filter(
@@ -1378,10 +1498,10 @@ def jaccard_inner_join(
     cand = (
         cand.join(_verify_attach(
             r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_R_docs, bound=bound), "rid")
+            n_R_docs, bound=bound, decide_rows=n_R_tok), "rid")
         .join(_verify_attach(
             s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")),
-            n_S_docs, bound=bound), "sid")
+            n_S_docs, bound=bound, decide_rows=n_S_tok), "sid")
         .filter(
             _overlap_cond(
                 F.col("pfxoverlap") - 1

