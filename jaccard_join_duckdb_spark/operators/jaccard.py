@@ -239,6 +239,18 @@ def _shuffle_partitions(df: DataFrame) -> int:
         return 200  # "auto" (AQE-managed) or unset: Spark's default
 
 
+def _validate_hot_threshold(value: int | str | None) -> None:
+    """Reject malformed ``hot_df_threshold`` values up front (ADVICE
+    r10: a typo like ``"Auto"`` used to fall past the ``"auto"`` check,
+    stay truthy, and crash at ``int(...)`` deep in plan construction
+    with an unhelpful ValueError)."""
+    if isinstance(value, str) and value != "auto":
+        raise ValueError(
+            "hot_df_threshold must be an int, None, or 'auto' "
+            f"(got {value!r})"
+        )
+
+
 def tokens_with_doc_freq(
     tokens: DataFrame,
     with_pair_key: bool = False,
@@ -277,12 +289,19 @@ def tokens_with_doc_freq(
     anyway — persisting it means the doc-frequency shuffle runs once
     either way); callers whose token frame is NOT persisted should
     pass an explicit threshold or None instead, or the stats job
-    re-runs the tokenize chain.
+    re-runs the tokenize chain. The ``"auto"`` branch's persisted
+    dfreq is exported via ``stats_out["dfreq"]`` so callers can
+    ``unpersist()`` it once their tkdf has materialized — direct
+    callers that ignore ``stats_out`` carry a vocab-sized cache entry
+    until ``spark.catalog.clearCache()`` (ADVICE r10).
     """
+    _validate_hot_threshold(hot_df_threshold)
     if dfreq is None:
         dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if hot_df_threshold == "auto":
         dfreq = dfreq.persist(StorageLevel.MEMORY_AND_DISK)
+        if stats_out is not None:
+            stats_out["dfreq"] = dfreq
         # One aggregate, triple duty: N and max(df) drive the hot
         # split; sum(df²) is a sound UPPER bound on the broadcast
         # gate's candidate bound (per token, indexing-prefix rows ×
@@ -701,6 +720,7 @@ def jaccard_self_join(
             "bag-mode overlap counts duplicate token matches and is not "
             "a Jaccard numerator"
         )
+    _validate_hot_threshold(hot_df_threshold)
     t = float(threshold)
     tokens = tokenizer.tokenize(df, key_attr, join_attr)
     if persist:
@@ -842,6 +862,16 @@ def jaccard_self_join(
         and _doc_count_probe(df) <= _MAX_BROADCAST_VERIFY_DOCS
     ):
         n_docs, n_tok, bound = _self_gate_stats(tkdf, t)
+        # The gate-stats aggregate materialized tkdf into its cache,
+        # so the vocab-sized dfreq cache entry is now dead weight —
+        # free it (ADVICE r10: repeated join calls in one session
+        # accumulated one vocab-sized entry each). On the skip paths
+        # (cheap_decline / corpus over the doc cap) tkdf is still
+        # lazy — unpersisting there would force one extra dfreq
+        # shuffle when tkdf first materializes, so those keep the
+        # cache entry until session clearCache.
+        if dfreq is not None:
+            dfreq.unpersist()
 
     if n_words:
         # Bitset verification: within a doc pos is increasing in tid,
@@ -1134,6 +1164,7 @@ def jaccard_inner_join(
             "bag-mode overlap counts duplicate token matches and is not "
             "a Jaccard numerator"
         )
+    _validate_hot_threshold(hot_df_threshold)
     t = float(threshold)
     l_tokens = tokenizer.tokenize(l_df, l_key_attr, l_join_attr)
     r_tokens = tokenizer.tokenize(r_df, r_key_attr, r_join_attr)
@@ -1310,6 +1341,11 @@ def jaccard_inner_join(
         )
         .collect()
     }
+    # That aggregate materialized both persisted tkdfs, so the
+    # cross-table dfreq cache is now dead weight — free it (ADVICE
+    # r10; mirrors the self-join's post-gate-stats unpersist).
+    if persist:
+        dfreq_raw.unpersist()
 
     def _side_stats(side: int) -> tuple[int, int, int]:
         row = side_rows.get(side)

@@ -723,17 +723,36 @@ def compact_self_dedup_state(
     DURABLE temp table first ({t}__compact), and only then swapped in
     via drop + rename — the original state files are never touched
     until a complete replacement exists on disk. A crash during the
-    temp write leaves the state intact (the next attempt drops the
-    partial temp); a crash between the drop and the rename leaves the
-    full state under the ``__compact`` name — recover with
+    temp write leaves the state intact; the next attempt drops the
+    partial temp AND clears its warehouse directory (ADVICE r10: a
+    crash mid-``saveAsTable`` can leave orphan data files with no
+    catalog entry, which ``DROP TABLE IF EXISTS`` does not touch and
+    which make the retry's CTAS fail on a non-empty location — the
+    directory sweep below covers that on local/file: warehouses; on
+    an object-store warehouse without a ``file:`` scheme, remove the
+    ``{t}__compact`` prefix manually before retrying). A crash
+    between the drop and the rename leaves the full state under the
+    ``__compact`` name — recover with
     ``ALTER TABLE {t}__compact RENAME TO {t}``. The swap is still not
     atomic against a CONCURRENT trigger's write (same contract as
     above: compact only between runs).
     """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     for suffix, bcol in (("_arrs", "id"), ("_sigs", "sig")):
         t = f"{state_table}{suffix}"
         tmp = f"{t}__compact"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # Sweep orphan files from a crashed prior attempt: managed
+        # tables live at <warehouse>/<name> (default database), and
+        # Spark >= 3.2 rejects CTAS into a non-empty location.
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            orphan = os.path.join(wh.path, tmp.lower())
+            if os.path.exists(orphan):
+                shutil.rmtree(orphan)
         flat = (
             spark.table(t)
             .drop("__epoch")

@@ -424,6 +424,33 @@ def test_auto_hot_threshold_unit():
         assert J._auto_hot_threshold(1_000_000, 900, 10_000) == 900
 
 
+def test_hot_threshold_kwarg_validated_up_front(spark):
+    """ADVICE r10: a string other than 'auto' (e.g. the typo 'Auto')
+    must raise a clear ValueError at the API boundary, not a cryptic
+    int() failure deep in plan construction."""
+    from jaccard_join_duckdb_spark import WhitespaceTokzr
+    from jaccard_join_duckdb_spark.operators.jaccard import (
+        jaccard_inner_join,
+        jaccard_self_join,
+        tokens_with_doc_freq,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["id", "val"])
+    tok = WhitespaceTokzr()
+    with pytest.raises(ValueError, match="hot_df_threshold"):
+        jaccard_self_join(df, "id", "val", tok, 0.5,
+                          hot_df_threshold="Auto")
+    with pytest.raises(ValueError, match="hot_df_threshold"):
+        jaccard_inner_join(df, df, "id", "id", "val", "val", tok, 0.5,
+                           hot_df_threshold="AUTO")
+    with pytest.raises(ValueError, match="hot_df_threshold"):
+        tokens_with_doc_freq(tok.tokenize(df, "id", "val"),
+                             hot_df_threshold="50")
+    # ints and None still accepted (plan builds lazily, no raise)
+    jaccard_self_join(df, "id", "val", tok, 0.5, hot_df_threshold=None)
+    jaccard_self_join(df, "id", "val", tok, 0.5, hot_df_threshold=10)
+
+
 @pytest.mark.parametrize("path", ["self", "inner"])
 def test_auto_hot_split_engages_on_skew(spark, monkeypatch, path):
     """DEFAULT-path plan shape on a skewed corpus (VERDICT r9 #4): with

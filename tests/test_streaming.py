@@ -1521,6 +1521,55 @@ def test_self_near_dedup_stream_bucketed_state_equals_batch(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}__compact")
 
 
+def test_compaction_clears_orphan_temp_files(spark):
+    """ADVICE r10: a crash mid-saveAsTable leaves orphan data files at
+    the managed {t}__compact location with NO catalog entry — DROP
+    TABLE IF EXISTS cannot remove them, and CTAS into a non-empty
+    location fails (Spark >= 3.2). The retry must sweep the orphan
+    directory and succeed."""
+    import os
+    from urllib.parse import urlparse
+
+    from jaccard_join_duckdb_spark.streaming import (
+        compact_self_dedup_state,
+    )
+
+    tbl = "snd_state_orphan"
+    try:
+        spark.createDataFrame(
+            [(1, [1, 2], 7, 0), (2, [2, 3], 9, 1)],
+            ["id", "arr", "ln", "__epoch"],
+        ).write.partitionBy("__epoch").saveAsTable(f"{tbl}_arrs")
+        spark.createDataFrame(
+            [(1, 11, 0), (2, 12, 1)], ["id", "sig", "__epoch"]
+        ).write.partitionBy("__epoch").saveAsTable(f"{tbl}_sigs")
+
+        # simulate the crashed prior attempt: orphan files at both
+        # temp locations, no catalog entries
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        assert wh.scheme in ("", "file")
+        for suffix in ("_arrs", "_sigs"):
+            orphan = os.path.join(
+                wh.path, f"{tbl}{suffix}__compact".lower()
+            )
+            os.makedirs(orphan, exist_ok=True)
+            with open(os.path.join(orphan, "part-orphan.parquet"), "w") as f:
+                f.write("not parquet")
+            assert not spark.catalog.tableExists(f"{tbl}{suffix}__compact")
+
+        compact_self_dedup_state(spark, tbl)
+        arrs = spark.table(f"{tbl}_arrs")
+        assert sorted(
+            r["__epoch"] for r in arrs.select("__epoch").distinct().collect()
+        ) == [-1]
+        assert arrs.count() == 2
+        assert spark.table(f"{tbl}_sigs").count() == 2
+    finally:
+        for suffix in ("_sigs", "_arrs"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}__compact")
+
+
 def test_self_near_dedup_stream_bootstrap_overlap_guard(spark):
     """ADVICE r9 (medium): a bootstrap_df that wrongly includes the
     crash's in-flight batch (offsets-prefix instead of commits-prefix)

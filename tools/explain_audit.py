@@ -41,11 +41,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #   token VOCABULARY (dfreq), taken only when the runtime gate proved
 #   vocab_n <= _MAX_BITSET_VOCAB — a bounded side table that is then
 #   broadcast, never corpus rows.
-SINGLE_OK = {
-    # Bitset-path tid ranking: row_number over the VOCABULARY dim
-    # (gated <= 4096 rows), not over corpus rows — a metadata-scale
-    # single partition. The hotsplit twin shares the identical plan
-    # at gate scale (the split is ignored on the bitset path).
+# Names whose SinglePartition exchange is benign REGARDLESS of the
+# producer node. Empty since round 11: the former members (the inner
+# bitset tid ranking) are now held to the stricter cache-producer
+# test below instead of skipping the check outright.
+SINGLE_OK: set = set()
+# Queries whose SinglePartition exchange is fed by a CACHE node
+# (InMemoryTableScan / TableCacheQueryStage / ResultQueryStage) that
+# is KNOWN to hold a bounded vocabulary/aggregate dim. ADVICE r10: a
+# blanket "any cached producer is benign" exemption would stop
+# flagging the r5 bug class (corpus-scale frame → unpartitioned
+# window) whenever the corpus frame happens to be persisted — and
+# persisting is this codebase's default pattern. So cache-fed
+# single-partition exchanges are benign ONLY for the names below;
+# any other query hitting one flags ROW-SINGLE-PARTITION even though
+# its input is cached. (Aggregate producers stay structurally benign
+# for every query: a partial HashAggregate's final merge is
+# scalar-sized by construction.)
+SINGLE_CACHE_OK = {
+    # Self-join bitset path: the tid ranking (_tokens_with_tid)
+    # windows the PERSISTED dfreq — verified in the plan text: the
+    # exchange input is the [token, df] vocabulary dim out of the
+    # dfreq HashAggregate's cache, taken only after the runtime gate
+    # proved vocab_n <= _MAX_BITSET_VOCAB (jaccard.py) — 4096 rows
+    # max. Every name below routes through jaccard_self_join on a
+    # bitset-eligible corpus at audit scale.
+    "jaccard_self_qgram",
+    "jaccard_self_ws",
+    "jaccard_self_ws_hotsplit",
+    "jaccard_self_ws_scored",
+    "jaccard_knn",
+    "jaccard_topk_pairs",
+    # Inner-join bitset path: same vocab-dim tid ranking over the
+    # shared cross-table dfreq (formerly in SINGLE_OK, which skipped
+    # the check entirely; these now at least require the cache-node
+    # producer like the self family).
     "jaccard_inner_ws",
     "jaccard_inner_ws_hotsplit",
     "jaccard_inner_ws_scored",
@@ -116,33 +146,32 @@ def main() -> int:
         # through one task — the 100 TB killer (caught live on
         # deterministic_shuffle's naive global row_number in r5).
         # A SinglePartition exchange is benign ONLY as the final
-        # merge of a partial HashAggregate (scalar/tiny aggregates)
-        # or fed by a MATERIALIZED CACHE node (round 10: the bitset
-        # tid ranking reads the self-join's PERSISTED vocab-gated
-        # dfreq — <= 4096 rows by the _MAX_BITSET_VOCAB gate — so the
-        # producer below the exchange is InMemoryTableScan /
+        # merge of a partial HashAggregate (scalar/tiny aggregates —
+        # structurally benign for every query), or fed by a
+        # MATERIALIZED CACHE node (InMemoryTableScan /
         # TableCacheQueryStage / ResultQueryStage, the nodes AQE
-        # renders for executed cache subtrees, not the aggregate that
-        # filled the cache; every cached frame feeding a
-        # single-partition window in this codebase is such a
-        # vocabulary/aggregate dim. The r5 bug class — a FRESH raw
-        # scan, filter, project, or join output flowing into
-        # SinglePartition — still flags (its producer is none of
-        # these node types).
+        # renders for executed cache subtrees) WHEN the query is in
+        # SINGLE_CACHE_OK — the per-query allowlist above (ADVICE
+        # r10: a blanket cache exemption would hide the r5 bug class
+        # behind a persist() call). A FRESH raw scan, filter,
+        # project, or join output flowing into SinglePartition still
+        # flags — cached or not, listed or not.
         if name not in SINGLE_OK:
             for m in re.finditer(
                 r"\((\d+)\) Exchange[^\n]*\nInput[^\n]*\n"
                 r"Arguments: SinglePartition", txt
             ):
                 idx = int(m.group(1))
-                prev = re.search(
-                    rf"\({idx - 1}\) (\w*Aggregate|InMemoryTableScan"
+                if re.search(rf"\({idx - 1}\) \w*Aggregate\b", txt):
+                    continue
+                if name in SINGLE_CACHE_OK and re.search(
+                    rf"\({idx - 1}\) (InMemoryTableScan"
                     rf"|TableCacheQueryStage|ResultQueryStage)\b",
                     txt,
-                )
-                if not prev:
-                    flags.append("ROW-SINGLE-PARTITION")
-                    break
+                ):
+                    continue
+                flags.append("ROW-SINGLE-PARTITION")
+                break
         wide = [
             m.group(1)
             for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt)
