@@ -429,16 +429,28 @@ def _doc_count_probe(df: DataFrame) -> int:
 # round-9 code divided by each attach's OWN rows, which for doc-level
 # attaches is ~100× smaller and let sparse-corpus attaches clear a
 # threshold fitted on token-row ratios — db10 5g t=0.5, ratio-on-docs
-# 120 → broadcast, measured a ~1 s LOSS vs declining; its
-# ratio-on-tokens is 1.2). Calibration points, all bound/token-rows:
-# db100 t=0.3 self: 93, win; stress inner t=0.3: ~118, win 4.7×;
-# db100 t=0.4: 27, loss; round-10 same-session A/Bs: db50 t=0.3 at
-# 47, WIN (broadcast [13.8, 15.1, 16.2] s vs declined [15.3, 16.3,
-# 24.7] s — r8 had called this cell noise; the matched rerun is
-# decisive); sf0.1 dense qgram 55.9, ~10% win; sf0.1 ws 510, win;
-# db10 5g 1.2, loss. Threshold 40 separates every measured win
-# (>= 47) from every measured loss (<= 27).
-_BROADCAST_VERIFY_MIN_RATIO = 40
+# 120 → broadcast, measured a LOSS vs declining; its ratio-on-tokens
+# is 1.2). Calibration (round 11, tools/gate_ab_bench.py: three-arm
+# interleaved order-rotated same-session A/Bs — forced broadcast vs
+# this decision vs the r9 doc-row decision, min-of-3, identical rows
+# in every arm), all bound/token-rows:
+#   1.2   db10 5g t=0.5   LOSS  (decline 6.04 s vs forced 7.44 s)
+#   6.2   db50 ws t=0.5   win   (forced 6.17 s vs declined 6.64 s)
+#   9.9   db10 ws t=0.3   tie   (2.27 / 2.31 s)
+#  12.0   db100 ws t=0.5  WIN   (forced 8.42 s vs declined 12.71 s)
+#  13.9   db50 ws t=0.4   WIN   (8.46 vs 9.96 s)
+#  14.2   db10 5g t=0.2   WIN   (7.45 vs 9.92 s)
+#  27.3   db100 ws t=0.4  WIN   (14.09 vs 21.92 s — round 9 had this
+#                                point as a loss; stale on r11 code)
+#  47+    db50/db100 t=0.3, sf0.1 qgram 55.9, sf0.1 ws 510: WIN
+#                               (round-10 matched A/Bs)
+# Threshold 4 separates the measured loss (1.2) from every measured
+# win (>= 6.2) with ~3× margin below and 1.5× above. The round-10
+# value of 40 was fitted when ratio 27 still measured a loss; the
+# round-11 re-measurement moved the whole mid band (6–27) decisively
+# to the broadcast side — VERDICT r10 #1's regression was exactly
+# this gate declining the db100/db50 ws t=0.5 broadcasts.
+_BROADCAST_VERIFY_MIN_RATIO = 4
 
 # No document-count FLOOR below which the stats job is skipped
 # (round 10). Round 9 shipped `_GATE_STATS_MIN_DOCS = 25_000`, assuming
