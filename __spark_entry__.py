@@ -1854,70 +1854,72 @@ select src, neighbor, jaccard, CAST(rn AS INTEGER) as rn from (
 # _GATED is still hash-verified every round by
 # ``tools/check_entry.py`` (merges both dicts) and pytest.
 _GATED = [
-    # --- round-10 rotation (VERDICT r9 #6): EVERY name whose newest
-    # driver row dated from the round-5 full grade is re-promoted (41
-    # names — the whole r5-stale backlog), plus the new inner-path
-    # hot-split gate on its first declaration, plus 8 keepers: the two
-    # flagship reference rows, the jaccard queries touched by this
-    # round's gate/hot-split changes (re-signed on the new code), and
-    # three of the r8-stale names the judge called out. Everything
-    # demoted (r9-signed, freshest possible rows) stays hash-verified
-    # every round by tools/check_entry.py + pytest.
-    # --- r5-stale backlog (41) ---
-    "ann_cosine_topk",
-    "ann_lsh_banded_topk",
-    "corpus_curate_full",
-    "corpus_profile",
-    "data_split",
-    "decontaminate",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_embed_cosine",
-    "dedup_embed_cosine_lsh_banded",
-    "dedup_embed_lsh_match",
-    "dedup_fingerprint",
-    "dedup_minhash_match",
-    "dedup_ngram",
-    "dedup_simhash",
-    "dedup_stream_batch",
-    "edit_distance_join",
-    "events_asof_join",
-    "events_hourly",
-    "events_interval_join",
-    "events_running_totals",
-    "jaccard_inner_ws",
-    "jaccard_self_ws_brute",
-    "jaccard_self_ws_hotsplit",
-    "jaccard_self_ws_scored",
-    "jaccard_topk_pairs",
-    "lineitem_pricing",
-    "mix_corpora",
-    "multimodal_decode",
-    "multimodal_features",
-    "orders_monthly",
-    "orders_revenue_by_nation",
-    "pack_stats",
-    "shipping_priority",
-    "text_lang_id",
-    "text_redact_pii",
-    "text_repetition",
-    "text_stats",
-    "text_token_counts",
-    "top_orders_per_customer",
-    # --- first driver row: round-10 inner-path hot-split gate ---
-    "jaccard_inner_ws_hotsplit",
-    # --- flagship keepers (signed every round) ---
-    "jaccard_self_ws",
-    "evaluate_metrics",
-    # --- re-signed on round-10 gate/hot-split code ---
-    "jaccard_self_qgram",
-    "jaccard_inner_ws_scored",
-    "jaccard_inner_ws_brute",
-    "jaccard_knn",
-    # --- r8-stale names (VERDICT r9 #6 call-outs) ---
-    "simhash_fingerprints",
-    "text_normalize",
+    # --- round-11 rotation (VERDICT r10 #5): the window holds 50 but
+    # 54 names now carry pre-r10 rows (9 r8-signed + 45 r9-signed —
+    # 104 names / 50 slots means a few always age to 3 rounds). This
+    # window takes ALL 9 r8-signed names (most stale) plus 41 of the
+    # 45 r9-signed ones; the 4 deferred to r12 (dedup_exact,
+    # deterministic_shuffle, embedding_stats, orders_rollup) are
+    # code-untouched simple relational queries with per-round
+    # check_entry hash-verification and dedicated pytest coverage.
+    # The r10-signed batch (incl. the jaccard family re-planned by
+    # this round's gate re-calibration) is hash-verified on the new
+    # code by tools/check_entry.py each round and rotates back in
+    # r12. No flagship keepers this round: jaccard_self_ws /
+    # evaluate_metrics are r10-signed and their slots go to staler
+    # names.
+    # --- r8-signed backlog (9: three rounds stale by r11) ---
+    "corpus_curate_clean",
+    "dup_span_stats",
+    "events_resample_7h",
+    "jaccard_self_ws_bag_brute",
+    "phrase_search_many",
+    "split_sentences",
+    "text_lm_score_backoff",
+    "url_domains",
+    "winnow_passages",
+    # --- r9-signed backlog (41 of 45) ---
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pandas_topk",
+    "boilerplate_lines",
+    "build_vocab",
+    "c4_rules",
+    "chunk_documents",
+    "contamination_report",
+    "corpus_curate",
+    "corpus_diff",
+    "decontaminate_bloom",
+    "dedup_canonical",
+    "dedup_embed_cosine_lsh",
+    "dedup_lines_in_doc",
+    "dedup_minhash",
+    "dedup_weighted",
+    "domain_pagerank",
+    "domain_pagerank_zipf",
+    "dsir_weights",
+    "dup_spans",
+    "edit_distance_link",
+    "events_pivot",
+    "events_resample",
+    "events_sessionize",
+    "gopher_rules",
+    "heavy_ngrams_cms",
+    "multimodal_audio",
+    "ngram_counts",
+    "pack_sequences",
+    "pack_stats_bpe",
+    "phrase_search",
+    "semantic_dedup",
+    "sql_corr_subquery",
+    "stratified_sample",
+    "text_bm25_topk",
+    "text_lang_id_trigram",
+    "text_lm_score",
+    "text_ppl_buckets",
+    "text_rarity",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
