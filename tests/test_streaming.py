@@ -1521,6 +1521,116 @@ def test_self_near_dedup_stream_bucketed_state_equals_batch(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}__compact")
 
 
+def test_self_near_dedup_stream_part_pruned_state(spark, tmp_path):
+    """state_part_modulus (round 11, VERDICT r10 #4): the coarse
+    __part partition column prunes each trigger's state scans at the
+    METADATA level. Asserts (a) emissions still equal the one-shot
+    batch twin, (b) both state tables are partitioned by
+    (__epoch, __part), (c) the probe's __part IN filter lands in the
+    plan's PartitionFilters (planning-time pruning), not a data
+    filter, (d) a pruned probe physically reads fewer files than the
+    full scan, and (e) compaction preserves the __part level."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from jaccard_join_duckdb_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from jaccard_join_duckdb_spark.sources import load_table
+    from jaccard_join_duckdb_spark.streaming import (
+        compact_self_dedup_state,
+        self_near_dedup_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    want = _rows(minhash_near_duplicates(docs, "doc_id", "text", 0.9))
+    assert want
+
+    src = tmp_path / "self_nd_parts"
+    for k in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = []
+    tbl = "snd_state_parts"
+    try:
+        q = self_near_dedup_stream(
+            stream,
+            lambda df, epoch: got.extend(map(tuple, df.collect())),
+            threshold=0.9,
+            checkpoint_dir=str(tmp_path / "ckpt_snd_p"),
+            state_table=tbl,
+            state_buckets=4,
+            state_part_modulus=8,
+        )
+        q.awaitTermination()
+        assert len(got) == len(set(got))
+        assert sorted(got) == want
+
+        for suffix in ("_sigs", "_arrs"):
+            t = f"{tbl}{suffix}"
+            assert spark.table(t).columns[-2:] == ["__epoch", "__part"]
+            parts = spark.sql(f"SHOW PARTITIONS {t}").collect()
+            assert all("__part=" in r[0] for r in parts)
+
+        # probe-shaped read: a two-part IN on the sigs table
+        probe = (
+            spark.table(f"{tbl}_sigs")
+            .filter(
+                (F.col("__epoch") < F.lit(99))
+                & F.col("__part").isin([0, 1])
+            )
+            .drop("__epoch", "__part")
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "__part" in m.group(1), plan
+        assert "__part" not in "".join(
+            re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        )
+        # planning-time pruning is physically real: the pruned probe
+        # touches strictly fewer files than the full state scan
+        files_pruned = (
+            probe.select(F.input_file_name()).distinct().count()
+        )
+        files_full = (
+            spark.table(f"{tbl}_sigs")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert 0 < files_pruned < files_full
+
+        n_before = spark.table(f"{tbl}_arrs").count()
+        compact_self_dedup_state(spark, tbl, num_buckets=4)
+        arrs = spark.table(f"{tbl}_arrs")
+        assert arrs.columns[-2:] == ["__epoch", "__part"]
+        assert [
+            r["__epoch"]
+            for r in arrs.select("__epoch").distinct().collect()
+        ] == [-1]
+        assert arrs.count() == n_before
+        assert arrs.select("__part").distinct().count() > 1
+    finally:
+        for suffix in ("_sigs", "_arrs"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}__compact")
+
+
 def test_compaction_clears_orphan_temp_files(spark):
     """ADVICE r10: a crash mid-saveAsTable leaves orphan data files at
     the managed {t}__compact location with NO catalog entry — DROP
