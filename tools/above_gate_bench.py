@@ -200,6 +200,67 @@ def main() -> int:
         ok &= cell_ok
         spark.catalog.clearCache()
 
+    # Auto-engagement cell (round 11, VERDICT r10 #6): the
+    # hot_df_threshold="auto" rule keys the hot-token split on
+    # max_df vs the AVERAGE shuffle partition (N/P) — "off at local
+    # P=32, on at cluster P" was arithmetic until now. Exercise the
+    # decision itself on cluster-shaped P: a skewed twin of the
+    # corpus (30% of records gain one shared stopword-like token, so
+    # max_df ≈ 0.3·n_docs clears the absolute floor) must ENGAGE the
+    # split at P=4096 (plan-asserted LeftAnti + broadcast, rows equal
+    # the DuckDB twin on the same skewed parquet) and must NOT engage
+    # at P=32 (same data, same rule — the partitions are huge and no
+    # straggler exists).
+    from pyspark.sql import functions as F
+
+    skew_path = os.path.join(tmp, f"{name}_skew.parquet")
+    (
+        df.withColumn(
+            "val",
+            F.when(
+                F.pmod(F.col("id"), F.lit(10)) < 3,
+                F.concat(F.col("val"), F.lit(" zqhot")),
+            ).otherwise(F.col("val")),
+        )
+        .write.mode("overwrite")
+        .parquet(skew_path)
+    )
+    df_skew = spark.read.parquet(skew_path)
+    con.execute(
+        f"create view {name}_skew as select * from "
+        f"read_parquet('{skew_path}/*.parquet')"
+    )
+    t = 0.5
+    sql = ref_sql.self_filtered_sql(
+        f"{name}_skew", "id", "val", tok, t, "l_id", "r_id"
+    )
+    dd_skew_rows = con.execute(
+        f"select count(*) from ({sql})"
+    ).fetchone()[0]
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    for p, want_split in ((4096, True), (32, False)):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        out = J.jaccard_self_join(
+            df_skew, "id", "val", tok, t, hot_df_threshold="auto"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        split = "LeftAnti" in plan
+        t0 = time.time()
+        rows = out.count()
+        wall = round(time.time() - t0, 3)
+        cell_ok = split == want_split and rows == dd_skew_rows
+        print(json.dumps({
+            "cell": f"{name}_skew self ws t={t} (auto, P={p})",
+            "rows": rows, "spark_s": wall,
+            "rows_equal": rows == dd_skew_rows,
+            "hot_split_engaged": split,
+            "hot_split_expected": want_split,
+            "ok": cell_ok,
+        }), flush=True)
+        ok &= cell_ok
+        spark.catalog.clearCache()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_p)
+
     con.close()
     spark.stop()
     print(json.dumps({

@@ -50,6 +50,13 @@
 #                        20 dedup_stream triggers (state -> 150K
 #                        fingerprints) and 10 static-index near-dup
 #                        triggers; stream union == batch twin both
+#   - gate_ab_bench:     broadcast-verify gate decision tripwire:
+#                        three arms (forced / current / r9) at the
+#                        mid-threshold refscale cells, rows identical
+#                        across arms, current within 35% of the best
+#                        arm's min (loose tol: catches a re-broken
+#                        decision like r10's 1.9x declined win,
+#                        tolerates session noise)
 # Usage: sh tools/round_checks.sh
 # Each tool runs at its own documented default scale (mostly sf0.1 —
 # the scale its BENCHMARKS.md evidence and recall floors were gated
@@ -63,4 +70,6 @@ for t in explain_audit bucket_bench index_bucket_bench \
   echo "== $t =="
   python3 "tools/$t.py"
 done
+echo "== gate_ab_bench =="
+python3 tools/gate_ab_bench.py --tol 1.35
 echo "ROUND CHECKS: ALL GATES PASS"
