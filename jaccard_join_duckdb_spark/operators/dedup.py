@@ -44,7 +44,6 @@ from .jaccard import (
     _bitset_suffix_overlap,
     _doc_bitsets,
     _length_cond,
-    _overlap_cond,
     _positional_cond,
     _probing_prefix_cond,
     _t_fraction,
@@ -777,8 +776,8 @@ def _ngram_bitset_pipeline(
     dim broadcasts a dense rank ``tid``; the per-doc ``pos`` window
     shuffles the token table by id ONCE, and ``_doc_bitsets``'s
     groupBy(id) reuses that partitioning with no further Exchange. The
-    PPJoin positional pre-filter then prunes candidate pairs before
-    the (wide) bitset join rows are built."""
+    PPJoin positional filter prunes prefix-match rows at candidate
+    generation, before the (wide) bitset join rows are built."""
     t = float(threshold)
     tc = _round_up_slack(t)
     n_words = (vocab_n + 63) // 64
@@ -825,16 +824,8 @@ def _ngram_bitset_pipeline(
             F.max("R.pos").alias("rmaxpos"),
             F.count(F.lit(1)).alias("pfxoverlap"),
         )
-        .filter(
-            _overlap_cond(
-                F.col("pfxoverlap") - 1
-                + F.least(
-                    F.col("llen") - F.col("lmaxpos") + 1,
-                    F.col("rlen") - F.col("rmaxpos") + 1,
-                ),
-                F.col("llen"), F.col("rlen"), tc,
-            )
-        )
+        # No remaining-suffix pre-filter: it is provably vacuous after
+        # _positional_cond at the same tc bound (see that docstring).
     )
     docbits = _doc_bitsets(tk, n_words)
     ov = (

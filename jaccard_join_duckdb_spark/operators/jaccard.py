@@ -188,7 +188,24 @@ def _positional_cond(
     l_len: Column, l_pos: Column, r_len: Column, r_pos: Column, t: float
 ) -> Column:
     """``LEAST(L.len-L.pos+1, R.len-R.pos+1) >= (L.len+R.len)*t/(1+t)``
-    — jaccard_join.py:163-164, tie-exact."""
+    — jaccard_join.py:163-164, tie-exact.
+
+    A consequence the verification paths rely on (round 11): any
+    remaining-suffix pre-filter of the shape ``pfxoverlap - 1 +
+    least(l_len - lmaxpos + 1, r_len - rmaxpos + 1) >= B`` is VACUOUS
+    after this condition, because it is the SAME ``_overlap_cond``
+    with the SAME bound ``B = (l_len + r_len)·t/(1+t)`` (identical
+    expression, so identical float value): the prefix match attaining
+    ``lmaxpos`` passed ``least(l_len - lmaxpos + 1, ·) >= B``, hence
+    ``l_len - lmaxpos + 1 >= B``; symmetrically ``r_len - rmaxpos + 1
+    >= B`` from the match attaining ``rmaxpos``; with ``pfxoverlap >=
+    1`` the pre-filter's LHS is ``>= B`` for EVERY candidate.
+    Measured confirmation: at db100 ws t=0.5 the pre-filter kept all
+    2,976,581 of 2,976,581 candidates (tools/cell_profile.py probe).
+    Rounds 1-10 carried that pre-filter (and, on the generic path,
+    two per-side doc-length attach JOINS built solely to evaluate it);
+    round 11 removed both — plan-only change, zero effect on results.
+    """
     return _overlap_cond(
         F.least(l_len - l_pos + 1, r_len - r_pos + 1), l_len, r_len, t
     )
@@ -467,13 +484,16 @@ _BROADCAST_VERIFY_MIN_RATIO = 4
 # scalars would recompute the tokenize chain).
 
 
-def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int]:
-    """``(n_docs, n_tok, cand_bound)`` for the self-join broadcast
-    gate, in ONE aggregate job over the persisted token table (no
-    separate doc count / token count jobs): per token, ``a`` rows in
-    the indexing prefix × ``b`` rows in the probing prefix bounds the
-    candidate equi-join's output; ``pos == 1`` rows count documents
-    exactly (every tokenized doc has one)."""
+def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int, int]:
+    """``(n_docs, n_tok, cand_bound, dup_rows)`` for the self-join
+    broadcast gate, in ONE aggregate job over the persisted token
+    table (no separate doc count / token count jobs): per token, ``a``
+    rows in the indexing prefix × ``b`` rows in the probing prefix
+    bounds the candidate equi-join's output; ``pos == 1`` rows count
+    documents exactly (every tokenized doc has one); ``dup_rows``
+    (rows minus distinct ids, summed over tokens) is the exact count
+    of duplicate ``(id, token)`` rows, gating the runtime-distinct
+    array verification (_RUNTIME_DISTINCT_ARRAY) on the same job."""
     idx = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
     prb = _probing_prefix_cond(F.col("len"), F.col("pos"), t)
     row = (
@@ -483,11 +503,13 @@ def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int]:
             F.sum(idx.cast("long")).alias("a"),
             F.sum(prb.cast("long")).alias("b"),
             F.sum((F.col("pos") == 1).cast("long")).alias("d"),
+            F.count_distinct("id").alias("u"),
         )
         .agg(
             F.sum("d").alias("n_docs"),
             F.sum("c").alias("n_tok"),
             F.sum(F.col("a") * F.col("b")).alias("bound"),
+            F.sum(F.col("c") - F.col("u")).alias("dup_rows"),
         )
         .first()
     )
@@ -495,6 +517,7 @@ def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int]:
         int(row["n_docs"] or 0),
         int(row["n_tok"] or 0),
         int(row["bound"] or 0),
+        int(row["dup_rows"] if row["dup_rows"] is not None else -1),
     )
 
 
@@ -699,6 +722,33 @@ def _suffix_overlap(
     )
 
 
+# Runtime-distinct array verification (round 11). A tokenizer that
+# cannot PROMISE duplicate-free ``(id, token)`` rows (DelimiterTokzr's
+# dedup-before-lowercase quirk, bag mode) historically always took the
+# generic pairs×tokens three-way join — but whether duplicates exist
+# is a property of the DATA, and on real corpora they usually don't
+# (the quirk needs case-variant twins inside one value). The gate
+# stats job now measures the exact duplicate-row count for free
+# (rows minus distinct ids per token, same aggregate), and when it is
+# ZERO the set-intersect array verification is exact — suffix
+# row-PAIR count equals set overlap with no duplicates to multiply.
+# Measured at the refscale profile cells (zero duplicate rows at
+# runtime, tools/cell_profile.py + interleaved A/B, both arms under
+# identical load): db100 ws t=0.4 7.8 s vs 57.1 s three-way, db50 ws
+# t=0.3 7.3 s vs 40.7 s, db10 ws t=0.2 4.4 s vs 8.0 s — the three-way
+# shuffles the 10.2M-candidate × suffix-row stream twice plus a final
+# groupBy, the array path replaces all of it with two attach joins
+# and a codegen intersect. An interpreted higher-order pair-count
+# variant (exact under duplicates) was measured and REJECTED: HOF
+# expressions don't whole-stage-codegen, and at 3M candidates its
+# verify stage cost 13.3 s vs the three-way's 6.1 s — so
+# duplicate-carrying corpora keep the reference's shuffle join, which
+# is also the only shape available at corpus scale (the dup count
+# comes from the gate-stats job, already skipped past the 250K-doc
+# probe cap). Module flag so tests can pin the fallback.
+_RUNTIME_DISTINCT_ARRAY = True
+
+
 # --------------------------------------------------------------------------
 # self join (reference _JaccardSelfJoin, jaccard_join.py:111-232)
 # --------------------------------------------------------------------------
@@ -856,6 +906,7 @@ def jaccard_self_join(
     # is skipped (shuffle joins kept, correct at every scale) when
     # persist=False.
     n_docs = n_tok = bound = 0
+    dup_rows = -1  # unknown until the gate-stats job measures it
     # Sparse-corpus fast decline (round 10): the auto-split aggregate
     # already computed sum(df²), a sound upper bound on the candidate
     # bound — when even IT cannot clear the ratio for the token-row
@@ -873,7 +924,7 @@ def jaccard_self_join(
         and not cheap_decline
         and _doc_count_probe(df) <= _MAX_BROADCAST_VERIFY_DOCS
     ):
-        n_docs, n_tok, bound = _self_gate_stats(tkdf, t)
+        n_docs, n_tok, bound, dup_rows = _self_gate_stats(tkdf, t)
         # The gate-stats aggregate materialized tkdf into its cache,
         # so the vocab-sized dfreq cache entry is now dead weight —
         # free it (ADVICE r10: repeated join calls in one session
@@ -955,13 +1006,18 @@ def jaccard_self_join(
     # accept iff ``sfx + pfxOverlap - 1 >= bound``. A pair with zero
     # suffix matches is dropped (inner-join semantics) — exactly as
     # the reference's three-way join behaves.
-    if tokenizer.rows_distinct:
+    if tokenizer.rows_distinct or (_RUNTIME_DISTINCT_ARRAY and dup_rows == 0):
         # Fast path: compiled slice + array_intersect against
         # pos-ordered per-doc arrays — no pairs×tokens intermediate.
-        # Exact only when (id, token) rows are unique (the property
-        # gates this). The arithmetic pre-filter skips intersects
-        # that cannot reach the bound (sound: sfx <= min of the
-        # remaining-token counts).
+        # Taken when the tokenizer PROMISES distinct (id, token) rows,
+        # or when the gate-stats job MEASURED zero duplicate rows in
+        # this corpus (exact — the suffix row-pair count then equals
+        # the set overlap; see _RUNTIME_DISTINCT_ARRAY). When
+        # duplicates exist, or the stats were skipped (unpersisted
+        # input, sparse fast-decline, corpus over the doc probe cap),
+        # the shuffle three-way join below remains the plan. (No
+        # remaining-suffix pre-filter here: it is provably vacuous —
+        # _positional_cond.)
         arrs = _pos_token_arrays(tkdf)
         return (
             cand.join(
@@ -979,16 +1035,6 @@ def jaccard_self_join(
                     F.col("arr").alias("ra"),
                 ), n_docs, bound=bound, decide_rows=n_tok),
                 "rid",
-            )
-            .filter(
-                _overlap_cond(
-                    F.col("pfxoverlap") - 1
-                    + F.least(
-                        F.col("llen") - F.col("lmaxpos") + 1,
-                        F.col("rlen") - F.col("rmaxpos") + 1,
-                    ),
-                    F.col("llen"), F.col("rlen"), t,
-                )
             )
             .withColumn(
                 "sfx",
@@ -1011,29 +1057,13 @@ def jaccard_self_join(
             )
         )
 
-    # Generic path (token rows may carry duplicates — bag mode or the
-    # Delimiter case-dedup quirk): the reference's pairs×tokens
-    # three-way join, preceded by the same sound candidate pre-filter.
-    lens = tkdf.select("id", "len").distinct()
-    cand = (
-        cand.join(_verify_attach(
-            lens.select(F.col("id").alias("lid"), F.col("len").alias("_ll")),
-            n_docs, bound=bound, decide_rows=n_tok), "lid")
-        .join(_verify_attach(
-            lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_docs, bound=bound, decide_rows=n_tok), "rid")
-        .filter(
-            _overlap_cond(
-                F.col("pfxoverlap") - 1
-                + F.least(
-                    F.col("_ll") - F.col("lmaxpos") + 1,
-                    F.col("_rl") - F.col("rmaxpos") + 1,
-                ),
-                F.col("_ll"), F.col("_rl"), t,
-            )
-        )
-        .drop("_ll", "_rl")
-    )
+    # Generic path (duplicate-carrying token rows, measured or
+    # unmeasured): the reference's pairs×tokens three-way join.
+    # Through round 10 this path first
+    # attached per-side doc lengths (two extra joins over a distinct
+    # lens dim) to evaluate a remaining-suffix pre-filter; the filter
+    # is provably vacuous (see _positional_cond), so the joins were
+    # pure plan overhead and are gone.
     # token-level attach gate: n_tok came out of the same fused
     # scalar job as n_docs/bound (zero when not persisted — declines)
     Lv = tkdf.alias("VL")
@@ -1336,7 +1366,7 @@ def jaccard_inner_join(
 
     def _tagged(tkdf: DataFrame, side: int) -> DataFrame:
         return tkdf.select(
-            F.lit(side).alias("side"), "len", "pos", "df"
+            F.lit(side).alias("side"), "id", "token", "len", "pos", "df"
         )
 
     side_rows = {
@@ -1350,6 +1380,12 @@ def jaccard_inner_join(
             ).alias("w"),
             F.sum((F.col("pos") == 1).cast("long")).alias("d"),
             F.count(F.lit(1)).alias("c"),
+            # exact duplicate (id, token) row count per side, gating
+            # the runtime-distinct array verification (see
+            # _RUNTIME_DISTINCT_ARRAY) — free in this aggregate
+            (
+                F.count(F.lit(1)) - F.count_distinct("id", "token")
+            ).alias("dup"),
         )
         .collect()
     }
@@ -1359,14 +1395,18 @@ def jaccard_inner_join(
     if persist:
         dfreq_raw.unpersist()
 
-    def _side_stats(side: int) -> tuple[int, int, int]:
+    def _side_stats(side: int) -> tuple[int, int, int, int]:
         row = side_rows.get(side)
         if row is None:  # empty side: no tokens at all
-            return 0, 0, 0
-        return int(row["w"] or 0), int(row["d"] or 0), int(row["c"] or 0)
+            return 0, 0, 0, 0
+        return (
+            int(row["w"] or 0), int(row["d"] or 0),
+            int(row["c"] or 0), int(row["dup"] or 0),
+        )
 
-    l_widows, n_l_docs, n_l_tok = _side_stats(0)
-    r_widows, n_r_docs, n_r_tok = _side_stats(1)
+    l_widows, n_l_docs, n_l_tok, l_dup = _side_stats(0)
+    r_widows, n_r_docs, n_r_tok, r_dup = _side_stats(1)
+    dup_rows = l_dup + r_dup
 
     # Side swap: R = indexing side (keeps short 2t/(1+t) prefix),
     # S = probing side (rebuilt with the longer t prefix).
@@ -1489,8 +1529,10 @@ def jaccard_inner_join(
         )
     )
 
-    if tokenizer.rows_distinct:
-        # Compiled slice+array_intersect verification (see self join).
+    if tokenizer.rows_distinct or (_RUNTIME_DISTINCT_ARRAY and dup_rows == 0):
+        # Compiled slice+array_intersect verification (see self join):
+        # declared-distinct rows, or zero duplicate rows MEASURED
+        # across both sides by the fused per-side scalars.
         r_arrs = _pos_token_arrays(R_tkdf)
         s_arrs = _pos_token_arrays(S_tkdf)
         return (
@@ -1509,16 +1551,6 @@ def jaccard_inner_join(
                     F.col("arr").alias("sarr"),
                 ), n_S_docs, bound=bound, decide_rows=n_S_tok),
                 "sid",
-            )
-            .filter(
-                _overlap_cond(
-                    F.col("pfxoverlap") - 1
-                    + F.least(
-                        F.col("rlen") - F.col("rmaxpos") + 1,
-                        F.col("slen") - F.col("smaxpos") + 1,
-                    ),
-                    F.col("rlen"), F.col("slen"), t,
-                )
             )
             .withColumn(
                 "sfx",
@@ -1541,28 +1573,10 @@ def jaccard_inner_join(
             )
         )
 
-    # Generic path with the sound candidate pre-filter.
-    r_lens = R_tkdf.select("id", "len").distinct()
-    s_lens = S_tkdf.select("id", "len").distinct()
-    cand = (
-        cand.join(_verify_attach(
-            r_lens.select(F.col("id").alias("rid"), F.col("len").alias("_rl")),
-            n_R_docs, bound=bound, decide_rows=n_R_tok), "rid")
-        .join(_verify_attach(
-            s_lens.select(F.col("id").alias("sid"), F.col("len").alias("_sl")),
-            n_S_docs, bound=bound, decide_rows=n_S_tok), "sid")
-        .filter(
-            _overlap_cond(
-                F.col("pfxoverlap") - 1
-                + F.least(
-                    F.col("_rl") - F.col("rmaxpos") + 1,
-                    F.col("_sl") - F.col("smaxpos") + 1,
-                ),
-                F.col("_rl"), F.col("_sl"), t,
-            )
-        )
-        .drop("_rl", "_sl")
-    )
+    # Generic path (duplicate rows AND long documents). The per-side
+    # doc-length attach joins that fed the remaining-suffix
+    # pre-filter are gone — the filter is provably vacuous after the
+    # positional condition (see _positional_cond).
     # token-level attach gate: n_R_tok/n_S_tok came out of the fused
     # per-side scalars (zero when not persisted — declines)
     Rv = R_tkdf.alias("VR")

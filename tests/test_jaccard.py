@@ -381,13 +381,16 @@ def test_verify_attach_above_gate_fallback(documents, monkeypatch, tok):
 def test_self_gate_stats_formula(spark):
     """Pin _self_gate_stats against hand-computed values on a 3-doc
     corpus at t=0.5 (the gate's only inputs): n_docs from pos==1 rows,
-    n_tok from all rows, and the candidate bound = sum over tokens of
-    (indexing-prefix rows × probing-prefix rows).
+    n_tok from all rows, the candidate bound = sum over tokens of
+    (indexing-prefix rows × probing-prefix rows), and dup_rows (the
+    exact duplicate (id, token) row count, gating the
+    runtime-distinct array verification).
 
     Corpus: d1 "a b c", d2 "b c", d3 "c a" → df a:2 b:2 c:3; pos by
     (df, token) order. Indexing prefix (len-pos+1 >= 2·len/3): a and b
     qualify in their docs, c never. Probing prefix (len-pos+1 >=
-    len/2): all but d1's c qualify. bound = a:2·2 + b:2·2 + c:0·2 = 8.
+    len/2): all but d1's c qualify. bound = a:2·2 + b:2·2 + c:0·2 = 8;
+    dup_rows = 0 (set mode, no case variants).
     """
     import jaccard_join_duckdb_spark.operators.jaccard as J
     from jaccard_join_duckdb_spark import WhitespaceTokzr
@@ -397,7 +400,137 @@ def test_self_gate_stats_formula(spark):
     )
     tokens = WhitespaceTokzr().tokenize(df, "id", "val")
     tkdf = J.tokens_with_doc_freq(tokens, with_pair_key=True)
-    assert J._self_gate_stats(tkdf, 0.5) == (3, 7, 8)
+    assert J._self_gate_stats(tkdf, 0.5) == (3, 7, 8, 0)
+
+    dup = spark.createDataFrame(
+        [(1, "A a b"), (2, "a b")], "id long, val string"
+    )
+    dup_tkdf = J.tokens_with_doc_freq(
+        WhitespaceTokzr().tokenize(dup, "id", "val"), with_pair_key=True
+    )
+    # d1 tokenizes to rows a,a,b (case-collapsed duplicate) → 1 dup row
+    assert J._self_gate_stats(dup_tkdf, 0.5)[3] == 1
+
+
+def _lowercase_corpus(n_docs=60, max_words=12, seed=11):
+    """Deterministic lowercase corpus: repeated word PICKS across a
+    small vocab create overlap, but set-mode tokenize dedups within a
+    value and no case variants exist — so (id, token) rows are
+    runtime-distinct even though WhitespaceTokzr cannot promise it."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["ha", "be", "ce", "dx", "ee", "fo", "gg", "hi", "jo", "ku"]
+    return [
+        " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(2, max_words))
+        )
+        for _ in range(n_docs)
+    ]
+
+
+def _dup_corpus(n_docs=60, max_words=12, seed=11):
+    """Mixed-case twin of _lowercase_corpus: case-variant picks make
+    the Delimiter dedup-before-lowercase quirk emit duplicate rows."""
+    base = _lowercase_corpus(n_docs, max_words, seed)
+    return [s.replace("ha", "Ha", 1).replace("be", "BE", 1) + " ku KU"
+            for s in base]
+
+
+@pytest.mark.parametrize("t", [0.2, 0.5, 0.8])
+def test_runtime_distinct_array_verify_self(spark, monkeypatch, t):
+    """Runtime-distinct detection (round 11): on a corpus the
+    gate-stats job measures as duplicate-free, a tokenizer that cannot
+    PROMISE distinct rows must still get the compiled array verify —
+    and its rows must equal the generic three-way join's (forced via
+    the _RUNTIME_DISTINCT_ARRAY flag). Plans pinned different: the
+    engaged path builds pos-ordered arrays (array_sort)."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    texts = _lowercase_corpus()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "id long, val string"
+    )
+    tok = WhitespaceTokzr()
+    assert not tok.rows_distinct
+    fast = jaccard_self_join(df, "id", "val", tok, t)
+    fast_plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_sort" in fast_plan
+    with monkeypatch.context() as m:
+        m.setattr(J, "_RUNTIME_DISTINCT_ARRAY", False)
+        slow = jaccard_self_join(df, "id", "val", tok, t)
+        slow_plan = slow._jdf.queryExecution().optimizedPlan().toString()
+        assert "array_sort" not in slow_plan
+        assert pairs(fast) == pairs(slow)
+
+
+@pytest.mark.parametrize("return_set", [True, False], ids=["quirk", "bag"])
+def test_duplicate_rows_keep_three_way_self(spark, return_set):
+    """Corpora that DO carry duplicate (id, token) rows — the
+    case-collapse quirk in set mode, true repeats in bag mode — must
+    keep the reference's three-way verification (the set-intersect
+    array path would undercount a×b row pairs as min(a,b)); the
+    duplicate-row counter must see them. Result correctness on such
+    corpora is pinned by the reference-oracle fuzz suite
+    (test_property_fuzz: ws-bag, delim arms)."""
+    texts = _dup_corpus()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "id long, val string"
+    )
+    tok = WhitespaceTokzr(return_set=return_set)
+    out = jaccard_self_join(df, "id", "val", tok, 0.5)
+    assert "array_sort" not in (
+        out._jdf.queryExecution().optimizedPlan().toString()
+    )
+    out.count()  # and it still executes
+
+
+@pytest.mark.parametrize("t", [0.2, 0.5])
+def test_runtime_distinct_array_verify_inner(spark, monkeypatch, t):
+    """Inner-join twin of the runtime-distinct equality pin, on the
+    side-swapped two-table path (per-side duplicate counters)."""
+    import jaccard_join_duckdb_spark.operators.jaccard as J
+
+    texts = _lowercase_corpus(n_docs=80, seed=17)
+    l_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts[:40])], "id long, val string"
+    )
+    r_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts[40:])], "id long, val string"
+    )
+    tok = WhitespaceTokzr()
+    fast = jaccard_inner_join(l_df, r_df, "id", "id", "val", "val", tok, t)
+    assert "array_sort" in fast._jdf.queryExecution().optimizedPlan().toString()
+    with monkeypatch.context() as m:
+        m.setattr(J, "_RUNTIME_DISTINCT_ARRAY", False)
+        slow = jaccard_inner_join(
+            l_df, r_df, "id", "id", "val", "val", tok, t
+        )
+        assert "array_sort" not in (
+            slow._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert sorted(
+            tuple(r) for r in fast.collect()
+        ) == sorted(tuple(r) for r in slow.collect())
+
+
+def test_inner_one_side_duplicates_keep_three_way(spark):
+    """A single duplicate-carrying side must veto the array verify for
+    the whole inner join (dup counts are summed across sides)."""
+    l_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_dup_corpus(n_docs=20))],
+        "id long, val string",
+    )
+    r_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_lowercase_corpus(n_docs=20))],
+        "id long, val string",
+    )
+    out = jaccard_inner_join(
+        l_df, r_df, "id", "id", "val", "val", WhitespaceTokzr(), 0.5
+    )
+    assert "array_sort" not in (
+        out._jdf.queryExecution().optimizedPlan().toString()
+    )
 
 
 def test_auto_hot_threshold_unit():
