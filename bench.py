@@ -113,6 +113,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Pre-touch the pinned heap so timed iterations never fault fresh
+    # pages (see session.py round-11 note on VM memory storms).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     spark = get_spark(
         app_name="jjds-bench",
         extra_conf={

@@ -57,6 +57,9 @@ def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 260_000
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # Pre-touch the pinned heap so timed iterations never fault
+    # fresh pages (see session.py round-11 note on VM memory storms).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from jaccard_join_duckdb_spark import WhitespaceTokzr, get_spark
     from jaccard_join_duckdb_spark.operators import jaccard as J
     from jaccard_join_duckdb_spark.plans import ref_sql

@@ -64,6 +64,9 @@ def main() -> int:
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # Pre-touch the pinned heap so timed iterations never fault
+    # fresh pages (see session.py round-11 note on VM memory storms).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 

@@ -61,6 +61,9 @@ def main() -> int:
         cell_filter = sys.argv[sys.argv.index("--cell") + 1]
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # Pre-touch the pinned heap so timed iterations never fault
+    # fresh pages (see session.py round-11 note on VM memory storms).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from jaccard_join_duckdb_spark import WhitespaceTokzr, get_spark
     from jaccard_join_duckdb_spark.operators import jaccard as J
 

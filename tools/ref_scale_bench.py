@@ -178,6 +178,9 @@ def main() -> int:
         return 2
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # Pre-touch the pinned heap so timed iterations never fault
+    # fresh pages (see session.py round-11 note on VM memory storms).
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from jaccard_join_duckdb_spark import get_spark
     from jaccard_join_duckdb_spark.operators.evaluate import evaluate
 
