@@ -454,3 +454,61 @@ def test_shard_read_prunes_partitions(spark, documents, tmp_path):
     n_total = spark.read.parquet(p).count()
     n_one = one.count()
     assert 0 < n_one < n_total
+
+
+def test_session_pins_initial_heap(spark):
+    """The driver JVM must run with -Xms pinned (round 11): G1's
+    commit/uncommit cycle on a grow-only -Xmx heap measured 5-40x
+    iteration storms on lazily-backed VM memory (BENCHMARKS.md,
+    round-11 attribution). The pin is the session default, so the
+    shared test session itself must carry it."""
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    assert "-Xms" in opts
+
+
+def test_get_spark_merges_caller_java_options(monkeypatch):
+    """Caller-supplied spark.driver.extraJavaOptions must COMPOSE with
+    the -Xms pin (not replace it), and the passed extra_conf dict must
+    not be mutated."""
+    import jaccard_join_duckdb_spark.session as S
+
+    captured = {}
+
+    class FakeBuilder:
+        def appName(self, *_): return self
+        def master(self, *_): return self
+        def config(self, k, v):
+            captured[k] = v
+            return self
+        def getOrCreate(self): return None
+
+    monkeypatch.setattr(
+        S.SparkSession, "builder", FakeBuilder(), raising=False
+    )
+    conf = {"spark.driver.extraJavaOptions": "-Dcaller=1"}
+    S.get_spark(extra_conf=conf)
+    opts = captured["spark.driver.extraJavaOptions"]
+    assert "-Xms" in opts and "-Dcaller=1" in opts
+    assert conf == {"spark.driver.extraJavaOptions": "-Dcaller=1"}
+
+
+def test_get_spark_xms_opt_out(monkeypatch):
+    """SPARK_GRAFT_DRIVER_XMS=0 disables the pin entirely."""
+    import jaccard_join_duckdb_spark.session as S
+
+    captured = {}
+
+    class FakeBuilder:
+        def appName(self, *_): return self
+        def master(self, *_): return self
+        def config(self, k, v):
+            captured[k] = v
+            return self
+        def getOrCreate(self): return None
+
+    monkeypatch.setattr(
+        S.SparkSession, "builder", FakeBuilder(), raising=False
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_XMS", "0")
+    S.get_spark()
+    assert "spark.driver.extraJavaOptions" not in captured
