@@ -1705,11 +1705,8 @@ def connected_components(
         # persisted edges plus one partial-aggregated message shuffle.
         # Above the cap (~32 MB of labels) the sort-merge IS the right
         # BSP plan at corpus scale.
-        lab = (
-            F.broadcast(labels)
-            if n_nodes <= _CC_BROADCAST_MAX_LABELS
-            else labels
-        )
+        bcast = n_nodes <= _CC_BROADCAST_MAX_LABELS
+        lab = F.broadcast(labels) if bcast else labels
         offered = e.join(lab, "u").select(
             F.col("v").alias("u"), "comp"
         )
@@ -1717,7 +1714,35 @@ def connected_components(
             offered.union(labels)
             .groupBy("u")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=False)
+        )
+        if bcast:
+            # Pointer jumping (round 11): rewrite each fresh label
+            # through the PREVIOUS round's label map — comp ←
+            # old_label(comp) — so label information travels 2^k hops
+            # after k rounds instead of k. Sound because label values
+            # are always node ids of the SAME component with
+            # old_label(x) <= x (monotone), so the rewrite never
+            # leaves the component and never increases a label; the
+            # sum fixpoint test is unchanged (a no-change round under
+            # the jumped update implies a no-change round under the
+            # plain update — the jumped min is <= the plain min — so
+            # the proven fixpoint ⟺ converged argument still holds).
+            # Measured on the sf0.1 minhash edge set (965K pairs,
+            # 2,923 labels): 8 rounds → 4, each round one job. Only
+            # in the label-broadcast regime: the rewrite is one extra
+            # MAP-SIDE hash join on the post-aggregate (≤ n_nodes
+            # rows). Above the cap it would add a second corpus-scale
+            # shuffle per round — there the plain d-round sort-merge
+            # (or algorithm='two_phase' for whales) stays the plan.
+            jump = F.broadcast(
+                labels.select(
+                    F.col("u").alias("comp"), F.col("comp").alias("__j")
+                )
+            )
+            new_labels = new_labels.join(jump, "comp", "left").select(
+                "u", F.coalesce("__j", "comp").alias("comp")
+            )
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(_label_sum).collect()[0]["s"]
         old = labels
         labels = new_labels

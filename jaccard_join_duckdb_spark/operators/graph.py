@@ -29,6 +29,17 @@ __all__ = ["domain_cooccurrence_edges", "pagerank"]
 
 RANK_SCALE = 10**12
 
+# pagerank: broadcast the per-iteration rank/contrib tables into their
+# joins when the (driver-known, constant) node count proves them
+# bounded — ~16 B a row, the same budget class as
+# dedup._CC_BROADCAST_MAX_LABELS. Checkpointed ranks are a leaf RDD
+# whose size Catalyst cannot see, so without the hint both joins of
+# every iteration default to sort-merge: 3 shuffles per iteration on
+# a rank table of a few thousand rows. With the hint each iteration
+# is ONE partial-aggregated shuffle (the contrib groupBy). Above the
+# cap the sort-merge is the right BSP plan at corpus scale.
+_PR_BROADCAST_MAX_NODES = 2_000_000
+
 
 def domain_cooccurrence_edges(
     df: DataFrame, id_col: str, text_col: str
@@ -120,7 +131,17 @@ def pagerank(
     if int(iterations) < 1:
         raise ValueError("iterations must be >= 1")
     d = int(damping_pct)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # Persist the canonical edge set: nodes (via nodes.count() below)
+    # and ew each materialize from it in SEPARATE jobs, so an
+    # unpersisted e re-runs the upstream edge derivation — for the
+    # domain graph that is the full corpus URL-regex scan — once per
+    # consumer (round 11: measured 2 full scans at sf0.1; persisting
+    # e removes one).
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -135,6 +156,7 @@ def pagerank(
         # contract schema instead of a ZeroDivisionError from base//n
         nodes.unpersist()
         ew.unpersist()
+        e.unpersist()
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("rank_scaled"),
@@ -147,9 +169,11 @@ def pagerank(
     ).localCheckpoint()
     ck = max(1, int(checkpoint_interval))
     checkpointed = [ranks]
+    bcast = n <= _PR_BROADCAST_MAX_NODES
     for i in range(int(iterations)):
+        r_in = F.broadcast(ranks) if bcast else ranks
         contrib = (
-            ranks.join(ew, ranks["node"] == ew["u"])
+            r_in.join(ew, r_in["node"] == ew["u"])
             .select(
                 F.col("v").alias("node"),
                 F.expr("rank_scaled div outdeg").alias("share"),
@@ -157,7 +181,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("share").alias("contrib"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        c_in = F.broadcast(contrib) if bcast else contrib
+        ranks = nodes.join(c_in, "node", "left").select(
             "node",
             (
                 F.lit(base).cast("long")
@@ -176,6 +201,7 @@ def pagerank(
         old.unpersist()
     nodes.unpersist()
     ew.unpersist()
+    e.unpersist()
     return out.select(
         "node",
         "rank_scaled",

@@ -440,6 +440,13 @@ def semantic_dedup(
     assigned, _ = _ivf_corpus_assign(
         corpus, id_col, vec_col, n_lists, seed, centroids
     )
+    # Three consumers read the assignment (both sides of the
+    # within-cluster pair join and the final keep/drop select) — an
+    # unpersisted frame re-runs the Arrow assignment kernel over the
+    # whole corpus once per consumer (round 11: measured 3 scans at
+    # sf0.1; the persist leaves one). Freed by the session's
+    # clearCache discipline, same as the jaccard tkdf persists.
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     l = assigned.select(
         "lst",
         F.col("neighbor_id").alias("l_id"),
@@ -466,8 +473,13 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+    # Every vector lands in exactly one list (the assign kernel emits
+    # one row per input row), so each unordered pair appears at most
+    # once — the CC edge-dedup shuffle would be a full 2|E| distinct
+    # for nothing (hash-min is correct under duplicates regardless).
     comps = connected_components(
-        edges, "l_id", "r_id", max_iterations=max_iterations
+        edges, "l_id", "r_id", max_iterations=max_iterations,
+        dedup_edges=False,
     )
     return (
         assigned.select(
