@@ -28,9 +28,11 @@ Scale design:
 
 from __future__ import annotations
 
+import operator
 import random
 from dataclasses import dataclass
 from fractions import Fraction
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -682,19 +684,31 @@ def simhash_fingerprints(
         ).alias("h"),
     )
     th = toks.join(tok_h, "token").select("id", "h")
-    bits = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
-    votes = (
-        th.select("id", "h", F.explode(bits).alias("j"))
-        .withColumn("p2", F.pow(F.lit(2.0), F.col("j")).cast("long"))
-        .withColumn("bit", F.expr("(h div p2) % 2"))
-        .groupBy("id", "j", "p2")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
-    )
-    return votes.groupBy("id").agg(
+    # All SIMHASH_BITS per-bit vote sums in ONE aggregation keyed by
+    # id — 62 compiled sum() columns with map-side partial aggregation
+    # — instead of exploding 62 rows per (id, token) and shuffling the
+    # 62× blow-up into a groupBy(id, bit) (the _minhash_band_sigs
+    # min-column shape). Identical integer arithmetic per bit:
+    # vote_j = Σ_tokens ((h div 2^j) % 2) * 2 - 1, bit j set iff
+    # vote_j > 0 — so fingerprints are byte-identical to the exploded
+    # formulation (and to the oracle SQL).
+    vote_cols = [
         F.sum(
-            F.when(F.col("vote") > 0, F.col("p2")).otherwise(F.lit(0))
-        ).alias("simhash")
+            F.expr(f"((h div {1 << j}) % 2) * 2 - 1")
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = th.groupBy("id").agg(*vote_cols)
+    sim = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(SIMHASH_BITS)
+        ],
     )
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_near_duplicates(
