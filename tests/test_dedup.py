@@ -166,6 +166,35 @@ def test_connected_components_two_phase(spark):
     assert a == b
 
 
+def test_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """The size-gated driver-vectorized hash-min (round 11) must
+    produce identical labels to the distributed BSP loop, and honor
+    the same max_iterations convergence contract — same recurrence
+    (min over neighbors ∪ self, pointer jump through the previous
+    round's map), so round counts match round for round."""
+    import jaccard_join_duckdb_spark.operators.dedup as dd
+
+    rows = [(i, (i * 7) % 20) for i in range(20)] + [(3, 18), (0, 19)]
+    edges = spark.createDataFrame(rows, "l_id long, r_id long")
+    fast = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "l_id", "r_id").collect()
+    }
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "l_id long, r_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "l_id", "r_id", max_iterations=3)
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "l_id", "r_id").collect()
+    }
+    assert fast == slow
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "l_id", "r_id", max_iterations=3)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A path graph longer than the round budget must fail loud, not
     return intermediate labels (which would silently misassign
