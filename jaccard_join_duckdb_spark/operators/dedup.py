@@ -103,6 +103,17 @@ _CC_BROADCAST_MAX_LABELS = 2_000_000
 # broadcast above. Above the cap the BSP rounds below are the plan.
 _CC_DRIVER_MAX_EDGES = 4_000_000
 
+# Bitset verification pays per-pair 2×n_words long columns in the
+# attach joins; past ~8 words (512-token vocab) the wide rows fall out
+# of whole-stage codegen and the driver spends ~1 s per call just
+# building the masked-popcount expression tree — there the compiled
+# array_intersect over the same distinct token/tid table wins
+# (round-11 measurement at dedup_ngram's 37-word regime: 2.7 s vs
+# 0.9 s per iteration). Below the cap the bitset stays ~8× faster
+# than per-pair array_intersect (the round-8 measurement that
+# introduced it).
+_MAX_BITSET_WORDS = 8
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -560,7 +571,7 @@ def _verify_overlap(
     # on huge vocabularies where only "too big" matters.
     if vocab_n is None:
         vocab_n = vocab.limit(_MAX_BITSET_VOCAB + 1).count()
-    if 0 < vocab_n <= _MAX_BITSET_VOCAB:
+    if 0 < vocab_n <= min(_MAX_BITSET_VOCAB, 64 * _MAX_BITSET_WORDS):
         n_words = (vocab_n + 63) // 64
         tdim = vocab.withColumn(
             "tid", F.row_number().over(Window.orderBy("token"))
@@ -840,14 +851,50 @@ def _ngram_bitset_pipeline(
             F.col("R.len").alias("rlen"),
         )
         .agg(
-            F.max("L.tid").alias("tidstart"),
-            F.max("L.pos").alias("lmaxpos"),
-            F.max("R.pos").alias("rmaxpos"),
+            *(
+                [
+                    F.max("L.tid").alias("tidstart"),
+                    F.max("L.pos").alias("lmaxpos"),
+                    F.max("R.pos").alias("rmaxpos"),
+                ]
+                if n_words <= _MAX_BITSET_WORDS
+                else []
+            ),
             F.count(F.lit(1)).alias("pfxoverlap"),
         )
         # No remaining-suffix pre-filter: it is provably vacuous after
         # _positional_cond at the same tc bound (see that docstring).
     )
+    if n_words > _MAX_BITSET_WORDS:
+        # Wide-bitset regime (round 11): past ~8 words the bitset
+        # verify loses on BOTH sides of the boundary — the 2×n_words
+        # long columns blow the join rows/projections out of
+        # whole-stage codegen territory AND the driver pays ~1 s just
+        # BUILDING the expression tree per call (measured at sf0.1
+        # dedup_ngram, vocab 2,333 → 37 words: construction 1.10 s +
+        # execution 1.6 s vs 0.19 s + 0.7 s for the compiled
+        # array_intersect over the same persisted tid table). Exact
+        # for the same reason as the bitset: tk rows are distinct per
+        # (id, tid), so |array_intersect| IS the set overlap.
+        arrs = tk.groupBy("id").agg(F.collect_list("tid").alias("arr"))
+        ov = (
+            cand.join(
+                arrs.select(F.col("id").alias("lid"), F.col("arr").alias("la")),
+                "lid",
+            )
+            .join(
+                arrs.select(F.col("id").alias("rid"), F.col("arr").alias("ra")),
+                "rid",
+            )
+            .select(
+                "lid",
+                "rid",
+                F.size(F.array_intersect("la", "ra")).alias("ov"),
+                F.col("llen").alias("lsz"),
+                F.col("rlen").alias("rsz"),
+            )
+        )
+        return _jaccard_threshold_filter(ov, t)
     docbits = _doc_bitsets(tk, n_words)
     ov = (
         cand.join(
