@@ -564,18 +564,40 @@ def _verify_overlap(
     if two_sided:
         vocab = vocab.union(r_toks.select("token"))
     vocab = vocab.distinct()
-    # One driver-side scalar gates the plan; callers that already
-    # aggregated the vocabulary pass its size to skip the recount.
-    # limit(MAX+1).count() == min(actual, MAX+1): exact whenever the
-    # gate passes (the bitset must cover every tid), early-stopping
-    # on huge vocabularies where only "too big" matters.
+    # One driver-side gate job; callers that already aggregated the
+    # vocabulary pass its size to skip it. limit(MAX+1) early-stops on
+    # huge vocabularies where only "too big" matters; COLLECTING the
+    # (<= 4097, bounded) gate rows instead of counting them means the
+    # same job also yields the token dim — previously the
+    # union+distinct subtree re-executed INSIDE the verify job to
+    # rank tids (a window over an unpersisted aggregate), ~1.5 s of
+    # the sf0.1 decontaminate wall for a 31-token vocabulary
+    # (round 11). tid = rank in the driver-sorted token order; the
+    # bitset overlap is a popcount of the intersection, invariant to
+    # the tid permutation, so the output cannot depend on the sort.
+    vocab_rows = None
     if vocab_n is None:
-        vocab_n = vocab.limit(_MAX_BITSET_VOCAB + 1).count()
+        rows = vocab.limit(_MAX_BITSET_VOCAB + 1).collect()
+        vocab_n = len(rows)
+        vocab_rows = [r[0] for r in rows]
     if 0 < vocab_n <= min(_MAX_BITSET_VOCAB, 64 * _MAX_BITSET_WORDS):
         n_words = (vocab_n + 63) // 64
-        tdim = vocab.withColumn(
-            "tid", F.row_number().over(Window.orderBy("token"))
-        )
+        if vocab_rows is not None:
+            tdim = toks.sparkSession.createDataFrame(
+                [(tk, i + 1) for i, tk in enumerate(sorted(vocab_rows))],
+                T.StructType(
+                    [
+                        T.StructField(
+                            "token", toks.schema["token"].dataType, False
+                        ),
+                        T.StructField("tid", T.IntegerType(), False),
+                    ]
+                ),
+            )
+        else:
+            tdim = vocab.withColumn(
+                "tid", F.row_number().over(Window.orderBy("token"))
+            )
         bit_cols = [
             F.bit_or(
                 F.when(
