@@ -40,6 +40,69 @@ RANK_SCALE = 10**12
 # cap the sort-merge is the right BSP plan at corpus scale.
 _PR_BROADCAST_MAX_NODES = 2_000_000
 
+# pagerank: run the whole fixed-iteration recurrence vectorized on the
+# driver when the raw edge list is bounded — 4M (u, v) rows ≈ 64 MB
+# through Arrow, the same budget class as the per-iteration rank
+# broadcast above (and dedup._CC_DRIVER_MAX_EDGES). The recurrence is
+# pure int64 arithmetic on nonnegative values, where numpy's // and
+# Spark's `div` agree exactly, so ranks are bit-identical; the display
+# double is still computed BY SPARK (round half-up) on the literal
+# frame. Above the cap the limit early-stops and the BSP loop remains
+# the plan.
+_PR_DRIVER_MAX_EDGES = 4_000_000
+
+
+def _pagerank_driver(
+    spark, pdf, id_type, d: int, iterations: int
+) -> DataFrame:
+    """Driver-vectorized twin of the distributed loop for bounded edge
+    lists (already fetched as the pandas frame ``pdf``): same distinct
+    edge set, same outdeg, same ``base + (d * contrib) div 100``
+    integer recurrence, same iteration count — bit-identical
+    ``rank_scaled`` (pinned by test_pagerank_driver_matches_
+    distributed)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("rank_scaled", T.LongType(), False),
+        ]
+    )
+    pdf = pdf.drop_duplicates()
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    if n == 0:
+        out = spark.createDataFrame([], schema)
+    else:
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        outdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(outdeg, ui, 1)
+        base = ((100 - d) * RANK_SCALE) // (100 * n)
+        rank = np.full(n, RANK_SCALE // n, dtype=np.int64)
+        for _ in range(int(iterations)):
+            share = rank[ui] // outdeg[ui]
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, vi, share)
+            rank = base + (d * contrib) // 100
+        out = spark.createDataFrame(
+            pd.DataFrame({"node": nodes, "rank_scaled": rank}), schema
+        )
+    return out.select(
+        "node",
+        "rank_scaled",
+        F.round(
+            F.col("rank_scaled").cast("double") / F.lit(float(RANK_SCALE)),
+            12,
+        ).alias("rank"),
+    )
+
 
 def domain_cooccurrence_edges(
     df: DataFrame, id_col: str, text_col: str
@@ -131,6 +194,18 @@ def pagerank(
     if int(iterations) < 1:
         raise ValueError("iterations must be >= 1")
     d = int(damping_pct)
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Driver fast path (round 11): one bounded pass over the raw edge
+    # list both decides the gate and fetches it — the upstream edge
+    # derivation (for the domain graph, the full corpus URL-regex
+    # scan) executes exactly once, and the 10 per-iteration
+    # broadcast-loop jobs collapse into numpy int64 rounds with the
+    # identical recurrence. See _PR_DRIVER_MAX_EDGES.
+    pdf = e0.limit(_PR_DRIVER_MAX_EDGES + 1).toPandas()
+    if len(pdf) <= _PR_DRIVER_MAX_EDGES:
+        return _pagerank_driver(
+            e0.sparkSession, pdf, e0.schema["u"].dataType, d, iterations
+        )
     # Persist the canonical edge set: nodes (via nodes.count() below)
     # and ew each materialize from it in SEPARATE jobs, so an
     # unpersisted e re-runs the upstream edge derivation — for the
@@ -138,7 +213,7 @@ def pagerank(
     # consumer (round 11: measured 2 full scans at sf0.1; persisting
     # e removes one).
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        e0
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

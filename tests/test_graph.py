@@ -47,6 +47,26 @@ def test_pagerank_matches_python_reference(spark):
     assert got == _pagerank_py(EDGES, iterations=10)
 
 
+def test_pagerank_driver_matches_distributed(spark, monkeypatch):
+    """The size-gated driver-vectorized fast path (round 11) must be
+    bit-identical to the distributed loop — rank_scaled AND the
+    rounded display double — including under duplicate input edges
+    (both paths dedup before outdeg)."""
+    import jaccard_join_duckdb_spark.operators.graph as G
+
+    sdf = spark.createDataFrame(EDGES + EDGES[:3], ["src", "dst"])
+    fast = {
+        r["node"]: (r["rank_scaled"], r["rank"])
+        for r in pagerank(sdf, iterations=7).collect()
+    }
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 0)
+    slow = {
+        r["node"]: (r["rank_scaled"], r["rank"])
+        for r in pagerank(sdf, iterations=7).collect()
+    }
+    assert fast == slow
+
+
 def test_pagerank_hub_ranks_highest(spark):
     star = [(f"leaf{i}", "hub") for i in range(6)]
     sdf = spark.createDataFrame(star, ["src", "dst"])
