@@ -618,10 +618,16 @@ def cosine_near_duplicates(
     ]
     if block_expr is not None:
         cols.append(block_expr.alias("blk"))
-    sel = df.select(*cols)
-    L = sel.alias("L")
-    R = sel.alias("R")
     if block_expr is not None:
+        # Rebalance BEFORE the projection: the norm and bucket
+        # expressions are interpreted per-row folds over the vector,
+        # and a small parquet scan arrives as one partition —
+        # projecting first would serialize that compute on one core
+        # ahead of the bucket exchange (round 11: the sf0.1 blocked
+        # query ran 5 single-task stages, 2.3 s). No-op at real scale.
+        sel = _ensure_parallelism(df.select(id_col, vec_col)).select(*cols)
+        L = sel.alias("L")
+        R = sel.alias("R")
         # Equi-join on the bucket: shuffles both sides on blk — the
         # scale plan (SortMergeJoin/ShuffledHashJoin, no cartesian).
         pairs = L.join(
@@ -631,9 +637,12 @@ def cosine_near_duplicates(
     else:
         # A constant join key would hash every row to ONE shuffle
         # partition; a cross join keeps parallelism = |L parts|·|R parts|
-        # (left side repartitioned — small parquet scans arrive as a
-        # single partition).
+        # (left side ONLY repartitioned — rebalancing both sides would
+        # multiply the cartesian's partition count; small parquet
+        # scans arrive as a single partition).
+        sel = df.select(*cols)
         L = _ensure_parallelism(sel).alias("L")
+        R = sel.alias("R")
         pairs = L.crossJoin(R).filter(F.col("L.id") < F.col("R.id"))
     return (
         pairs
