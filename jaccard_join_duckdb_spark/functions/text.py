@@ -1018,16 +1018,32 @@ def train_ngram_lm(
         raise ValueError("stupid_backoff is implemented for n=2 only")
     from ..tokenizers import _ensure_parallelism
 
-    docs = _ensure_parallelism(df.select(id_col, text_col))
     grams = ngram_counts(df, id_col, text_col, n=n)
     ctxs = ngram_counts(df, id_col, text_col, n=n - 1)
-    vocab = (
-        docs.select(F.explode(ws_token_array(F.col(text_col))).alias("tok"))
-        .agg(
-            F.count_distinct("tok").alias("vocab"),
-            F.count(F.lit(1)).alias("total"),
+    if n == 2:
+        # For a bigram LM the context table IS the unigram table:
+        # its row count is the distinct-token vocabulary and the sum
+        # of its counts the total token count — derive the smoothing
+        # scalar from it instead of a THIRD full tokenize+explode
+        # corpus pass (round 11; the n=1 ngram_explode emits each
+        # token verbatim, so the two folds count the same multiset).
+        vocab = ctxs.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            # coalesce: sum() over an empty corpus is NULL where the
+            # old explode-count was 0
+            F.coalesce(F.sum("n_count"), F.lit(0)).alias("total"),
         )
-    )
+    else:
+        docs = _ensure_parallelism(df.select(id_col, text_col))
+        vocab = (
+            docs.select(
+                F.explode(ws_token_array(F.col(text_col))).alias("tok")
+            )
+            .agg(
+                F.count_distinct("tok").alias("vocab"),
+                F.count(F.lit(1)).alias("total"),
+            )
+        )
     return NgramLM(grams, ctxs, vocab, n, k, persist=persist,
                    smoothing=smoothing, alpha=alpha)
 
