@@ -1030,7 +1030,14 @@ def cosine_near_duplicates_lsh_banded(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    sig = _sign_lsh_sigs(base.select("id", "v"), planes, n_bands, n_planes)
+    # Both sides of the bucket self-join read the signatures, and the
+    # self-join gets NO exchange reuse (verified on the executed plan:
+    # two MapInPandas nodes, zero ReusedExchange) — persist, exactly
+    # like _minhash_band_sigs' band_sig, or the kernel and the scan
+    # under it run twice (round 11).
+    sig = _sign_lsh_sigs(
+        base.select("id", "v"), planes, n_bands, n_planes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     L = sig.alias("L")
     R = sig.alias("R")
     cands = (
