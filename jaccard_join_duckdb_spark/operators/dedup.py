@@ -114,6 +114,11 @@ _CC_DRIVER_MAX_EDGES = 4_000_000
 # introduced it).
 _MAX_BITSET_WORDS = 8
 
+# A/B toggle (tools/bench_ab.py): False forces the generic banded
+# minhash path even for small vocabularies. The shipped default is
+# the bench-context A/B winner (round 12, VERDICT r11 #1).
+_MINHASH_FUSED = True
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -387,7 +392,7 @@ def minhash_near_duplicates(
     bit_cap = min(_MAX_BITSET_VOCAB, 64 * _MAX_BITSET_WORDS)
     vocab_rows = toks.select("token").distinct().limit(bit_cap + 1).collect()
     vocab_n = len(vocab_rows)
-    if 0 < vocab_n <= bit_cap:
+    if _MINHASH_FUSED and 0 < vocab_n <= bit_cap:
         out = _minhash_fused_bitset(
             toks, vocab_rows, num_hashes, bands, seed, threshold
         )
@@ -411,7 +416,15 @@ def minhash_near_duplicates(
         .select(F.col("L.id").alias("lid"), F.col("R.id").alias("rid"))
         .distinct()
     )
-    return _verify_jaccard(cands, toks, threshold, vocab_n=vocab_n).select(
+    return _verify_jaccard(
+        cands, toks, threshold, vocab_n=vocab_n,
+        # Bounded vocab (only reachable with the fused path toggled
+        # off): hand the already-collected vocabulary to the verify so
+        # it builds the literal tid dim with no extra job.
+        vocab_tokens=(
+            [r[0] for r in vocab_rows] if vocab_n <= bit_cap else None
+        ),
+    ).select(
         F.col("lid").alias("l_id"), F.col("rid").alias("r_id"), "jaccard"
     )
 
@@ -656,12 +669,16 @@ def _verify_jaccard(
     threshold: float,
     r_toks: DataFrame | None = None,
     vocab_n: int | None = None,
+    vocab_tokens: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs (overlap machinery in
     :func:`_verify_overlap`): ``jaccard = ov / (lsz + rsz - ov)``
     rounded to 6, threshold-filtered."""
     return _jaccard_threshold_filter(
-        _verify_overlap(cands, toks, r_toks=r_toks, vocab_n=vocab_n),
+        _verify_overlap(
+            cands, toks, r_toks=r_toks, vocab_n=vocab_n,
+            vocab_tokens=vocab_tokens,
+        ),
         threshold,
     )
 
@@ -671,6 +688,7 @@ def _verify_overlap(
     toks: DataFrame,
     r_toks: DataFrame | None = None,
     vocab_n: int | None = None,
+    vocab_tokens: list | None = None,
 ) -> DataFrame:
     """Exact set-overlap counts over candidate pairs:
     ``(lid, rid, ov, lsz, rsz)`` with ``ov >= 1``. ``lid`` draws from
@@ -708,8 +726,14 @@ def _verify_overlap(
     # (round 11). tid = rank in the driver-sorted token order; the
     # bitset overlap is a popcount of the intersection, invariant to
     # the tid permutation, so the output cannot depend on the sort.
+    # ``vocab_tokens``: callers that already hold the COMPLETE bounded
+    # vocabulary (e.g. from their own gate probe) pass its values so
+    # the literal tid dim is built with zero extra jobs here.
     vocab_rows = None
-    if vocab_n is None:
+    if vocab_tokens is not None:
+        vocab_rows = list(vocab_tokens)
+        vocab_n = len(vocab_rows)
+    elif vocab_n is None:
         rows = vocab.limit(_MAX_BITSET_VOCAB + 1).collect()
         vocab_n = len(rows)
         vocab_rows = [r[0] for r in rows]
@@ -1279,17 +1303,74 @@ def _containment_core(
     (:func:`_verify_overlap`), ``containment = round(ov / |Q|, 6)``
     threshold filter. ``self_mode`` drops same-id pairs and verifies
     one-sided (single vocabulary → bitset fast path eligible).
-    Returns ``(lid, rid, containment)``."""
-    sizes = q_toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    Returns ``(lid, rid, containment)``.
+
+    Round 12 (VERDICT r11 #2): the main plan used to carry FOUR
+    aggregations beyond the two verify docbits — a per-id ``sizes``
+    count joined into the prefix, an in-plan ``dfreq``, and the
+    verify's own union+distinct vocab job. Now one bounded probe
+    collects ``dfreq`` itself (when the corpus vocabulary fits
+    ``_MAX_BITSET_VOCAB``, it becomes a literal broadcast dim — no
+    in-plan corpus-token aggregation at all), the query side's size
+    rides the prefix's existing id-partitioned window as a second
+    window function (no aggregation, no join), and the collected
+    vocabulary feeds the verify's tid dim directly
+    (``vocab_tokens``), so the plan has exactly ONE aggregation per
+    side: the docbits. Above the vocab cap the in-plan dfreq and the
+    array verify remain the (corpus-scale) plan."""
+    spark = q_toks.sparkSession
     dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Bounded corpus-vocab probe: one job, collects (token, df). At
+    # corpus scale the limit caps the fetch at 4097 rows ("too big"
+    # is all it learns — the same bounded-probe discipline as the
+    # r11 union-distinct gate this replaces).
+    c_rows = dfreq.limit(_MAX_BITSET_VOCAB + 1).collect()
+    c_small = len(c_rows) <= _MAX_BITSET_VOCAB
+    if c_small:
+        tok_type = c_toks.schema["token"].dataType
+        dfreq = F.broadcast(
+            spark.createDataFrame(
+                [(r["token"], r["df"]) for r in c_rows],
+                T.StructType(
+                    [
+                        T.StructField("token", tok_type, False),
+                        T.StructField("df", T.LongType(), False),
+                    ]
+                ),
+            )
+        )
+    if self_mode:
+        vocab_n = len(c_rows)
+        vocab_tokens = [r["token"] for r in c_rows] if c_small else None
+    else:
+        q_rows = (
+            q_toks.select("token").distinct()
+            .limit(_MAX_BITSET_VOCAB + 1).collect()
+        )
+        if c_small and len(q_rows) <= _MAX_BITSET_VOCAB:
+            # both sides complete → the union vocabulary is exact
+            # (it may still exceed the cap — the verify then takes
+            # the array path on the exact count)
+            union = {r["token"] for r in c_rows} | {r[0] for r in q_rows}
+            vocab_n = len(union)
+            vocab_tokens = (
+                sorted(union) if vocab_n <= _MAX_BITSET_VOCAB else None
+            )
+        else:
+            vocab_n = _MAX_BITSET_VOCAB + 1  # over the cap is all that matters
+            vocab_tokens = None
     pos_w = Window.partitionBy("id").orderBy("df", "token")
+    sz_w = Window.partitionBy("id")
     prefix = (
         # left join: query tokens the corpus never contains have df 0
-        # and sort FIRST — maximal pruning (self mode: df never null)
+        # and sort FIRST — maximal pruning (self mode: df never null).
+        # |T(q)| rides the prefix's own id-partitioned window (same
+        # exchange, second window function) instead of a separate
+        # groupBy + join.
         q_toks.join(dfreq, "token", "left")
         .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("pos", F.row_number().over(pos_w))
-        .join(sizes, "id")
+        .withColumn("sz", F.count(F.lit(1)).over(sz_w))
         .filter(_containment_prefix_cond(F.col("sz"), F.col("pos"), threshold))
         .select(F.col("id").alias("lid"), "token")
     )
@@ -1303,6 +1384,8 @@ def _containment_core(
         cands,
         q_toks.select("id", "token"),
         r_toks=None if self_mode else c_toks.select("id", "token"),
+        vocab_n=vocab_n,
+        vocab_tokens=vocab_tokens,
     )
     return (
         ov.withColumn(
@@ -1857,13 +1940,20 @@ def _cc_driver_hash_min(spark, pdf, max_iterations: int, id_type) -> DataFrame:
     """Driver-vectorized twin of the distributed hash-min loop, for
     one-directional edge lists under :data:`_CC_DRIVER_MAX_EDGES`
     (already fetched as the pandas frame ``pdf``). Each numpy round
-    applies the IDENTICAL recurrence as the broadcast-regime
+    applies the IDENTICAL recurrence as the BROADCAST-REGIME
     distributed round — ``new = prev[min(lab over neighbors ∪ self)]``
     (min message + pointer jump through the previous round's map) —
-    and stops on the first no-change round, so the labels, the round
-    count, and the ``max_iterations`` convergence contract are all
-    bit-identical to the BSP loop (pinned by tests/test_dedup.py::
-    test_cc_driver_fast_path_matches_distributed).
+    and stops on the first no-change round. Labels always equal the
+    distributed loop's (any hash-min fixpoint is the per-component
+    min). The round count and ``max_iterations`` contract are
+    bit-identical to the distributed loop only in its broadcast
+    regime (node count <= :data:`_CC_BROADCAST_MAX_LABELS`, where it
+    also pointer-jumps; pinned by tests/test_dedup.py::
+    test_cc_driver_fast_path_matches_distributed); a <= 4M-edge graph
+    with more nodes than that converges here in fewer rounds than the
+    plain-update BSP loop would need — this path may succeed within a
+    ``max_iterations`` where the distributed loop would raise, never
+    the reverse (pointer jumping only accelerates convergence).
     """
     import numpy as np
     import pandas as pd
@@ -1960,15 +2050,27 @@ def connected_components(
     # spent 6 round-jobs ≈ 5 s on what this path runs in ~0.2 s).
     # Symmetrization happens on the numpy arrays; duplicate edges
     # need no dedup (duplicate min-messages change nothing).
+    if algorithm not in ("hash_min", "two_phase"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # Persist the one-directional edge list BEFORE anything consumes
+    # it (round 12, VERDICT r11 #6): an above-cap probe's partial
+    # execution of the pair-generation subtree is reused instead of
+    # discarded, and the symmetrizing union below reads e0 TWICE —
+    # unpersisted, the whole upstream subtree would execute once per
+    # direction. Unpersisted again as soon as the symmetric edge set
+    # is materialized (or at the driver fast-path exit).
+    e0 = e0.persist(StorageLevel.MEMORY_AND_DISK)
     if algorithm == "hash_min" and isinstance(
         e0.schema["u"].dataType, (T.LongType, T.IntegerType, T.ShortType)
     ):
         pdf = e0.limit(_CC_DRIVER_MAX_EDGES + 1).toPandas()
         if len(pdf) <= _CC_DRIVER_MAX_EDGES:
-            return _cc_driver_hash_min(
+            out = _cc_driver_hash_min(
                 e0.sparkSession, pdf, max_iterations,
                 e0.schema["u"].dataType,
             )
+            e0.unpersist()
+            return out
     e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if dedup_edges:
         # Hash-min is CORRECT under duplicate edges (duplicate
@@ -1983,9 +2085,8 @@ def connected_components(
     if algorithm == "two_phase":
         out = _cc_two_phase(e, max_iterations)
         e.unpersist()
+        e0.unpersist()
         return out
-    if algorithm != "hash_min":
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     _label_sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     labels = (
         e.select("u").distinct().select("u", F.col("u").alias("comp"))
@@ -1995,6 +2096,9 @@ def connected_components(
     # broadcast gate below.
     seed = labels.agg(_label_sum, F.count(F.lit(1)).alias("n")).collect()[0]
     prev_sum, n_nodes = seed["s"], seed["n"]
+    # e (the symmetric set) is fully cached by the seed scan — e0's
+    # cache has no further reader.
+    e0.unpersist()
     for _ in range(max_iterations):
         # Checkpointed labels are a leaf RDD whose size Catalyst (and
         # AQE, which only measures shuffle stages) cannot see, so the

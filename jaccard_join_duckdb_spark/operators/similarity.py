@@ -625,7 +625,12 @@ def cosine_near_duplicates(
         # projecting first would serialize that compute on one core
         # ahead of the bucket exchange (round 11: the sf0.1 blocked
         # query ran 5 single-task stages, 2.3 s). No-op at real scale.
-        sel = _ensure_parallelism(df.select(id_col, vec_col)).select(*cols)
+        # Rebalance the FULL input (not a pre-projection): block_expr
+        # is documented to see the original input columns, which may
+        # include fields beyond (id, vec) (ADVICE r11). Column pruning
+        # through the round-robin exchange still drops anything the
+        # projection doesn't reference.
+        sel = _ensure_parallelism(df).select(*cols)
         L = sel.alias("L")
         R = sel.alias("R")
         # Equi-join on the bucket: shuffles both sides on blk — the

@@ -195,6 +195,44 @@ def test_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
         connected_components(path, "l_id", "r_id", max_iterations=3)
 
 
+def test_cc_above_cap_single_edge_materialization(spark, monkeypatch):
+    """Above the driver-path cap, the size probe must not throw away
+    its partial execution of the pair-generation subtree (round 12,
+    VERDICT r11 #6): e0 is persisted before the probe, so across the
+    probe + the symmetrizing union + the whole BSP run every input
+    edge row is computed exactly once (the union used to re-execute
+    the upstream subtree once per direction on top of the discarded
+    probe). The accumulator counts rows flowing out of the upstream
+    stage."""
+    import jaccard_join_duckdb_spark.operators.dedup as dd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    rows = [(i, (i * 7) % 20) for i in range(20)] + [(3, 18), (0, 19)]
+    edges = spark.createDataFrame(
+        rows, "l_id long, r_id long"
+    ).mapInPandas(count_rows, "l_id long, r_id long")
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 3)
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(edges, "l_id", "r_id").collect()
+    }
+    ref = {
+        (r.id, r.comp)
+        for r in connected_components(
+            spark.createDataFrame(rows, "l_id long, r_id long"),
+            "l_id", "r_id",
+        ).collect()
+    }
+    assert got == ref
+    assert acc.value == len(rows)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A path graph longer than the round budget must fail loud, not
     return intermediate labels (which would silently misassign

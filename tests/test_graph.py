@@ -60,11 +60,43 @@ def test_pagerank_driver_matches_distributed(spark, monkeypatch):
         for r in pagerank(sdf, iterations=7).collect()
     }
     monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 0)
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES_NONINT", 0)
     slow = {
         r["node"]: (r["rank_scaled"], r["rank"])
         for r in pagerank(sdf, iterations=7).collect()
     }
     assert fast == slow
+
+
+def test_pagerank_above_cap_single_edge_materialization(spark, monkeypatch):
+    """Above the driver-path cap, the size probe must not throw away
+    its partial execution of the upstream edge subtree (round 12,
+    VERDICT r11 #6): e0 is persisted before the probe, so across the
+    probe + the whole BSP run every input edge row is computed exactly
+    once. The accumulator counts rows flowing out of the (opaque to
+    the cache) upstream stage."""
+    import jaccard_join_duckdb_spark.operators.graph as G
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    n = 40
+    base = spark.createDataFrame(
+        [(i, (i * 3) % 10) for i in range(n)], "src long, dst long"
+    ).mapInPandas(count_rows, "src long, dst long")
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX_EDGES", 3)
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(base, iterations=3).collect()
+    }
+    assert got == _pagerank_py(
+        sorted({(i, (i * 3) % 10) for i in range(n)}), iterations=3
+    )
+    assert acc.value == n
 
 
 def test_pagerank_hub_ranks_highest(spark):

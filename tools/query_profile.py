@@ -9,7 +9,8 @@ on a sub-5s query usually dominate its wall at bench scale.
 
 Usage::
 
-    python tools/query_profile.py <sf_dir> <query> [query ...] [--iters N]
+    python tools/query_profile.py <sf_dir> <query> [query ...]
+        [--iters N | --iters=N]
 """
 
 from __future__ import annotations
@@ -22,11 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Accept both ``--iters N`` and ``--iters=N`` (ADVICE r11: the
+    # detached-N form used to be consumed as a query name).
+    argv = sys.argv[1:]
+    args: list[str] = []
     iters = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--iters"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--iters":
+            if i + 1 >= len(argv):
+                raise SystemExit("--iters requires a value")
+            iters = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--iters="):
             iters = int(a.split("=", 1)[1])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = args[0]
     names = args[1:]
 
