@@ -44,11 +44,13 @@ from ..functions.text import poly_hash
 from ..tokenizers import Tokenizer, WhitespaceTokzr
 from .jaccard import (
     _MAX_BITSET_VOCAB,
+    _MAX_BROADCAST_VERIFY_TOKENS,
     _bitset_suffix_overlap,
     _doc_bitsets,
     _length_cond,
     _positional_cond,
     _probing_prefix_cond,
+    _shuffle_partitions,
     _t_fraction,
 )
 
@@ -116,8 +118,28 @@ _MAX_BITSET_WORDS = 8
 
 # A/B toggle (tools/bench_ab.py): False forces the generic banded
 # minhash path even for small vocabularies. The shipped default is
-# the bench-context A/B winner (round 12, VERDICT r11 #1).
+# the bench-context A/B winner (round 12, VERDICT r11 #1:
+# dedup_minhash 4.19 s fused vs 4.39 s generic, dedup_canonical
+# 5.21 s vs 5.98 s — interleaved inside the full warmed bench list,
+# min-of-3, rows identical in both arms).
 _MINHASH_FUSED = True
+
+# SHUFFLE_HASH hint on the ngram pipeline's prefix candidate
+# self-join (guide §3.1): the join key is a <= 4096-value tid, so the
+# sort-merge plan pays two full sorts of the prefix streams that a
+# shuffled-hash build skips. Bench-context A/B (round 12,
+# tools/bench_ab.py, min-of-3, rows identical): dedup_ngram 3.96 s
+# SHJ vs 4.24 s SMJ at 2,333 keys (~73 per shuffle partition).
+# Applied only when (a) the collected dfreq proves the build side
+# bounded (sum df <= _MAX_BROADCAST_VERIFY_TOKENS — the same budget
+# the verify attach broadcasts use), AND (b) key density clears
+# _SHJ_MIN_KEYS_PER_PARTITION: the jaccard-side A/B measured a 3.5×
+# LOSS at 31 keys / 32 partitions (<=1 key per partition leaves one
+# giant hash chain per partition, where sorted-run merging streams
+# the same groups fine) and a tie at ~15 keys/partition. At corpus
+# scale the gracefully-spilling sort-merge stays.
+_NGRAM_CAND_SHUFFLE_HASH = True
+_SHJ_MIN_KEYS_PER_PARTITION = 32
 
 
 # --------------------------------------------------------------------------
@@ -973,7 +995,7 @@ def _round_up_slack(t: float) -> float:
 
 
 def _ngram_bitset_pipeline(
-    toks: DataFrame, dfreq: DataFrame, vocab_n: int, threshold: float
+    toks: DataFrame, dfreq_rows: list, vocab_n: int, threshold: float
 ) -> DataFrame:
     """Small-vocab fast path for :func:`ngram_jaccard_near_duplicates`:
     one persisted id-partitioned token table feeds both candidate
@@ -988,15 +1010,34 @@ def _ngram_bitset_pipeline(
     shuffles the token table by id ONCE, and ``_doc_bitsets``'s
     groupBy(id) reuses that partitioning with no further Exchange. The
     PPJoin positional filter prunes prefix-match rows at candidate
-    generation, before the (wide) bitset join rows are built."""
+    generation, before the (wide) bitset join rows are built.
+
+    Round 12: the caller's bounded gate job now COLLECTS the doc-freq
+    rows instead of counting them, so the tid dim is a literal built
+    by the same driver-side ``(df, token)`` sort the old in-plan
+    ``row_number`` window used (token is unique in dfreq ⇒ total
+    order ⇒ identical tids) — the broadcast subtree no longer
+    re-executes the doc-frequency aggregation + a global window
+    inside the main plan."""
     t = float(threshold)
     tc = _round_up_slack(t)
     n_words = (vocab_n + 63) // 64
-    tdim = dfreq.withColumn(
-        "tid", F.row_number().over(Window.orderBy("df", "token"))
+    tdim = toks.sparkSession.createDataFrame(
+        [
+            (tok, i + 1)
+            for i, (_, tok) in enumerate(
+                sorted((r["df"], r["token"]) for r in dfreq_rows)
+            )
+        ],
+        T.StructType(
+            [
+                T.StructField("token", toks.schema["token"].dataType, False),
+                T.StructField("tid", T.IntegerType(), False),
+            ]
+        ),
     )
     tk = (
-        toks.join(F.broadcast(tdim.select("token", "tid")), "token")
+        toks.join(F.broadcast(tdim), "token")
         .select(
             "id",
             "len",
@@ -1008,7 +1049,16 @@ def _ngram_bitset_pipeline(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pfx = tk.filter(_probing_prefix_cond(F.col("len"), F.col("pos"), tc))
-    L, R = pfx.alias("L"), pfx.alias("R")
+    shj = (
+        _NGRAM_CAND_SHUFFLE_HASH
+        and 0
+        < sum(r["df"] for r in dfreq_rows)
+        <= _MAX_BROADCAST_VERIFY_TOKENS
+        and vocab_n
+        >= _SHJ_MIN_KEYS_PER_PARTITION * _shuffle_partitions(toks)
+    )
+    L = pfx.alias("L")
+    R = (pfx.hint("shuffle_hash") if shj else pfx).alias("R")
     cand = (
         L.join(
             R,
@@ -1205,12 +1255,18 @@ def ngram_jaccard_near_duplicates(
     )
     toks3 = toks3.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks3.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # Early-stopping gate scalar: exact iff <= _MAX_BITSET_VOCAB (what
-    # the bitset pipeline needs), capped at MAX+1 otherwise (all the
-    # large-vocab branch needs to know).
-    vocab_n = dfreq.limit(_MAX_BITSET_VOCAB + 1).count()
+    # Early-stopping gate: exact iff <= _MAX_BITSET_VOCAB (what the
+    # bitset pipeline needs), capped at MAX+1 otherwise (all the
+    # large-vocab branch needs to know). COLLECTING the bounded rows
+    # instead of counting them (round 12) hands the bitset pipeline
+    # its tid dim as a literal — the in-plan dfreq re-aggregation +
+    # global rank window the broadcast subtree used to re-execute are
+    # gone. At corpus scale the limit still stops the fetch at 4097
+    # rows.
+    dfreq_rows = dfreq.limit(_MAX_BITSET_VOCAB + 1).collect()
+    vocab_n = len(dfreq_rows)
     if 0 < vocab_n <= _MAX_BITSET_VOCAB:
-        out = _ngram_bitset_pipeline(toks3, dfreq, vocab_n, threshold)
+        out = _ngram_bitset_pipeline(toks3, dfreq_rows, vocab_n, threshold)
     else:
         cands = _prefix_candidates(toks3, threshold, dfreq=dfreq)
         out = _verify_jaccard(

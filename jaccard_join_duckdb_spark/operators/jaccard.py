@@ -748,6 +748,20 @@ def _suffix_overlap(
 # probe cap). Module flag so tests can pin the fallback.
 _RUNTIME_DISTINCT_ARRAY = True
 
+# SHUFFLE_HASH on the jaccard candidate joins: tried, measured,
+# REJECTED (round 12). Bench-context interleaved A/B (tools/
+# bench_ab.py, min-of-3, rows identical in both arms) with the
+# indexing prefix as the hash-build side: jaccard_self_ws 12.32 s
+# SHJ vs 3.55 s SMJ (3.5× LOSS), hotsplit 12.12 vs 3.93,
+# jaccard_inner_ws 8.16 vs 4.79, jaccard_self_qgram 9.96 vs 10.18
+# (tie). The ws corpus has 31 distinct tokens over 32 shuffle
+# partitions — ≤1 join key per partition is pathological for a hash
+# build (one giant chain per partition), while the sorted-run merge
+# streams the same groups fine. The ngram pipeline's equivalent hint
+# (operators/dedup.py _NGRAM_CAND_SHUFFLE_HASH) measured a WIN at
+# 2,333 keys (~73/partition) and is gated on key density for exactly
+# this reason.
+
 
 # --------------------------------------------------------------------------
 # self join (reference _JaccardSelfJoin, jaccard_join.py:111-232)
