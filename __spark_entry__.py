@@ -17,7 +17,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from jaccard_join_duckdb_spark import (
     QGramsTokzr,
@@ -1802,21 +1801,28 @@ def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_self_join(
         _docs(spark, sf_dir), "doc_id", "text", _WS, T_SELF,
         with_score=True,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ^ both branches of the symmetrizing union read the pair table;
-    # unpersisted, the candidate join + verification execute TWICE
-    # (round 11: measured 6.4 s vs 3.3 s for the one-sided query —
-    # the whole gap was the re-run, not the tiny per-source window).
-    sym = pairs.select(
-        F.col("l_doc_id").alias("src"),
-        F.col("r_doc_id").alias("neighbor"),
-        "jaccard",
-    ).union(
-        pairs.select(
+    )
+    # Symmetrize IN-STREAM (round 12): each unordered pair explodes
+    # into its two directed rows inside the same stage, so the scored
+    # pair pipeline appears ONCE in the plan — the round-11 shape
+    # (union of two projections over a persisted pair table) needed
+    # the persist precisely because the union's branches were two
+    # consumers; this needs neither the cache write nor the two cache
+    # reads. Row multiset identical to the union by construction.
+    both = F.array(
+        F.struct(
+            F.col("l_doc_id").alias("src"),
+            F.col("r_doc_id").alias("neighbor"),
+            F.col("jaccard"),
+        ),
+        F.struct(
             F.col("r_doc_id").alias("src"),
             F.col("l_doc_id").alias("neighbor"),
-            "jaccard",
-        )
+            F.col("jaccard"),
+        ),
+    )
+    sym = pairs.select(F.explode(both).alias("e")).select(
+        "e.src", "e.neighbor", "e.jaccard"
     )
     w = Window.partitionBy("src").orderBy(
         F.col("jaccard").desc(), F.col("neighbor").asc()

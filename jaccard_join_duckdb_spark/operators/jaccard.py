@@ -484,7 +484,9 @@ _BROADCAST_VERIFY_MIN_RATIO = 4
 # scalars would recompute the tokenize chain).
 
 
-def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int, int]:
+def _self_gate_stats(
+    tkdf: DataFrame, t: float, skip_dup: bool = False
+) -> tuple[int, int, int, int]:
     """``(n_docs, n_tok, cand_bound, dup_rows)`` for the self-join
     broadcast gate, in ONE aggregate job over the persisted token
     table (no separate doc count / token count jobs): per token, ``a``
@@ -493,9 +495,18 @@ def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int, int]:
     documents exactly (every tokenized doc has one); ``dup_rows``
     (rows minus distinct ids, summed over tokens) is the exact count
     of duplicate ``(id, token)`` rows, gating the runtime-distinct
-    array verification (_RUNTIME_DISTINCT_ARRAY) on the same job."""
+    array verification (_RUNTIME_DISTINCT_ARRAY) on the same job.
+    ``skip_dup`` (round 12): a ``rows_distinct`` tokenizer takes the
+    array verification unconditionally, so its caller skips the
+    per-token ``count_distinct`` — the only hash-set aggregate in the
+    job; everything else is plain compiled sums — and gets the known
+    ``dup_rows = 0``."""
     idx = _indexing_prefix_cond(F.col("len"), F.col("pos"), t)
     prb = _probing_prefix_cond(F.col("len"), F.col("pos"), t)
+    dup_cols = [] if skip_dup else [F.count_distinct("id").alias("u")]
+    dup_agg = (
+        [] if skip_dup else [F.sum(F.col("c") - F.col("u")).alias("dup_rows")]
+    )
     row = (
         tkdf.groupBy("token")
         .agg(
@@ -503,21 +514,27 @@ def _self_gate_stats(tkdf: DataFrame, t: float) -> tuple[int, int, int, int]:
             F.sum(idx.cast("long")).alias("a"),
             F.sum(prb.cast("long")).alias("b"),
             F.sum((F.col("pos") == 1).cast("long")).alias("d"),
-            F.count_distinct("id").alias("u"),
+            *dup_cols,
         )
         .agg(
             F.sum("d").alias("n_docs"),
             F.sum("c").alias("n_tok"),
             F.sum(F.col("a") * F.col("b")).alias("bound"),
-            F.sum(F.col("c") - F.col("u")).alias("dup_rows"),
+            *dup_agg,
         )
         .first()
     )
+    if skip_dup:
+        dup_rows = 0
+    else:
+        dup_rows = int(
+            row["dup_rows"] if row["dup_rows"] is not None else -1
+        )
     return (
         int(row["n_docs"] or 0),
         int(row["n_tok"] or 0),
         int(row["bound"] or 0),
-        int(row["dup_rows"] if row["dup_rows"] is not None else -1),
+        dup_rows,
     )
 
 
@@ -938,7 +955,9 @@ def jaccard_self_join(
         and not cheap_decline
         and _doc_count_probe(df) <= _MAX_BROADCAST_VERIFY_DOCS
     ):
-        n_docs, n_tok, bound, dup_rows = _self_gate_stats(tkdf, t)
+        n_docs, n_tok, bound, dup_rows = _self_gate_stats(
+            tkdf, t, skip_dup=tokenizer.rows_distinct
+        )
         # The gate-stats aggregate materialized tkdf into its cache,
         # so the vocab-sized dfreq cache entry is now dead weight —
         # free it (ADVICE r10: repeated join calls in one session
@@ -1396,10 +1415,20 @@ def jaccard_inner_join(
             F.count(F.lit(1)).alias("c"),
             # exact duplicate (id, token) row count per side, gating
             # the runtime-distinct array verification (see
-            # _RUNTIME_DISTINCT_ARRAY) — free in this aggregate
-            (
-                F.count(F.lit(1)) - F.count_distinct("id", "token")
-            ).alias("dup"),
+            # _RUNTIME_DISTINCT_ARRAY). A rows_distinct tokenizer
+            # takes the array verification unconditionally, so its
+            # callers skip the count_distinct — the only hash-set
+            # aggregate in the job (round 12).
+            *(
+                []
+                if tokenizer.rows_distinct
+                else [
+                    (
+                        F.count(F.lit(1))
+                        - F.count_distinct("id", "token")
+                    ).alias("dup")
+                ]
+            ),
         )
         .collect()
     }
@@ -1413,9 +1442,10 @@ def jaccard_inner_join(
         row = side_rows.get(side)
         if row is None:  # empty side: no tokens at all
             return 0, 0, 0, 0
+        dup = 0 if tokenizer.rows_distinct else int(row["dup"] or 0)
         return (
             int(row["w"] or 0), int(row["d"] or 0),
-            int(row["c"] or 0), int(row["dup"] or 0),
+            int(row["c"] or 0), dup,
         )
 
     l_widows, n_l_docs, n_l_tok, l_dup = _side_stats(0)

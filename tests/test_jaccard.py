@@ -401,6 +401,9 @@ def test_self_gate_stats_formula(spark):
     tokens = WhitespaceTokzr().tokenize(df, "id", "val")
     tkdf = J.tokens_with_doc_freq(tokens, with_pair_key=True)
     assert J._self_gate_stats(tkdf, 0.5) == (3, 7, 8, 0)
+    # skip_dup (round 12, rows_distinct tokenizers): same gate scalars
+    # without the count_distinct column; dup_rows pinned to the known 0
+    assert J._self_gate_stats(tkdf, 0.5, skip_dup=True) == (3, 7, 8, 0)
 
     dup = spark.createDataFrame(
         [(1, "A a b"), (2, "a b")], "id long, val string"
