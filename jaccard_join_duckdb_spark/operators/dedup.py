@@ -1375,18 +1375,30 @@ def _containment_core(
     side: the docbits. Above the vocab cap the in-plan dfreq and the
     array verify remain the (corpus-scale) plan."""
     spark = q_toks.sparkSession
-    dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # Bounded corpus-vocab probe: one job, collects (token, df). At
-    # corpus scale the limit caps the fetch at 4097 rows ("too big"
-    # is all it learns — the same bounded-probe discipline as the
-    # r11 union-distinct gate this replaces).
-    c_rows = dfreq.limit(_MAX_BITSET_VOCAB + 1).collect()
-    c_small = len(c_rows) <= _MAX_BITSET_VOCAB
-    if c_small:
+    # Bounded union-vocab probe: ONE job collects the union
+    # vocabulary WITH its corpus doc-frequencies — group the union of
+    # both token tables by token, summing only corpus rows, so a
+    # query-only token lands with df 0 (exactly the value the old
+    # left-join coalesce produced for it). At corpus scale the limit
+    # caps the fetch at 4097 rows ("too big" is all it learns — the
+    # same bounded-probe discipline as the r11 union-distinct gate
+    # this replaces).
+    probe = c_toks.select("token", F.lit(1).alias("is_c"))
+    if not self_mode:
+        probe = probe.union(q_toks.select("token", F.lit(0).alias("is_c")))
+    vocab_rows = (
+        probe.groupBy("token")
+        .agg(F.sum("is_c").alias("df"))
+        .limit(_MAX_BITSET_VOCAB + 1)
+        .collect()
+    )
+    vocab_n = len(vocab_rows)
+    small = 0 < vocab_n <= _MAX_BITSET_VOCAB
+    if small:
         tok_type = c_toks.schema["token"].dataType
         dfreq = F.broadcast(
             spark.createDataFrame(
-                [(r["token"], r["df"]) for r in c_rows],
+                [(r["token"], r["df"]) for r in vocab_rows],
                 T.StructType(
                     [
                         T.StructField("token", tok_type, False),
@@ -1395,26 +1407,12 @@ def _containment_core(
                 ),
             )
         )
-    if self_mode:
-        vocab_n = len(c_rows)
-        vocab_tokens = [r["token"] for r in c_rows] if c_small else None
+        vocab_tokens = [r["token"] for r in vocab_rows]
     else:
-        q_rows = (
-            q_toks.select("token").distinct()
-            .limit(_MAX_BITSET_VOCAB + 1).collect()
-        )
-        if c_small and len(q_rows) <= _MAX_BITSET_VOCAB:
-            # both sides complete → the union vocabulary is exact
-            # (it may still exceed the cap — the verify then takes
-            # the array path on the exact count)
-            union = {r["token"] for r in c_rows} | {r[0] for r in q_rows}
-            vocab_n = len(union)
-            vocab_tokens = (
-                sorted(union) if vocab_n <= _MAX_BITSET_VOCAB else None
-            )
-        else:
-            vocab_n = _MAX_BITSET_VOCAB + 1  # over the cap is all that matters
-            vocab_tokens = None
+        # over the cap: in-plan corpus dfreq, array verify — the
+        # corpus-scale plan (vocab_n only says "too big")
+        dfreq = c_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        vocab_tokens = None
     pos_w = Window.partitionBy("id").orderBy("df", "token")
     sz_w = Window.partitionBy("id")
     prefix = (
@@ -2586,13 +2584,18 @@ def keep_cluster_representatives(
     component — no per-component window, so a whale cluster costs a
     partial-aggregated shuffle key, never a single hot reducer sorting
     the whole component. Unclustered rows never enter the aggregate.
+
+    Round 12: keep/drop is decided in ONE final pass — ``df`` is
+    scanned twice total (once feeding the representative aggregate,
+    once for the output join) instead of three times (the old
+    unclustered-filter + semi-join + union shape) — at corpus scale
+    that is one full scan saved per call.
     """
     cl = clusters.select(
         F.col(cluster_id_col).alias("__cl_id"),
         F.col(comp_col).alias("__cl_comp"),
     )
     joined = df.join(cl, df[id_col] == cl["__cl_id"], "left")
-    unclustered = joined.filter(F.col("__cl_comp").isNull()).select(*df.columns)
     clustered = joined.filter(F.col("__cl_comp").isNotNull())
     s = (score if score is not None else F.lit(0)).cast("double")
     rep_ids = (
@@ -2605,10 +2608,15 @@ def keep_cluster_representatives(
                 )
             ).alias("m")
         )
-        .select((-F.col("m.negid")).alias(id_col))
+        .select((-F.col("m.negid")).alias("__rep_id"))
     )
-    survivors = df.join(rep_ids, id_col, "leftsemi")
-    return unclustered.unionByName(survivors)
+    return (
+        joined.join(rep_ids, df[id_col] == rep_ids["__rep_id"], "left")
+        .filter(
+            F.col("__cl_comp").isNull() | F.col("__rep_id").isNotNull()
+        )
+        .select(*df.columns)
+    )
 
 
 # --------------------------------------------------------------------------
